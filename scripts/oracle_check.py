@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local simulation of the driver's t2 correctness gate.
+
+Usage: oracle_check.py <sf_dir> <verify_out_dir>
+
+For each query dir in verify_out: load the Spark parquet result; if
+oracle_sql.json has SQL for it, run it in DuckDB against views named after
+the parquet tables; compare column names (sorted), row counts, and values.
+"""
+import json, sys, math
+import duckdb
+import pandas as pd
+from pathlib import Path
+
+sf_dir, out_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
+fails, oks, rows_only = [], [], []
+
+def canon(df):
+    df = df[sorted(df.columns)].reset_index(drop=True)
+    return df
+
+for qdir in sorted(Path(out_dir).iterdir()):
+    if not qdir.is_dir():
+        continue
+    name = qdir.name
+    try:
+        spark_df = pd.read_parquet(qdir)
+    except Exception as e:
+        fails.append((name, f"spark result unreadable: {e}"))
+        continue
+    if name not in oracle:
+        rows_only.append((name, len(spark_df)))
+        continue
+    try:
+        duck_df = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        fails.append((name, f"oracle SQL error: {e}"))
+        continue
+    s, d = canon(spark_df), canon(duck_df)
+    if list(s.columns) != list(d.columns):
+        fails.append((name, f"columns spark={list(s.columns)} duck={list(d.columns)}"))
+        continue
+    if len(s) != len(d):
+        fails.append((name, f"rowcount spark={len(s)} duck={len(d)}"))
+        continue
+    bad = None
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        try:
+            if sv.dtype.kind == 'f' or dv.dtype.kind == 'f':
+                eq = [(a == b) or (pd.isna(a) and pd.isna(b)) or
+                      (isinstance(a, float) and isinstance(b, float) and
+                       math.isclose(a, b, rel_tol=0, abs_tol=0))
+                      for a, b in zip(sv.astype(float), dv.astype(float))]
+            else:
+                eq = [(str(a) == str(b)) or (pd.isna(a) and pd.isna(b))
+                      for a, b in zip(sv, dv)]
+        except Exception as e:
+            bad = f"col {c}: compare error {e}"
+            break
+        if not all(eq):
+            i = eq.index(False)
+            bad = f"col {c} row {i}: spark={sv.iloc[i]!r} duck={dv.iloc[i]!r}"
+            break
+    if bad:
+        fails.append((name, bad))
+    else:
+        oks.append((name, len(s)))
+
+print(f"== OK ({len(oks)}):")
+for n, r in oks: print(f"  {n}: {r} rows")
+print(f"== ROWS-ONLY ({len(rows_only)}):")
+for n, r in rows_only: print(f"  {n}: {r} rows")
+print(f"== FAIL ({len(fails)}):")
+for n, m in fails: print(f"  {n}: {m}")
+sys.exit(1 if fails else 0)

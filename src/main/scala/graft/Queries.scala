@@ -1,0 +1,572 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.{PollaFunctions, PollaParsers}
+import graft.ops.{Consensus, Dedup, Similarity, StatePipeline, TextAnalysis}
+
+/** The declared-query surface (SURVEY.md §2.12 + north-star extensions).
+  *
+  * Every entry is a Spark DataFrame program over the driver test tables,
+  * paired (where DuckDB can express it) with oracle SQL producing an
+  * identical result — same column names, total ORDER BY, and numerics
+  * canonicalized so hashes match:
+  *  - money/quantity sums go through DECIMAL(18,4) (exact, order-independent
+  *    addition) and come back as DOUBLE — double-sum nondeterminism across
+  *    engines/partitions would otherwise flip rounded last digits;
+  *  - timestamps are emitted as formatted strings (parquet tz metadata
+  *    differs between engines);
+  *  - every float output is ROUNDed; every ORDER BY has a unique tiebreak.
+  *
+  * Scale notes are on each query: broadcasts are explicit where a side is
+  * dimension-sized, aggregations are partial-aggregable, filters sit
+  * directly on the parquet scan so they push down.
+  */
+object Queries {
+
+  case class QDef(name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** Exact decimal sum → rounded double: order-independent across engines. */
+  private def decSum2(c: Column): Column = round(sum(dec(c)), 2).cast("double")
+  private def tsFmt(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+  private def tsFmtMicro(c: Column): Column =
+    date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  import Tables._
+
+  val all: Seq[QDef] = Seq(
+
+    // ---- Q1: scan + project + filter (predicates push to parquet scan) ----
+    QDef("q01_filter_project",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_discount BETWEEN 0.05 AND 0.07
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ---- Q2: simple predicates ----
+    QDef("q02_predicate",
+      (s, d) => orders(s, d)
+        .filter(col("o_totalprice") > 100000 && col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 100000 AND o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- Q3: equi join + agg + top-k (customer side small → broadcastable) ----
+    QDef("q03_join_agg_topk",
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(decSum2(col("o_totalprice")).as("total"))
+        .orderBy(col("total").desc, col("c_custkey"))
+        .limit(100),
+      Some("""SELECT c.c_custkey, c.c_name,
+        |CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))),2) AS DOUBLE) AS total
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_custkey, c.c_name ORDER BY total DESC, c.c_custkey LIMIT 100""".stripMargin)),
+
+    // ---- Q4: left anti join (missing-sources semantics) ----
+    QDef("q04_anti_join",
+      (s, d) => customer(s, d)
+        .join(orders(s, d)
+            .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2001-01-01') ORDER BY c_custkey""".stripMargin)),
+
+    // ---- Q5: left outer + new-vs-seen change detection ----
+    QDef("q05_left_join_changedetect",
+      (s, d) => {
+        val early = orders(s, d)
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey").as("b_key")).distinct()
+        orders(s, d).join(early, col("o_orderkey") === col("b_key"), "left")
+          .select(col("o_orderkey"),
+            when(col("b_key").isNull, "new").otherwise("seen").as("st"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT a.o_orderkey, CASE WHEN b.o_orderkey IS NULL THEN 'new' ELSE 'seen' END AS st
+        |FROM orders a LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01') b ON a.o_orderkey = b.o_orderkey
+        |ORDER BY a.o_orderkey""".stripMargin)),
+
+    // ---- Q6: theta join (equi key + range residual) ----
+    QDef("q06_theta_join",
+      (s, d) => part(s, d)
+        .join(lineitem(s, d),
+          col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
+        .groupBy("p_partkey")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p_partkey"))
+        .limit(100),
+      Some("""SELECT p.p_partkey, COUNT(*) AS n FROM part p
+        |JOIN lineitem l ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size
+        |GROUP BY p.p_partkey ORDER BY n DESC, p.p_partkey LIMIT 100""".stripMargin)),
+
+    // ---- Q7: left semi + explicit broadcast of the tiny dim ----
+    QDef("q07_semi_broadcast",
+      (s, d) => supplier(s, d)
+        .join(broadcast(nation(s, d).filter(col("n_regionkey") === 1)),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+        |ORDER BY s_suppkey""".stripMargin)),
+
+    // ---- Q8: vote building (consensus core, partial-aggregable) ----
+    QDef("q08_vote_groups",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("l_partkey", "l_suppkey")
+        .limit(1000),
+      Some("""SELECT l_partkey, l_suppkey, COUNT(*) AS cnt FROM lineitem
+        |GROUP BY l_partkey, l_suppkey ORDER BY l_partkey, l_suppkey LIMIT 1000""".stripMargin)),
+
+    // ---- Q9: winner selection — top-1 per group via row_number ----
+    QDef("q09_window_top1",
+      (s, d) => {
+        val votes = lineitem(s, d)
+          .groupBy("l_partkey", "l_suppkey").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("l_partkey")
+          .orderBy(col("cnt").desc, col("l_suppkey").asc)
+        votes.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("l_partkey", "l_suppkey", "cnt")
+          .orderBy("l_partkey")
+      },
+      Some("""SELECT l_partkey, l_suppkey, cnt FROM (
+        |SELECT l_partkey, l_suppkey, cnt,
+        |ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY cnt DESC, l_suppkey ASC) AS rn
+        |FROM (SELECT l_partkey, l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1,2))
+        |WHERE rn = 1 ORDER BY l_partkey""".stripMargin)),
+
+    // ---- Q10: global decision scalars ----
+    QDef("q10_decision_scalars",
+      (s, d) => lineitem(s, d).agg(
+        count(lit(1)).as("total"),
+        countDistinct(col("l_partkey")).as("parts"),
+        round(max(abs(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("l_extendedprice")) / col("l_extendedprice")), 4).as("maxdev"),
+        round(sum(when(col("l_returnflag") === "R", 1).otherwise(0)) /
+          count(lit(1)).cast("double"), 4).as("ratio")),
+      Some("""SELECT COUNT(*) AS total, COUNT(DISTINCT l_partkey) AS parts,
+        |ROUND(MAX(ABS(l_extendedprice*(1-l_discount) - l_extendedprice)/l_extendedprice),4) AS maxdev,
+        |ROUND(CAST(SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*),4) AS ratio
+        |FROM lineitem""".stripMargin)),
+
+    // ---- Q11: rollup (Catalyst Expand); sentinel avoids NULL-order skew ----
+    QDef("q11_rollup",
+      (s, d) => lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), decSum2(col("l_quantity")).as("q"))
+        .select(
+          coalesce(col("l_returnflag"), lit("_all_")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("_all_")).as("l_linestatus"),
+          col("n"), col("q"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT COALESCE(l_returnflag,'_all_') AS l_returnflag,
+        |COALESCE(l_linestatus,'_all_') AS l_linestatus, COUNT(*) AS n,
+        |CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),2) AS DOUBLE) AS q
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- Q12: analytic windows + frames ----
+    QDef("q12_window_frames",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("d", round(col("value") - lag("value", 1).over(w), 2))
+          .withColumn("mv", round(sum("value").over(w.rowsBetween(-2, 0)), 2))
+          .select(col("user_id"), tsFmtMicro(col("ts")).as("ts"), col("event_id"),
+            col("value"), col("d"), col("mv"))
+          .orderBy("user_id", "ts", "event_id")
+          .limit(5000)
+      },
+      Some("""SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, event_id, value,
+        |ROUND(value - LAG(value) OVER w, 2) AS d,
+        |ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mv
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id LIMIT 5000""".stripMargin)),
+
+    // ---- Q13: global top-k (TakeOrderedAndProject — no full sort) ----
+    QDef("q13_topk",
+      (s, d) => orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(15),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin)),
+
+    // ---- Q14: set operations ----
+    QDef("q14a_intersect",
+      (s, d) => customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .intersect(orders(s, d).select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
+        |INTERSECT SELECT o_custkey FROM orders ORDER BY c_custkey""".stripMargin)),
+    QDef("q14b_except",
+      (s, d) => customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .except(orders(s, d).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |ORDER BY c_custkey""".stripMargin)),
+    QDef("q14c_union",
+      (s, d) => customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+        .union(orders(s, d).select(col("o_custkey").as("c_custkey")))
+        .distinct()
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey FROM customer WHERE c_mktsegment='BUILDING'
+        |UNION SELECT o_custkey FROM orders ORDER BY c_custkey""".stripMargin)),
+
+    // ---- Q15: string/date/math scalar functions ----
+    QDef("q15_scalar_funcs",
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"),
+          upper(col("o_orderpriority")).as("pri"),
+          substring(col("o_orderstatus"), 1, 1).as("st"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("m"),
+          round(log10(col("o_totalprice")), 3).as("lg"))
+        .orderBy("o_orderkey")
+        .limit(1000),
+      Some("""SELECT o_orderkey, UPPER(o_orderpriority) AS pri,
+        |SUBSTRING(o_orderstatus,1,1) AS st, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+        |strftime(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d') AS m,
+        |ROUND(LOG10(o_totalprice),3) AS lg
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin)),
+
+    // ---- Q16: unpivot (portable UNION ALL form) + JSON extraction ----
+    QDef("q16_unpivot",
+      (s, d) => events(s, d)
+        .select(col("event_id"), lit("type").as("k"), col("event_type").as("v"))
+        .unionAll(events(s, d)
+          .select(col("event_id"), lit("uid").as("k"), col("user_id").cast("string").as("v")))
+        .orderBy("event_id", "k")
+        .limit(5000),
+      Some("""SELECT event_id, 'type' AS k, event_type AS v FROM events
+        |UNION ALL SELECT event_id, 'uid' AS k, CAST(user_id AS VARCHAR) AS v FROM events
+        |ORDER BY event_id, k LIMIT 5000""".stripMargin)),
+    QDef("q16b_json_extract",
+      (s, d) => events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("kval"))
+        .orderBy("event_id")
+        .limit(5000),
+      Some("""SELECT event_id, CAST(props->>'k' AS BIGINT) AS kval FROM events
+        |ORDER BY event_id LIMIT 5000""".stripMargin)),
+
+    // ---- Q17: tumbling-window aggregation (batch analog of streaming) ----
+    QDef("q17_tumbling_window",
+      (s, d) => events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("w_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_v"))
+        .select(tsFmt(col("w_ts")).as("w"), col("event_type"), col("n"), col("sum_v"))
+        .orderBy("w", "event_type"),
+      Some("""SELECT strftime(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS w, event_type,
+        |COUNT(*) AS n, CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))),2) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1, 2 ORDER BY w, event_type""".stripMargin)),
+
+    // ---- Q18: dedup/state analogs ----
+    QDef("q18a_first_seen",
+      (s, d) => events(s, d)
+        .groupBy("user_id").agg(min("ts").as("fs"))
+        .select(col("user_id"), tsFmtMicro(col("fs")).as("first_seen"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_seen
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    QDef("q18b_distinct",
+      (s, d) => events(s, d)
+        .select("user_id", "event_type").distinct()
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin)),
+
+    // ---- Q19: snowflake multi-join; dims broadcast, fact never re-shuffled ----
+    QDef("q19_snowflake_revenue",
+      (s, d) => lineitem(s, d)
+        .join(broadcast(supplier(s, d)
+            .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+            .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+            .select("s_suppkey", "r_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("y"))
+        .agg(decSum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .orderBy("r_name", "y"),
+      Some("""SELECT r_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+        |CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2) AS DOUBLE) AS rev
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |JOIN supplier ON s_nationkey = n_nationkey
+        |JOIN lineitem ON l_suppkey = s_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY r_name, y ORDER BY r_name, y""".stripMargin)),
+
+    // ---- Q20: conditional aggregation (pivot shape) ----
+    QDef("q20_conditional_agg",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(
+          round(sum(when(col("l_returnflag") === "A", dec(col("l_quantity")))
+            .otherwise(dec(lit(0)))), 2).cast("double").as("a"),
+          round(sum(when(col("l_returnflag") === "R", dec(col("l_quantity")))
+            .otherwise(dec(lit(0)))), 2).cast("double").as("r"))
+        .orderBy("l_partkey")
+        .limit(1000),
+      Some("""SELECT l_partkey,
+        |CAST(ROUND(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END),2) AS DOUBLE) AS a,
+        |CAST(ROUND(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END),2) AS DOUBLE) AS r
+        |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey LIMIT 1000""".stripMargin)),
+
+    // ---- Q21: correlated subquery, implemented decorrelated ----
+    QDef("q21_decorrelated_subquery",
+      (s, d) => {
+        val avgs = orders(s, d).groupBy(col("o_custkey").as("k"))
+          .agg(avg("o_totalprice").as("avg_tp"))
+        orders(s, d).join(avgs, col("o_custkey") === col("k"))
+          .filter(col("o_totalprice") > col("avg_tp"))
+          .select("o_orderkey")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey FROM orders o
+        |WHERE o_totalprice > (SELECT AVG(o2.o_totalprice) FROM orders o2
+        |WHERE o2.o_custkey = o.o_custkey) ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- Q22: array ops over embeddings ----
+    QDef("q22_array_dim",
+      (s, d) => embeddings(s, d)
+        .select(col("vec_id"), col("label"), size(col("embedding")).cast("long").as("dim"))
+        .orderBy("vec_id")
+        .limit(100),
+      Some("""SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim
+        |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin)),
+
+    // ---- Q23: text profile ----
+    QDef("q23_text_profile",
+      (s, d) => documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          round(avg("n_chars"), 2).as("avg_chars"),
+          min(length(col("text"))).cast("long").as("minlen"))
+        .orderBy("lang"),
+      Some("""SELECT lang, COUNT(*) AS n, ROUND(AVG(n_chars),2) AS avg_chars,
+        |CAST(MIN(LENGTH(text)) AS BIGINT) AS minlen
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- Q24: profile sweep — per-table row counts ----
+    QDef("q24_table_counts",
+      (s, d) => Tables.names.map(n =>
+          Tables.load(s, d, n).agg(count(lit(1)).as("n")).select(lit(n).as("t"), col("n")))
+        .reduce(_ unionAll _)
+        .orderBy("t"),
+      Some(Tables.names.map(n => s"SELECT '$n' AS t, COUNT(*) AS n FROM $n")
+        .mkString("", " UNION ALL ", " ORDER BY t"))),
+
+    // ================= north-star: dedup =================
+    QDef("dedup_exact",
+      (s, d) => Dedup.exact(documents(s, d)).orderBy("keep_id"),
+      Some("""SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+
+    QDef("dedup_ngram_jaccard",
+      (s, d) => {
+        val docs = documents(s, d).filter(col("doc_id") < 300)
+        val a = docs.select(col("doc_id").as("doc_a"), Dedup.tokenSet(col("text")).as("toks_a"))
+        val b = docs.select(col("doc_id").as("doc_b"), Dedup.tokenSet(col("text")).as("toks_b"))
+        Dedup.jaccardPairs(a.join(b, col("doc_a") < col("doc_b")))
+          .filter(col("jaccard") >= 0.2)
+          .select("doc_a", "doc_b", "jaccard")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+        |  list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    QDef("dedup_minhash_lsh",
+      (s, d) => Dedup.minhashCandidates(documents(s, d), minEst = 0.25)
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    QDef("dedup_simhash",
+      (s, d) => Dedup.simhashCandidates(documents(s, d), maxHamming = 8)
+        .orderBy("doc_a", "doc_b"),
+      None),
+
+    // ================= north-star: similarity search =================
+    QDef("sim_cosine_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        Similarity.bruteForceTopK(e.filter(col("vec_id") < 5), e, k = 10)
+          .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5)
+        |SELECT q_id, c_id, sim, rank FROM (
+        |  SELECT q_id, c.vec_id AS c_id,
+        |  ROUND(list_dot_product(q_emb, c.emb) /
+        |    (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c.emb, c.emb))), 4) AS sim,
+        |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+        |    ROUND(list_dot_product(q_emb, c.emb) /
+        |    (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c.emb, c.emb))), 4) DESC,
+        |    c.vec_id) AS rank
+        |  FROM e c CROSS JOIN q WHERE c.vec_id <> q_id)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    QDef("sim_bucketed_ann",
+      (s, d) => {
+        val e = embeddings(s, d)
+        Similarity.bucketedTopK(e.filter(col("vec_id") < 5), e, k = 10)
+          .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
+    // ================= north-star: text analysis =================
+    QDef("text_tokens",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          length(col("text")).cast("long").as("len_chars"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |CAST(length(text) AS BIGINT) AS len_chars
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QDef("text_quality",
+      (s, d) => TextAnalysis.qualityFeatures(documents(s, d))
+        .select("doc_id", "n_tokens", "stop_ratio", "punct_ratio")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+        |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |ROUND(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |  x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) /
+        |  GREATEST(len(string_split_regex(trim(text), '\s+')), 1), 4) AS stop_ratio,
+        |ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) /
+        |  GREATEST(length(text), 1), 4) AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QDef("text_lang_id",
+      (s, d) => TextAnalysis.langId(documents(s, d))
+        .select("doc_id", "lang", "pred_lang")
+        .orderBy("doc_id"),
+      None),
+
+    QDef("text_fingerprint",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      None),
+
+    // ================= polla-semantics goldens (literal inputs) =================
+    QDef("polla_parse_clp",
+      (s, _) => {
+        PollaFunctions.register(s)
+        import s.implicits._
+        Seq("690", "$ 690", "4.300", "4,75", "1.234,56", "4300", "$ 4.300",
+          "0,5", "4.300 MM", "4,3 M", "1.000.000 Mil", "7500", "99.999",
+          "0,1", "1.234.567", "", " ", "$", "abc", "1.2.3.4")
+          .toDF("raw")
+          .selectExpr("raw", "parse_clp(raw) AS clp", "parse_clp_err(raw) AS err")
+          .orderBy("raw")
+      },
+      None),
+
+    QDef("polla_parse_dates",
+      (s, _) => {
+        PollaFunctions.register(s)
+        import s.implicits._
+        Seq("16 de septiembre de 2025", "Próximo Sorteo 27 del abril",
+          "abril 27, 2026", "Fecha: 1 de enero del 2030", "sin fecha",
+          "99 de enero de 2025", "Sorteo N° 5417 - 26 de abril de 2026")
+          .toDF("raw")
+          .selectExpr("raw", "parse_spanish_date(raw) AS fecha",
+            "extract_sorteo(raw) AS sorteo")
+          .orderBy("raw")
+      },
+      None),
+
+    QDef("polla_consensus",
+      (s, _) => Consensus.merge(SourceStubs.payloads(s))
+        .select("categoria", "valor", "winner_sources", "n_candidates",
+          "max_deviation", "missing_sources", "has_mismatch")
+        .orderBy("categoria"),
+      None),
+
+    QDef("polla_decision_matrix",
+      (s, _) => {
+        import s.implicits._
+        val cases = Seq(
+          (false, 0.0, 0.0, false), (true, 0.0, 0.0, false),
+          (true, 0.0, 0.0, true), (false, 0.3, 0.0, false),
+          (false, 0.0, 0.2, false), (false, 0.25, 0.10, false))
+          .toDF("unchanged", "mismatch_ratio", "max_deviation", "force")
+        StatePipeline.decideCols(cases.filter(!col("force")))
+          .unionByName(StatePipeline.decideCols(cases.filter(col("force")),
+            forcePublish = true))
+          .orderBy("unchanged", "mismatch_ratio", "max_deviation", "force")
+      },
+      None)
+  )
+
+  /** Flagship query: snowflake revenue rollup (exercises scan→broadcast
+    * join→shuffle agg→sort end-to-end). */
+  def flagship(spark: SparkSession, dir: String): DataFrame =
+    all.find(_.name == "q19_snowflake_revenue").get.fn(spark, dir)
+}
+
+/** Literal stub payloads mirroring the reference's consensus test fixtures
+  * (`tests/test_consensus.py:100-104`, `tests/test_pipeline.py:15-32`). */
+object SourceStubs {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types._
+
+  val schema: StructType = StructType(Seq(
+    StructField("source_name", StringType),
+    StructField("priority", IntegerType),
+    StructField("fuente", StringType),
+    StructField("sha256", StringType),
+    StructField("estimado", BooleanType),
+    StructField("montos", MapType(StringType, LongType)),
+    StructField("sorteo", LongType),
+    StructField("fecha", StringType)))
+
+  def payloads(s: SparkSession): DataFrame =
+    s.createDataFrame(
+      java.util.Arrays.asList(
+        Row("openloto", 0, "https://www.openloto.cl/pozo-del-loto.html", "aa11", true,
+          Map("Loto Clásico" -> 1000L, "Recargado" -> 500L, "Revancha" -> 300L,
+            "Total estimado" -> 1800L), 5417L, "2026-04-26"),
+        Row("polla", 1, "https://www.polla.cl/es/", "bb22", true,
+          Map("Loto Clásico" -> 1000L, "Recargado" -> 700L), 5417L, "2026-04-26"),
+        Row("tercera", 2, "https://example.cl/", "cc33", true,
+          Map("Loto Clásico" -> 1200L, "Recargado" -> 700L), 5417L, "2026-04-26")),
+      schema)
+}

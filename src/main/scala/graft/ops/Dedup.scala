@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * All variants are pure DataFrame compositions (codegen-friendly built-ins
+  * + higher-order functions, no UDFs, no driver loops) and shuffle only on
+  * hash keys, so they scale linearly with corpus size:
+  *
+  *  - exact: group by content hash — one shuffle on the hash.
+  *  - MinHash+LSH: shingle → `perms` minhashes → `bands` band-hashes →
+  *    self-equi-join on (band, band_hash). At 100 TB this is a shuffle join
+  *    on a high-cardinality key; the O(n²) pair space never materializes —
+  *    only colliding buckets produce pairs.
+  *  - SimHash: 64-bit signature from token hashes; candidates share a
+  *    16-bit chunk (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), verified
+  *    with `bit_count(xor)`.
+  *  - n-gram Jaccard: exact verification over a candidate pair set.
+  *
+  * Determinism: all hashing is xxhash64 with fixed seeds — stable across
+  * runs, partitions, and cluster sizes.
+  */
+object Dedup {
+
+  private def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Exact dedup: keep lowest doc_id per identical text.
+    * Output: h (md5), keep_id, copies. */
+  def exact(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
+
+  /** Distinct word k-shingles of the text. */
+  def shingles(c: Column, k: Int = 3): Column = {
+    val t = tokens(c)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(t) - k, lit(0))),
+      i => concat_ws(" ", slice(t, i + 1, lit(k)))))
+  }
+
+  /** `perms`-permutation MinHash signatures, one row per doc_id:
+    * (doc_id, sig array<long>).
+    *
+    * Relational formulation for whole-stage codegen: explode shingles, 2
+    * real hashes per shingle (double hashing, h_i = h1 + i·h2), then
+    * `perms` MIN aggregates in one partial-aggregated pass. The
+    * higher-order-function formulation (64 interpreted array traversals
+    * per doc) cost ~10× total bench wall-clock at sf0.1 — never put a
+    * per-permutation loop in an interpreted lambda on the hot path. */
+  def minhashSignatures(documents: DataFrame, perms: Int = 64): DataFrame = {
+    // Shingles built relationally (posexplode + window lead) instead of a
+    // per-doc lambda: whole-stage codegen end to end. No distinct needed —
+    // MIN over a multiset equals MIN over its set.
+    // mod 2^31-1 keeps h1 + i*h2 far from Long overflow (ANSI mode errors
+    // on wraparound) while remaining a sound Carter-Wegman hash family.
+    val p = lit(2147483647L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val hashed = documents
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .filter(col("t2").isNotNull || col("pos") === 0) // short docs: whole text
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
+      .select(col("doc_id"),
+        pmod(xxhash64(col("s")), p).as("h1"),
+        pmod(xxhash64(col("s"), lit(1)), p).as("h2"))
+    // One MIN aggregate over an exploded permutation index, not `perms`
+    // separate aggregates: a 64-buffer HashAggregate generates ~20 s of
+    // one-time janino/JIT compilation; this shape compiles in ms and
+    // partial-aggregates the same way.
+    hashed
+      .select(col("doc_id"), col("h1"), col("h2"),
+        explode(sequence(lit(0), lit(perms - 1))).as("i"))
+      .groupBy("doc_id", "i")
+      .agg(min(col("h1") + col("i") * col("h2")).as("mn"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("i"), col("mn")))).as("im"))
+      .select(col("doc_id"), transform(col("im"), e => e.getField("mn")).as("sig"))
+  }
+
+  /** MinHash-LSH candidate pairs with estimated Jaccard.
+    * Output: doc_a, doc_b, est_jaccard (fraction of agreeing minhashes). */
+  def minhashCandidates(documents: DataFrame, perms: Int = 64, bands: Int = 16,
+      minEst: Double = 0.0): DataFrame = {
+    val rows = perms / bands
+    val sigs = minhashSignatures(documents, perms)
+    val banded = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
+        .as(Seq("band", "band_hash")))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          eq => eq)) / lit(perms.toDouble)).as("est_jaccard"))
+      .groupBy("doc_a", "doc_b")
+      .agg(round(max("est_jaccard"), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+  }
+
+  /** 64-bit SimHash signatures, one row per doc_id: (doc_id, sig).
+    * Bit i is set iff the majority of token hashes have bit i set.
+    * Relational (explode + 64 conditional SUMs) for codegen, as with
+    * [[minhashSignatures]]. */
+  def simhashSignatures(documents: DataFrame): DataFrame = {
+    val hashed = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i"))
+    hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
+          acc.bitwiseOR(when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        }.as("sig"))
+  }
+
+  /** SimHash near-dup candidates: equal 16-bit chunk → verify hamming ≤ maxHamming. */
+  def simhashCandidates(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(documents)
+    val chunks = array((0 until 4).map(i =>
+      shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+      posexplode(chunks).as(Seq("chunk", "chunk_val")))
+    val a = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .groupBy("doc_a", "doc_b").agg(min("hamming").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact token-set Jaccard over columns toks_a/toks_b (verification stage;
+    * feed it LSH candidates — never a full cross join at scale). */
+  def jaccardPairs(pairs: DataFrame): DataFrame =
+    pairs.withColumn("jaccard",
+      round(
+        size(array_intersect(col("toks_a"), col("toks_b"))) /
+          size(array_union(col("toks_a"), col("toks_b"))).cast("double"), 4))
+
+  /** Distinct-token set column, shared by jaccard producers. */
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-quality operators for training-data pipelines: token counting,
+  * quality scoring, language ID, fingerprinting. All per-row expression
+  * work (no shuffle, no UDF) — map-side only, embarrassingly parallel at
+  * any scale.
+  */
+object TextAnalysis {
+
+  def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(toks(c))
+
+  /** BPE-ish subword count: word-pieces + digits + punctuation runs. */
+  def subwordCount(c: Column): Column =
+    size(filter(split(c, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"), t => t =!= ""))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def stopwordCount(c: Column): Column =
+    size(filter(toks(lower(c)), t => t.isin(stopwords.map(lit): _*)))
+
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.,;:!?]", ""))
+
+  /** Quality features: n_tokens, stop_ratio, punct_ratio, avg_token_len. */
+  def qualityFeatures(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    documents
+      .withColumn("n_tokens", tokenCount(t).cast("long"))
+      .withColumn("stop_ratio",
+        round(stopwordCount(t) / greatest(tokenCount(t), lit(1)).cast("double"), 4))
+      .withColumn("punct_ratio",
+        round(punctCount(t) / greatest(length(t), lit(1)).cast("double"), 4))
+      .withColumn("avg_token_len",
+        round((length(t) - (tokenCount(t) - 1)) /
+          greatest(tokenCount(t), lit(1)).cast("double"), 4))
+  }
+
+  /** Tiny stopword-profile language ID (n-gram/marker heuristic).
+    * Deterministic; scores five languages by marker-token hits. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with", "fast", "slow"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit"),
+    "pt" -> Seq("o", "a", "de", "e", "os", "das"))
+
+  def langScores(c: Column): Column = {
+    val tks = toks(lower(c))
+    map_from_arrays(
+      array(langMarkers.map(m => lit(m._1)): _*),
+      array(langMarkers.map { case (_, ms) =>
+        size(filter(tks, t => t.isin(ms.map(lit): _*)))
+      }: _*))
+  }
+
+  /** Predicted language = argmax marker hits, ties → alphabetical first. */
+  def langId(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val scored = documents.withColumn("scores", langScores(col(textCol)))
+    scored.withColumn("pred_lang",
+      expr("array_sort(map_entries(scores), " +
+        "(l, r) -> CASE WHEN l.value > r.value THEN -1 " +
+        "WHEN l.value < r.value THEN 1 " +
+        "WHEN l.key < r.key THEN -1 WHEN l.key > r.key THEN 1 ELSE 0 END)[0].key"))
+      .drop("scores")
+  }
+
+  /** 64-bit content fingerprint (xxhash64 of the canonicalized token stream). */
+  def fingerprint(c: Column): Column =
+    xxhash64(concat_ws(" ", toks(lower(c))))
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** North-star operators: dedup, similarity, text analysis. */
+class OpsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical text, keeps lowest id") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val got = Dedup.exact(d).orderBy("keep_id").collect()
+    assert(got.length == 2)
+    assert(got.head.getAs[Long]("keep_id") == 1L)
+    assert(got.head.getAs[Long]("copies") == 2L)
+  }
+
+  test("minhash LSH finds planted near-duplicates, skips unrelated") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " other words"
+    val unrelated = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> unrelated)
+    val pairs = Dedup.minhashCandidates(d, minEst = 0.3).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs at hamming 0, near dups close") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> base, 3L -> (base + " extra tail words here"))
+    val got = Dedup.simhashCandidates(d, maxHamming = 10).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Int]("hamming")).toMap
+    assert(got((1L, 2L)) == 0)
+    assert(got.contains((1L, 3L)))
+  }
+
+  test("jaccard pairs computes exact token-set overlap") {
+    val d = docs(1L -> "a b c d", 2L -> "a b c e")
+    val a = d.select(col("doc_id").as("doc_a"), Dedup.tokenSet(col("text")).as("toks_a"))
+    val b = d.select(col("doc_id").as("doc_b"), Dedup.tokenSet(col("text")).as("toks_b"))
+    val j = Dedup.jaccardPairs(a.join(b, col("doc_a") < col("doc_b")))
+      .collect().head.getAs[Double]("jaccard")
+    assert(math.abs(j - 3.0 / 5.0) < 1e-9)
+  }
+
+  test("brute-force cosine top-k ranks an identical vector first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to query
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // close
+      (3L, Array(0.0f, 1.0f, 0.0f)))   // orthogonal
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, k = 2)
+      .orderBy("rank").collect()
+    assert(got(0).getAs[Long]("c_id") == 1L)
+    assert(got(0).getAs[Double]("sim") == 1.0)
+    assert(got(1).getAs[Long]("c_id") == 2L)
+  }
+
+  test("bucketed ANN agrees with brute force for same-bucket vectors") {
+    import spark.implicits._
+    val vecs = (0L to 20L).map(i =>
+      (i, Array.tabulate(8)(j => (((i * 7 + j * 3) % 11).toFloat + 1f))))
+      .toDF("vec_id", "embedding") // all-positive → same sign bucket
+    val bf = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, k = 5)
+      .select("c_id").collect().map(_.getLong(0)).toSeq
+    val bk = Similarity.bucketedTopK(vecs.filter($"vec_id" === 0), vecs, k = 5)
+      .select("c_id").collect().map(_.getLong(0)).toSeq
+    assert(bf == bk)
+  }
+
+  test("text analysis: tokens, stopwords, punctuation, fingerprint") {
+    val d = docs(1L -> "The cat and the dog, quickly!")
+    val f = TextAnalysis.qualityFeatures(d).collect().head
+    assert(f.getAs[Long]("n_tokens") == 6L)
+    // "the" (x2, case-insensitive) + "and" = 3 of 6
+    assert(math.abs(f.getAs[Double]("stop_ratio") - 0.5) < 1e-9)
+    assert(f.getAs[Double]("punct_ratio") > 0)
+
+    val fp = docs(1L -> "a b  c", 2L -> "a b c", 3L -> "a b d")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fp(0) == fp(1)) // whitespace-insensitive canonicalization
+    assert(fp(0) != fp(2))
+  }
+
+  test("lang id prefers the language whose markers dominate") {
+    val d = docs(1L -> "the table and the key of the fast scan is slow",
+      2L -> "el valor de la tabla y los datos que vienen")
+    val got = TextAnalysis.langId(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+  }
+}
