@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.ops.{Notifiers, Publish, RunPipeline}
+import graft.sources._
+
+/** CLI mirroring the reference's entry points (`polla_app/__main__.py`):
+  * `run` (EP1 ingest), `publish --dry-run` (EP2), `pozos` (EP3 fetch dump),
+  * `health` (EP3 diagnostics). Offline by default: `--fixture-dir` replays
+  * HTML fixtures through the same adapter stack the live sources use (the
+  * reference's CI never hits the network either).
+  *
+  * Usage:
+  *   run     --work-dir D [--fixture-dir F] [--force-publish] [--mismatch-threshold 0.25]
+  *   publish --work-dir D [--dry-run]
+  *   pozos   [--fixture-dir F]
+  *   health  [--fixture-dir F]
+  */
+object Main {
+
+  private def arg(args: Array[String], name: String): Option[String] =
+    args.sliding(2).collectFirst { case Array(`name`, v) => v }
+  private def flag(args: Array[String], name: String): Boolean =
+    args.contains(name)
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("pollaspark")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val OpenlotoUrl = "https://www.openloto.cl/pozo-del-loto.html"
+  private val PollaUrl = "https://www.polla.cl/es/"
+  private val Ua = "PollaSparkBot/1.0 (+contact@example.com)"
+
+  /** Build the source registry. With a fixture dir, pages come from
+    * `<dir>/<name>/page.html` (the golden-fixture convention, FIXTURES A1);
+    * without one, fetching requires real transport — not wired in this
+    * offline build, so sources fail gracefully into degraded mode. */
+  private def sources(fixtureDir: Option[String]): Seq[PozoSource] = {
+    val transport: HttpTransport = fixtureDir match {
+      case Some(dir) =>
+        val load = (n: String) => {
+          val p = java.nio.file.Paths.get(dir, n, "page.html")
+          if (java.nio.file.Files.exists(p)) Some(java.nio.file.Files.readString(p)) else None
+        }
+        new FixtureTransport(Map(
+          OpenlotoUrl -> load("openloto").getOrElse(""),
+          PollaUrl -> load("polla").getOrElse("")).filter(_._2.nonEmpty))
+      case None =>
+        (url: String, ua: String, t: Int) =>
+          throw new NetworkError("offline build: no live transport; use --fixture-dir",
+            Map("url" -> url))
+    }
+    val fetcher = new Fetcher(transport,
+      rateLimiter = Some(new HostRateLimiter(500, System.currentTimeMillis, Thread.sleep)))
+    Seq(
+      new HtmlPozoSource("openloto", 0, OpenlotoUrl, Ua, fetcher, allowTotal = false),
+      new HtmlPozoSource("polla", 1, PollaUrl, Ua, fetcher, allowTotal = true,
+        absentAsZero = false))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cmd = args.headOption.getOrElse("help")
+    val rest = args.drop(1)
+    val fixtureDir = arg(rest, "--fixture-dir")
+    cmd match {
+      case "run" =>
+        val spark = session()
+        val cfg = RunPipeline.Config(
+          workDir = arg(rest, "--work-dir").getOrElse(
+            throw new ConfigError("--work-dir is required")),
+          mismatchThreshold = arg(rest, "--mismatch-threshold").map(_.toDouble).getOrElse(0.25),
+          forcePublish = flag(rest, "--force-publish"),
+          failFast = flag(rest, "--fail-fast"))
+        val result = RunPipeline.run(spark, sources(fixtureDir), cfg)
+        println(s"decision=${result.summary.decision.status} " +
+          s"publish=${result.summary.publish} reason=${result.summary.publish_reason} " +
+          s"confidence=${result.summary.decision.confidence} " +
+          s"categories=${result.summary.decision.total_categories}")
+        spark.stop()
+
+      case "publish" =>
+        val spark = session()
+        import spark.implicits._
+        val workDir = arg(rest, "--work-dir").getOrElse(
+          throw new ConfigError("--work-dir is required"))
+        val records = RunPipeline.loadState(spark, s"$workDir/normalized.jsonl")
+        if (records.isEmpty) throw new PublishError("no normalized records")
+        if (records.length > 1)
+          System.err.println(s"[publish] ${records.length} records; using first")
+        val rows = Publish.recordToRows(spark.createDataset(records.take(1)))
+        if (flag(rest, "--dry-run")) {
+          val client = new Publish.InMemorySheets
+          println(Publish.dryRunDiff(client.getAllValues("canonical"), rows))
+        } else {
+          val client = new Publish.InMemorySheets // stand-in sink (no egress)
+          val n = Publish.updateCanonical(client, "canonical", rows)
+          println(s"updated_rows=$n")
+        }
+        spark.stop()
+
+      case "pozos" =>
+        sources(fixtureDir).foreach { s =>
+          try {
+            val p = s.fetch()
+            println(s"${s.name}: sorteo=${p.sorteo.getOrElse("-")} " +
+              s"fecha=${p.fecha.getOrElse("-")} montos=${p.montos.toSeq.sortBy(_._1)
+                .map { case (k, v) => s"$k=$v" }.mkString(",")}")
+          } catch {
+            case e: Exception => println(s"${s.name}: ERROR ${e.getMessage}")
+          }
+        }
+
+      case "health" =>
+        var ok = 0; var fail = 0
+        sources(fixtureDir).foreach { s =>
+          val t0 = System.nanoTime()
+          try {
+            val p = s.fetch()
+            // amount sanity range (reference `__main__.py:307-314`)
+            val valid = p.montos.values.exists(v => v > 0 && v < 50000000000L)
+            if (valid) ok += 1 else fail += 1
+            println(f"${s.name}: ${if (valid) "pass" else "fail"} " +
+              f"(${(System.nanoTime() - t0) / 1e6}%.0f ms, ${p.montos.size} categories)")
+          } catch {
+            case e: Exception => fail += 1; println(s"${s.name}: fail (${e.getMessage})")
+          }
+        }
+        val status = if (fail == 0) "pass" else if (ok > 0) "degraded" else "fail"
+        println(s"health=$status")
+        if (status == "fail") sys.exit(1)
+
+      case other =>
+        System.err.println(s"unknown command: $other (expected run|publish|pozos|health)")
+        sys.exit(2)
+    }
+  }
+}

@@ -133,9 +133,15 @@ object PollaParsers {
     label -> ("(?i)" + p + "[^0-9$]{0,50}\\$?([\\d\\.,]+)").r
   }
 
-  /** Extract category → CLP amounts from page text. Absent label → 0
-    * (except "Total estimado", which is only present when found and allowed). */
-  def extractAmounts(text: String, allowTotal: Boolean = true): Either[String, Map[String, Long]] = {
+  /** Extract category → CLP amounts from page text.
+    *
+    * `absentAsZero=true` mirrors the text-scrape sources (`_fetch_pozos`,
+    * reference `sources/pozos.py:148-158`): absent label → 0, except
+    * "Total estimado" which only appears when found and allowed.
+    * `absentAsZero=false` mirrors the DOM source (`get_pozo_polla`,
+    * `sources/pozos.py:272-438`): only categories actually present. */
+  def extractAmounts(text: String, allowTotal: Boolean = true,
+      absentAsZero: Boolean = true): Either[String, Map[String, Long]] = {
     if (text == null) return Left("null text")
     val out = scala.collection.mutable.LinkedHashMap[String, Long]()
     for ((label, re) <- labelRegex) {
@@ -147,7 +153,7 @@ object PollaParsers {
               case Left(e)  => return Left(e)
             }
           case None =>
-            if (label != "Total estimado") out(label) = 0L
+            if (label != "Total estimado" && absentAsZero) out(label) = 0L
         }
       }
     }

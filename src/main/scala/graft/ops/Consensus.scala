@@ -84,10 +84,11 @@ object Consensus {
               col("valor").cast("string").as("k"), col("voters").as("v"))))),
           e => struct(e.getField("k").as("key"), e.getField("v").as("value"))))
           .as("disagreeing"),
-        when(first("winner_valor") > 0,
-          round(max(abs(col("valor") - col("winner_valor")) /
-            col("winner_valor").cast("double")), 4))
-          .otherwise(lit(0.0)).as("max_deviation"),
+        // divisor nulled when winner ≤ 0: ANSI mode would error on /0;
+        // reference semantics (`pipeline.py:176-181`) = deviation 0.
+        coalesce(round(max(abs(col("valor") - col("winner_valor")) /
+            when(col("winner_valor") > 0, col("winner_valor").cast("double"))), 4),
+          lit(0.0)).as("max_deviation"),
         array_distinct(flatten(collect_list(col("voters")))).as("responding"))
       .crossJoin(broadcast(allSources))
       .withColumn("missing_sources",

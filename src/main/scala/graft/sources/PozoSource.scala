@@ -1,0 +1,102 @@
+package graft.sources
+
+import graft.Model.SourcePayload
+import graft.ParseError
+import graft.functions.PollaParsers
+
+/** Source adapter registry — the reference's `SOURCE_LOADERS` dict
+  * (`pipeline.py:22-23,582-588`) without reflection: a plain trait and an
+  * ordered registry. Registration order IS the consensus tie-break
+  * priority, made explicit as `priority`.
+  */
+trait PozoSource {
+  def name: String
+  def priority: Int
+  def fetch(): SourcePayload
+}
+
+/** HTML jackpot-page source: fetch → flatten HTML to text → regex-extract
+  * amounts/sorteo/fecha (reference `sources/pozos.py:235-269`).
+  * `allowTotal=false` mirrors openloto (excludes "Total estimado"). */
+final class HtmlPozoSource(
+    val name: String,
+    val priority: Int,
+    url: String,
+    ua: String,
+    fetcher: Fetcher,
+    allowTotal: Boolean,
+    absentAsZero: Boolean = true,
+    clock: () => Long = System.currentTimeMillis) extends PozoSource {
+
+  def fetch(): SourcePayload = {
+    val res = fetcher.fetch(url, ua)
+    val text = Html.toText(res.html)
+    val amounts = PollaParsers.extractAmounts(text, allowTotal, absentAsZero) match {
+      case Right(a) => a
+      case Left(e) => throw new ParseError(e, Map("url" -> url))
+    }
+    // Zero-amount guard (reference `sources/pozos.py:242-246`).
+    if (amounts.isEmpty || amounts.values.sum == 0L)
+      throw new ParseError(s"No valid pozo amounts found in source content from $url",
+        Map("url" -> url, "text_snippet" -> text.take(200)))
+    val (sorteo, fecha) = PollaParsers.extractProximoInfo(text)
+    SourcePayload(
+      source_name = name, priority = priority, fuente = url,
+      fetched_at = java.time.Instant.ofEpochMilli(res.fetchedAtMs).toString,
+      sha256 = Some(res.sha256), estimado = true, montos = amounts,
+      user_agent = Some(ua), sorteo = sorteo, fecha = fecha)
+  }
+}
+
+/** HTML → visible text, BeautifulSoup `get_text(" ", strip=True)`-style:
+  * drop script/style subtrees, replace tags with spaces, unescape common
+  * entities, collapse whitespace. */
+object Html {
+  def toText(html: String): String = {
+    val noScript = html
+      .replaceAll("(?is)<script.*?</script>", " ")
+      .replaceAll("(?is)<style.*?</style>", " ")
+      .replaceAll("(?is)<!--.*?-->", " ")
+    val noTags = noScript.replaceAll("(?s)<[^>]*>", " ")
+    val named = Map(
+      "nbsp" -> " ", "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+      "aacute" -> "á", "eacute" -> "é", "iacute" -> "í", "oacute" -> "ó",
+      "uacute" -> "ú", "ntilde" -> "ñ", "Aacute" -> "Á", "Eacute" -> "É",
+      "Iacute" -> "Í", "Oacute" -> "Ó", "Uacute" -> "Ú", "Ntilde" -> "Ñ",
+      "deg" -> "°", "ordm" -> "º", "ordf" -> "ª")
+    val unescaped = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r.replaceAllIn(noTags, m => {
+      val e = m.group(1)
+      val rep =
+        if (e.startsWith("#x") || e.startsWith("#X"))
+          Character.toString(Integer.parseInt(e.drop(2), 16))
+        else if (e.startsWith("#")) Character.toString(e.drop(1).toInt)
+        else named.getOrElse(e, m.matched)
+      scala.util.matching.Regex.quoteReplacement(rep)
+    })
+    unescaped.replaceAll("\\s+", " ").trim
+  }
+}
+
+/** Replays fixture HTML from the classpath or a directory — the
+  * reference's offline-CI pattern (`tests/test_smoke_sources.py:25-70`):
+  * tests never hit the network. */
+final class FixtureTransport(pages: Map[String, String],
+    robotsTxt: Map[String, String] = Map.empty,
+    status: Map[String, Int] = Map.empty) extends HttpTransport {
+  def get(url: String, ua: String, timeoutMs: Int): (Int, String) =
+    (status.getOrElse(url, 200), pages.getOrElse(url, ""))
+  override def robots(host: String, ua: String): Option[String] =
+    robotsTxt.get(host)
+}
+
+/** Scripted transport for resilience tests: a fixed status sequence
+  * (e.g. 429, 429, 200), as `tests/test_phase2_hardening.py:23-27`. */
+final class ScriptedTransport(responses: Seq[(Int, String)]) extends HttpTransport {
+  private var i = -1
+  val requested = scala.collection.mutable.ListBuffer[String]()
+  def get(url: String, ua: String, timeoutMs: Int): (Int, String) = {
+    requested += url
+    i = math.min(i + 1, responses.length - 1)
+    responses(i)
+  }
+}

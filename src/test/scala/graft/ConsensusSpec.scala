@@ -53,6 +53,15 @@ class ConsensusSpec extends SparkSpec {
     assert(byCat("Recargado") == Seq("b"))
   }
 
+  test("zero-valued winner → max_deviation 0 (no division by zero)") {
+    val df = payloads(
+      row("a", 0, Map("Jubilazo" -> 0L)),
+      row("b", 1, Map("Jubilazo" -> 0L, "Otro" -> 5L)))
+    val m = Consensus.merge(df).collect()
+      .map(r => r.getAs[String]("categoria") -> r.getAs[Double]("max_deviation")).toMap
+    assert(m("Jubilazo") == 0.0)
+  }
+
   test("decision scalars + confidence") {
     val agree = payloads(
       row("a", 0, Map("Loto" -> 10L)), row("b", 1, Map("Loto" -> 10L)))
