@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines.
+  *
+  * Media ride through the engine as opaque `binary` columns with typed
+  * metadata; decode/feature-extract runs batched inside `mapPartitions`
+  * (one codec instance per partition, amortized init — the Scala analog
+  * of a batched pandas UDF). The actual codec is behind [[MediaCodec]]:
+  * this container has no image/audio libraries, so the default impl is a
+  * clearly-marked deterministic fake — the Spark-side plumbing (schema,
+  * partitioning, batch shape, null-safety) is real and tested, and a real
+  * JNI/JavaCV codec drops in without touching the plan.
+  */
+object Multimodal {
+
+  case class MediaMeta(format: String, width: Int, height: Int, durationMs: Long)
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte], meta: MediaMeta)
+  case class MediaFeatures(media_id: Long, kind: String, ok: Boolean,
+      features: Array[Float], frames: Int)
+
+  /** Batched decode/feature-extract boundary. One instance per partition. */
+  trait MediaCodec extends Serializable {
+    /** Decode + featurize one blob; None = undecodable (kept, flagged). */
+    def features(kind: String, bytes: Array[Byte], meta: MediaMeta): Option[Array[Float]]
+    /** How many frames/samples the blob yields for frame-level ops. */
+    def frameCount(meta: MediaMeta): Int
+  }
+
+  /** STUB codec — deterministic fake standing in for a real decoder
+    * (no media libraries in this environment). Features are a seeded hash
+    * fold of the bytes: stable across runs/partitions/cluster sizes. */
+  final class StubCodec(dim: Int = 8) extends MediaCodec {
+    def features(kind: String, bytes: Array[Byte], meta: MediaMeta): Option[Array[Float]] = {
+      if (bytes == null || bytes.isEmpty) return None
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L // FNV-ish seed
+      var i = 0
+      while (i < bytes.length) {
+        h = h * 31 + bytes(i); i += 1
+        out(i % dim) += (h % 1000) / 1000.0f
+      }
+      Some(out.map(v => v / bytes.length))
+    }
+    def frameCount(meta: MediaMeta): Int =
+      if (meta.durationMs <= 0) 1 else (meta.durationMs / 1000L).toInt.max(1)
+  }
+
+  /** Batched feature extraction: repartition for even work distribution,
+    * then one codec per partition. At 100 TB the repartition count is the
+    * only knob — no driver involvement, no per-row codec init. */
+  def extractFeatures(media: Dataset[MediaRow], codec: MediaCodec,
+      partitions: Int = 0): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    val balanced = if (partitions > 0) media.repartition(partitions) else media
+    balanced.mapPartitions { rows =>
+      rows.map { r =>
+        codec.features(r.kind, r.bytes, r.meta) match {
+          case Some(f) => MediaFeatures(r.media_id, r.kind, ok = true, f,
+            codec.frameCount(r.meta))
+          case None => MediaFeatures(r.media_id, r.kind, ok = false,
+            Array.empty[Float], 0)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling as a relational op: one output row per sampled frame
+    * index (explode of a bounded sequence — no codec needed for planning
+    * frame-level work). */
+  def sampleFrames(media: Dataset[MediaRow], codec: MediaCodec,
+      everyNth: Int = 1): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map(r => (r.media_id, r.kind, codec.frameCount(r.meta)))
+      .toDF("media_id", "kind", "n_frames")
+      .select(col("media_id"), col("kind"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % everyNth === 0)
+  }
+
+  /** Build a synthetic media table from any text corpus (UTF-8 bytes as
+    * blobs) — lets the plumbing be exercised against driver test data. */
+  def syntheticMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRow(id, if (id % 2 == 0) "image" else "audio",
+          text.getBytes("UTF-8"),
+          MediaMeta(if (id % 2 == 0) "png" else "wav",
+            (id % 64).toInt + 1, 32, if (id % 2 == 0) 0L else 2500L))
+      }
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.9).
+  *
+  * The reference is a scheduled micro-batch (cron + state file carried
+  * between runs, `update.yml:40-47`); these operators are its streaming
+  * re-expression plus the general windowed surface the engine must offer.
+  * Everything is written against unbounded DataFrames: the same code runs
+  * `readStream` (with watermark-bounded state) and plain batch frames.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type, watermarked so state is
+    * bounded (late events beyond `lateness` are dropped). */
+  def tumblingAgg(events: DataFrame, window_ : String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_v"))
+
+  /** Sliding-window moving aggregate. */
+  def slidingAgg(events: DataFrame, window_ : String = "1 hour",
+      slide: String = "15 minutes", lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"))
+
+  /** Session windows per user (gap-based), the streaming analog of
+    * sessionization. */
+  def sessionAgg(events: DataFrame, gap: String = "10 minutes",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_v"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("user_id"),
+        col("n_events"), col("sum_v"))
+
+  /** Streaming dedupe by key within the watermark horizon — the
+    * `dropDuplicates`-with-state shape of the reference's
+    * sorteo/fecha/sha change detection (`pipeline.py:264-285`). */
+  def dedupe(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicates("user_id", "event_type")
+
+  /** One pozo snapshot arriving on the stream. */
+  case class PozoUpdate(sorteo: Long, fecha: String, sha256: String,
+      montos: Map[String, Long], ts: java.sql.Timestamp)
+  /** Kept state per (sorteo, fecha): last content hash + amounts. */
+  case class PozoState(sha256: String, montos: Map[String, Long])
+  /** Emitted decision per update (reference decision rule, streaming form). */
+  case class PozoDecision(sorteo: Long, fecha: String, status: String,
+      changed: Boolean)
+
+  /** The reference's run-over-run change detection as an arbitrary-stateful
+    * stream: key = (sorteo, fecha); unchanged (same sha or same amounts) →
+    * "skip", else → "publish" and state update
+    * (`flatMapGroupsWithState`, SURVEY §1.1 state-record row). */
+  def pozoChangeDetect(updates: Dataset[PozoUpdate]): Dataset[PozoDecision] = {
+    import updates.sparkSession.implicits._
+    updates
+      .groupByKey(u => (u.sorteo, u.fecha))
+      .flatMapGroupsWithState[PozoState, PozoDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((sorteo, fecha), rows, state: GroupState[PozoState]) =>
+          // Deterministic replay order regardless of partition arrival.
+          val ordered = rows.toSeq.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ListBuffer[PozoDecision]()
+          var cur = state.getOption
+          for (u <- ordered) {
+            val unchanged = cur.exists(s =>
+              s.sha256 == u.sha256 || s.montos == u.montos)
+            out += PozoDecision(sorteo, fecha,
+              if (unchanged) "skip" else "publish", !unchanged)
+            cur = Some(PozoState(u.sha256, u.montos))
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+  }
+}

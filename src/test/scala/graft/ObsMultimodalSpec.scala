@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, Observability}
+
+class ObsMultimodalSpec extends SparkSpec {
+
+  test("span emits start/end with duration and correlation id") {
+    val log = new Observability.BufferingLogStream
+    Observability.setCorrelationId(spark, "run-42")
+    val r = Observability.span(spark, log, "consensus",
+      Map("sources" -> "2"), now = () => "T")(1 + 1)
+    assert(r == 2)
+    val events = log.events.toList
+    assert(events.map(_.event) == List("span_start", "span_end"))
+    assert(events.forall(_.correlationId == "run-42"))
+    assert(events.last.attrs("status") == "ok")
+    assert(events.last.attrs.contains("duration_ms"))
+  }
+
+  test("span error path records sanitized error context") {
+    val log = new Observability.BufferingLogStream
+    intercept[ParseError] {
+      Observability.span(spark, log, "parse") {
+        throw new ParseError("bad", Map("api_token" -> "super-secret-token", "url" -> "https://x.cl"))
+      }
+    }
+    val end = log.events.last
+    assert(end.attrs("status") == "error")
+    assert(end.attrs("error_code") == "PARSE_ERROR")
+    assert(end.attrs("api_token") == "supe…en") // redacted
+    assert(end.attrs("url") == "https://x.cl")  // allow-listed
+  }
+
+  test("query listener captures completed actions") {
+    val log = new Observability.BufferingLogStream
+    val listener = new Observability.ActionListener(log)
+    spark.listenerManager.register(listener)
+    try {
+      Observability.setCorrelationId(spark, "run-listener")
+      spark.range(10).toDF("i").count()
+      // listener delivery is async
+      eventually(log.events.exists(_.attrs.get("action").isDefined))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  private def eventually(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis + 10000
+    while (!cond && System.currentTimeMillis < deadline) Thread.sleep(50)
+    assert(cond)
+  }
+
+  test("sanitize projection redacts sensitive fields, recursing structs") {
+    import spark.implicits._
+    val df = Seq(("https://x.cl", "tok-1234567890", ("inner-secret-value", "keep")))
+      .toDF("source_url", "api_token", "nested")
+      .withColumn("nested", struct(
+        col("nested._1").as("client_secret"), col("nested._2").as("note")))
+    val got = Observability.sanitize(df).collect().head
+    assert(got.getString(0) == "https://x.cl")          // allow-listed
+    assert(got.getString(1) == "tok-…90")               // redacted
+    val nested = got.getStruct(2)
+    assert(nested.getString(0) == "inne…ue")            // nested redacted
+    assert(nested.getString(1) == "keep")
+  }
+
+  test("multimodal: batched feature extraction is deterministic and null-safe") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(50)
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val codec = new Multimodal.StubCodec(dim = 8)
+    val f1 = Multimodal.extractFeatures(media, codec, partitions = 4).collect()
+      .sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media, codec, partitions = 2).collect()
+      .sortBy(_.media_id)
+    assert(f1.length == 50)
+    assert(f1.forall(_.ok))
+    assert(f1.forall(_.features.length == 8))
+    // partition-count independent (cluster-size invariance)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+
+    val empty = Multimodal.MediaRow(99L, "image", Array.empty,
+      Multimodal.MediaMeta("png", 1, 1, 0))
+    val bad = Multimodal.extractFeatures(
+      spark.createDataset(Seq(empty)), codec).collect().head
+    assert(!bad.ok && bad.features.isEmpty)
+  }
+
+  test("multimodal: frame sampling explodes audio frames, single image frame") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(10)
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val frames = Multimodal.sampleFrames(media, new Multimodal.StubCodec())
+    val byKind = frames.groupBy("kind").agg(count(lit(1)).as("n"),
+        countDistinct(col("media_id")).as("docs")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byKind("image")._1 == byKind("image")._2) // 1 frame per image
+    assert(byKind("audio")._1 == byKind("audio")._2 * 2) // 2500ms → 2 frames
+  }
+}
