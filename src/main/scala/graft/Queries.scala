@@ -382,6 +382,124 @@ object Queries {
       Some(Tables.names.map(n => s"SELECT '$n' AS t, COUNT(*) AS n FROM $n")
         .mkString("", " UNION ALL ", " ORDER BY t"))),
 
+    // ---- Q25: sessionization (gap-based session ids via lag + running sum) ----
+    QDef("q25_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        events(s, d)
+          .withColumn("flag",
+            when(lag("ts", 1).over(w).isNull ||
+              unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) > 600000000L, 1)
+              .otherwise(0))
+          .withColumn("sid", sum("flag").over(w))
+          .groupBy(col("user_id"), col("sid").cast("long").as("session_id"))
+          .agg(count(lit(1)).as("n"),
+            tsFmtMicro(min(col("ts"))).as("s_start"),
+            tsFmtMicro(max(col("ts"))).as("s_end"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600000000
+        |    THEN 1 ELSE 0 END AS flag
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (SELECT *, SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS sid FROM flagged)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_end
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_id""".stripMargin)),
+
+    // ---- Q26: as-of join (latest prior 'view' per 'click', strictly earlier) ----
+    QDef("q26_asof_join",
+      (s, d) => {
+        val ev = events(s, d)
+        val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+          .rangeBetween(Window.unboundedPreceding, -1)
+        ev.withColumn("prior_view_us",
+            max(when(col("event_type") === "view", unix_micros(col("ts")))).over(w))
+          .filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), tsFmtMicro(col("ts")).as("ts"),
+            tsFmtMicro(timestamp_micros(col("prior_view_us"))).as("prior_view_ts"))
+          .orderBy("event_id")
+          .limit(5000)
+      },
+      Some("""SELECT c.event_id, c.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS prior_view_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id AND v.ts < c.ts
+        |ORDER BY c.event_id LIMIT 5000""".stripMargin)),
+
+    // ---- Q27: exact percentiles (sort-based, cross-engine interpolation) ----
+    QDef("q27_percentiles",
+      (s, d) => events(s, d)
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 2).as("p50"),
+          round(expr("percentile(value, 0.9)"), 2).as("p90"),
+          round(expr("percentile(value, 0.99)"), 2).as("p99"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, ROUND(quantile_cont(value, 0.5), 2) AS p50,
+        |ROUND(quantile_cont(value, 0.9), 2) AS p90,
+        |ROUND(quantile_cont(value, 0.99), 2) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- Q28: cube (full grouping-set lattice) ----
+    QDef("q28_cube",
+      (s, d) => lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("_all_")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("_all_")).as("l_linestatus"), col("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT COALESCE(l_returnflag,'_all_') AS l_returnflag,
+        |COALESCE(l_linestatus,'_all_') AS l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- Q29: EXISTS subquery (semi-join reduction) ----
+    QDef("q29_exists_subquery",
+      (s, d) => orders(s, d)
+        .join(lineitem(s, d).filter(col("l_quantity") >= 49).select("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey FROM orders WHERE EXISTS (
+        |SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- Q30: string function battery ----
+    QDef("q30_string_funcs",
+      (s, d) => orders(s, d)
+        .select(col("o_orderkey"),
+          concat(col("o_orderpriority"), lit("-"), col("o_orderstatus")).as("tag"),
+          lpad(col("o_orderkey").cast("string"), 10, "0").as("padded"),
+          regexp_replace(col("o_orderpriority"), "-", "_").as("norm"),
+          instr(col("o_orderpriority"), "-").cast("long").as("dashpos"),
+          regexp_extract(col("o_orderpriority"), "(\\d+)", 1).as("prio_num"))
+        .orderBy("o_orderkey")
+        .limit(1000),
+      Some("""SELECT o_orderkey,
+        |o_orderpriority || '-' || o_orderstatus AS tag,
+        |LPAD(CAST(o_orderkey AS VARCHAR), 10, '0') AS padded,
+        |REPLACE(o_orderpriority, '-', '_') AS norm,
+        |CAST(STRPOS(o_orderpriority, '-') AS BIGINT) AS dashpos,
+        |regexp_extract(o_orderpriority, '(\d+)', 1) AS prio_num
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin)),
+
+    // ---- Q31: array_agg with deterministic ordering ----
+    QDef("q31_array_agg",
+      (s, d) => embeddings(s, d)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", sort_array(collect_list(col("vec_id")))).as("ids"))
+        .orderBy("label"),
+      Some("""SELECT label, COUNT(*) AS n,
+        |array_to_string(list_sort(list(vec_id)), ',') AS ids
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
+
     // ================= north-star: dedup =================
     QDef("dedup_exact",
       (s, d) => Dedup.exact(documents(s, d)).orderBy("keep_id"),

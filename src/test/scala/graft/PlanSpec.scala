@@ -1,0 +1,66 @@
+package graft
+
+/** Physical-plan quality assertions — the scale contract, pinned.
+  *
+  * These tests fail if a change silently degrades the plan shape that
+  * makes the engine viable at 100 TB: filters must reach the parquet
+  * scan, dims must broadcast, global top-k must not global-sort,
+  * aggregations must partial-aggregate map-side.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val df = Queries.all.find(_.name == name).get.fn(spark, sf("sf0.001"))
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q01: filter + projection push into the parquet scan") {
+    val p = planOf("q01_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), "no pushed filters")
+    assert(p.contains("LessThan(l_shipdate"), "shipdate predicate not pushed")
+    // column pruning: untouched wide columns never leave the scan
+    assert(!p.contains("l_extendedprice"), "scan reads unneeded columns")
+    assert(!p.contains("l_returnflag"), "scan reads unneeded columns")
+  }
+
+  test("q19 snowflake: dims broadcast, fact is never exchanged twice") {
+    val p = planOf("q19_snowflake_revenue")
+    assert(p.contains("BroadcastHashJoin"), "dim joins must be broadcast")
+    assert(!p.contains("SortMergeJoin") ||
+      p.split("SortMergeJoin").length - 1 <= 1,
+      "more than the fact-fact join is sort-merge")
+  }
+
+  test("q13 top-k: TakeOrderedAndProject, no global sort") {
+    val p = planOf("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"), "limit+order should be top-k")
+  }
+
+  test("q08 vote groups: map-side partial aggregation") {
+    val p = planOf("q08_vote_groups")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "aggregation lacks a partial (map-side) phase")
+  }
+
+  test("q07 semi join: broadcast, not shuffle") {
+    val p = planOf("q07_semi_broadcast")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "semi join over tiny dim should broadcast")
+  }
+
+  test("similarity: query side broadcasts; corpus scanned once") {
+    val p = planOf("sim_cosine_topk")
+    assert(p.contains("Broadcast"), "query vectors must broadcast")
+  }
+
+  test("q17 tumbling agg: partial aggregation before the shuffle") {
+    val p = planOf("q17_tumbling_window")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      "windowed agg lacks map-side combine")
+  }
+
+  test("dedup minhash: no cartesian product anywhere") {
+    val p = planOf("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), "LSH must join on band hash, not cross")
+  }
+}
