@@ -536,6 +536,61 @@ object Queries {
         .orderBy("doc_a", "doc_b"),
       None),
 
+    // ---- Q32: native pivot (dynamic columns from data) ----
+    QDef("q32_pivot",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_partkey")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .count()
+        .select(col("l_partkey"),
+          coalesce(col("A"), lit(0L)).as("a_cnt"),
+          coalesce(col("N"), lit(0L)).as("n_cnt"),
+          coalesce(col("R"), lit(0L)).as("r_cnt"))
+        .orderBy("l_partkey")
+        .limit(1000),
+      Some("""SELECT l_partkey,
+        |SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS a_cnt,
+        |SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END) AS n_cnt,
+        |SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS r_cnt
+        |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey LIMIT 1000""".stripMargin)),
+
+    // ---- Q33: sketches — approx distinct vs exact (rows-only: HLL is
+    // engine-specific; accuracy pinned in OpsSpec instead) ----
+    QDef("q33_approx_distinct",
+      (s, d) => lineitem(s, d).agg(
+        countDistinct(col("l_partkey")).as("exact"),
+        approx_count_distinct(col("l_partkey")).as("approx")),
+      None),
+
+    // ---- dedup: embedding-cosine near-dup via sign-bucket LSH ----
+    QDef("dedup_embedding_cosine",
+      (s, d) => {
+        val e = embeddings(s, d).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+          .withColumn("bucket", Similarity.signBucket(col("emb"), 8))
+        val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("emb").as("ea"))
+        val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("emb").as("eb"))
+        a.join(b, Seq("bucket"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            round(Similarity.cosine(col("ea"), col("eb")), 4).as("sim"))
+          .filter(col("sim") >= 0.2)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some {
+        val bucketExpr = (0 until 8)
+          .map(i => s"(CASE WHEN emb[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e)
+           |SELECT vec_a, vec_b, sim FROM (
+           |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+           |  ROUND(list_dot_product(a.emb, b2.emb) /
+           |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b2.emb, b2.emb))), 4) AS sim
+           |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+           |WHERE sim >= 0.2 ORDER BY vec_a, vec_b""".stripMargin
+      }),
+
     // ================= north-star: similarity search =================
     QDef("sim_cosine_topk",
       (s, d) => {

@@ -90,6 +90,35 @@ class OpsSpec extends SparkSpec {
     assert(fp(0) != fp(2))
   }
 
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    import graft.ops.Skew
+    // hot key: 90% of facts share key 1
+    val facts = ((1 to 900).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong % 7 + 2, 1000L + i))).toDF("k", "fact_id")
+    val dims = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("k", "label")
+    val plain = facts.join(dims, "k").select("fact_id", "label")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val salted = Skew.saltedJoin(facts, dims, "k", col("fact_id"), saltBuckets = 8)
+      .select("fact_id", "label")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(plain.length == salted.length && (plain sameElements salted))
+    // profile surfaces the hot key first
+    val prof = Skew.keySkewProfile(facts, "k").collect()
+    assert(prof.head.getLong(0) == 1L)
+    assert(prof.head.getAs[Double]("share") == 0.9)
+  }
+
+  test("approx_count_distinct within documented error of exact") {
+    val df = Tables.lineitem(spark, sf("sf0.001"))
+    val r = Queries.all.find(_.name == "q33_approx_distinct").get
+      .fn(spark, sf("sf0.001")).collect().head
+    val exact = r.getAs[Long]("exact").toDouble
+    val approx = r.getAs[Long]("approx").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"HLL error too large: exact=$exact approx=$approx")
+  }
+
   test("lang id prefers the language whose markers dominate") {
     val d = docs(1L -> "the table and the key of the fast scan is slow",
       2L -> "el valor de la tabla y los datos que vienen")
