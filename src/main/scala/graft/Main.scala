@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import graft.ops.{Notifiers, Publish, RunPipeline}
 import graft.sources._
 
@@ -96,13 +97,18 @@ object Main {
         if (records.length > 1)
           System.err.println(s"[publish] ${records.length} records; using first")
         val rows = Publish.recordToRows(spark.createDataset(records.take(1)))
+        val sheetDir = arg(rest, "--sheet-dir").getOrElse(s"$workDir/sheets")
         if (flag(rest, "--dry-run")) {
-          val client = new Publish.InMemorySheets
-          println(Publish.dryRunDiff(client.getAllValues("canonical"), rows))
+          val current = graft.sources.SheetBackend.readRows(sheetDir, "canonical")
+          println(Publish.dryRunDiff(current, rows))
         } else {
-          val client = new Publish.InMemorySheets // stand-in sink (no egress)
-          val n = Publish.updateCanonical(client, "canonical", rows)
-          println(s"updated_rows=$n")
+          // truncate+overwrite via the DSv2 connector (format("sheet"))
+          val stringRows = rows.select(rows.columns.map(c =>
+            coalesce(col(c).cast("string"), lit("")).as(c)): _*)
+          stringRows.write.format("sheet")
+            .option("path", sheetDir).option("worksheet", "canonical")
+            .mode("append").save()
+          println(s"updated_rows=${rows.count()}")
         }
         spark.stop()
 
