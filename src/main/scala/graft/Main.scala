@@ -80,7 +80,10 @@ object Main {
           mismatchThreshold = arg(rest, "--mismatch-threshold").map(_.toDouble).getOrElse(0.25),
           forcePublish = flag(rest, "--force-publish"),
           failFast = flag(rest, "--fail-fast"))
-        val result = RunPipeline.run(spark, sources(fixtureDir), cfg)
+        val log = new graft.ops.Observability.JsonlLogStream(
+          java.nio.file.Paths.get(cfg.workDir, "logs", "pipeline.jsonl"))
+        val result = try RunPipeline.run(spark, sources(fixtureDir), cfg, log)
+          finally log.close()
         println(s"decision=${result.summary.decision.status} " +
           s"publish=${result.summary.publish} reason=${result.summary.publish_reason} " +
           s"confidence=${result.summary.decision.confidence} " +

@@ -562,6 +562,36 @@ object Queries {
         approx_count_distinct(col("l_partkey")).as("approx")),
       None),
 
+    // ---- Q34: native unpivot (melt) ----
+    QDef("q34_unpivot_native",
+      (s, d) => orders(s, d)
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("o_orderpriority"), col("o_orderstatus")), "k", "v")
+        .orderBy("o_orderkey", "k")
+        .limit(5000),
+      Some("""SELECT o_orderkey, 'o_orderpriority' AS k, o_orderpriority AS v FROM orders
+        |UNION ALL SELECT o_orderkey, 'o_orderstatus' AS k, o_orderstatus AS v FROM orders
+        |ORDER BY o_orderkey, k LIMIT 5000""".stripMargin)),
+
+    // ---- Q35: range join against a broadcast band table ----
+    QDef("q35_range_join",
+      (s, d) => {
+        val bands = s.range(0, 10).select(col("id").as("band"),
+          (col("id") * 50000).cast("double").as("lo"),
+          ((col("id") + 1) * 50000).cast("double").as("hi"))
+        orders(s, d)
+          .join(broadcast(bands),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("band")
+      },
+      Some("""WITH bands AS (SELECT i AS band, i*50000 AS lo, (i+1)*50000 AS hi
+        |  FROM range(10) t(i))
+        |SELECT band, COUNT(*) AS n FROM orders
+        |JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin)),
+
     // ---- dedup: embedding-cosine near-dup via sign-bucket LSH ----
     QDef("dedup_embedding_cosine",
       (s, d) => {

@@ -31,6 +31,30 @@ object Observability {
     def emit(e: Event): Unit = events.synchronized { events += e }
   }
 
+  /** Append-only JSONL file sink (reference `_JSONLogStream`,
+    * `pipeline.py:228-254`). */
+  final class JsonlLogStream(path: java.nio.file.Path) extends LogStream {
+    java.nio.file.Files.createDirectories(path.getParent)
+    private val w = java.nio.file.Files.newBufferedWriter(path,
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    private def q(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    def emit(e: Event): Unit = synchronized {
+      val attrs = e.attrs.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ", ", "}")
+      w.write(s"""{"event": ${q(e.event)}, "timestamp": ${q(e.timestamp)}, """ +
+        s""""correlation_id": ${q(e.correlationId)}, "attrs": $attrs}\n""")
+      w.flush()
+    }
+    override def close(): Unit = w.close()
+  }
+
   private val CorrelationKey = "graft.run_id"
 
   /** Set the correlation id on the Spark context (reference `ContextVar`,

@@ -50,19 +50,29 @@ object RunPipeline {
     mapped.distinct
   }
 
-  def run(spark: SparkSession, sources: Seq[PozoSource], cfg: Config): Result = {
+  def run(spark: SparkSession, sources: Seq[PozoSource], cfg: Config,
+      log: Observability.LogStream = new Observability.BufferingLogStream): Result = {
     import spark.implicits._
+    Observability.setCorrelationId(spark, cfg.runId)
+    log.emit(Observability.Event("pipeline_start", cfg.now(), cfg.runId,
+      Map("sources" -> cfg.requestedSources.mkString(","))))
 
     // 1. Collect payloads; per-source failure = warn + continue unless
     //    fail-fast (reference `pipeline.py:102-132`).
-    val collected = sources.sortBy(_.priority).flatMap { src =>
-      try Some(src.fetch())
-      catch {
-        case e: Exception if !cfg.failFast =>
-          System.err.println(s"[pipeline] source ${src.name} failed: ${e.getMessage}")
-          None
+    val collected = Observability.span(spark, log, "ingestion_orchestration",
+        now = cfg.now) {
+      sources.sortBy(_.priority).flatMap { src =>
+        try Some(src.fetch())
+        catch {
+          case e: Exception if !cfg.failFast =>
+            System.err.println(s"[pipeline] source ${src.name} failed: ${e.getMessage}")
+            log.emit(Observability.Event("source_failed", cfg.now(), cfg.runId,
+              Map("source" -> src.name, "error" -> String.valueOf(e.getMessage))))
+            None
+        }
       }
     }
+    Observability.metric(spark, log, "sources_collected", collected.size, now = cfg.now)
     if (collected.isEmpty)
       throw new RuntimeException(
         s"No sources returned data for ${cfg.requestedSources.mkString(",")}")
@@ -70,7 +80,9 @@ object RunPipeline {
     val payloads = spark.createDataset(collected).toDF()
 
     // 2-3. Consensus merge + scalars (distributed; SURVEY §2.4).
-    val mergeRows = Consensus.merge(payloads).orderBy("categoria").collect()
+    val mergeRows = Observability.span(spark, log, "consensus_merge", now = cfg.now) {
+      Consensus.merge(payloads).orderBy("categoria").collect()
+    }
     val resolved = mergeRows.map(r =>
       r.getAs[String]("categoria") -> r.getAs[Long]("valor")).toMap
 
@@ -177,6 +189,11 @@ object RunPipeline {
     writeAtomic(Paths.get(cfg.workDir, "run_summary.json"),
       spark.createDataset(Seq(summary)).toJSON.head() + "\n")
 
+    log.emit(Observability.Event("pipeline_end", cfg.now(), cfg.runId,
+      Map("decision" -> status, "publish" -> publishFlag.toString,
+        "confidence" -> confidence)))
+    Observability.metric(spark, log, "mismatched_categories",
+      mismatches.count(_.disagreeing.nonEmpty), now = cfg.now)
     Result(summary, report, record, collected)
   }
 

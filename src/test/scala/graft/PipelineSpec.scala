@@ -126,6 +126,21 @@ class PipelineSpec extends SparkSpec {
     assert(back.head.provenance.pozos.alternatives.length == 1)
   }
 
+  test("pipeline emits spans, metrics, and lifecycle events") {
+    val log = new graft.ops.Observability.BufferingLogStream
+    RunPipeline.run(spark, Seq(stub("a", 0, Map("Loto" -> 1000L))),
+      cfg(tmpDir()), log)
+    val kinds = log.events.map(_.event).toList
+    assert(kinds.head == "pipeline_start")
+    assert(kinds.last == "metric")
+    assert(kinds.count(_ == "span_start") == kinds.count(_ == "span_end"))
+    val spans = log.events.filter(_.event == "span_end").map(_.attrs("span")).toSet
+    assert(spans == Set("ingestion_orchestration", "consensus_merge"))
+    assert(log.events.forall(_.correlationId == "test-run"))
+    assert(log.events.exists(e => e.event == "pipeline_end" &&
+      e.attrs("decision") == "publish"))
+  }
+
   test("normalize_sources: dedupe, all→pozos, unknown rejected") {
     assert(RunPipeline.normalizeSources(Seq("ALL", "pozos", "pozos"), Set()) == Seq("pozos"))
     intercept[ConfigError](RunPipeline.normalizeSources(Seq("wat"), Set("openloto")))
