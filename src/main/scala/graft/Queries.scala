@@ -642,6 +642,16 @@ object Queries {
         |  FROM e c CROSS JOIN q WHERE c.vec_id <> q_id)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
+    QDef("sim_ivf_ann",
+      (s, d) => {
+        val e = embeddings(s, d)
+        Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, k = 10,
+            nCells = 16, nprobe = 4)
+          .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
+          .orderBy("q_id", "rank")
+      },
+      None),
+
     QDef("sim_bucketed_ann",
       (s, d) => {
         val e = embeddings(s, d)

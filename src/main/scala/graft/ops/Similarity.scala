@@ -49,6 +49,72 @@ object Similarity {
       acc.bitwiseOR(when(emb.getItem(i) >= 0, lit(1L << i)).otherwise(lit(0L)))
     }
 
+  /** IVF index: `k` centroids seeded from the first vectors (by vec_id,
+    * deterministic) and refined with `iters` Lloyd steps — all as
+    * DataFrame aggregations; only the k×dim centroid matrix ever reaches
+    * the driver. */
+  def ivfCentroids(corpus: DataFrame, k: Int = 16, iters: Int = 1): Seq[(Int, Seq[Double])] = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    var centroids: Seq[(Int, Seq[Double])] = c.orderBy("vec_id").limit(k).collect()
+      .zipWithIndex.map { case (r, i) =>
+        i -> r.getAs[scala.collection.Seq[Double]]("emb").toSeq
+      }.toSeq
+    for (_ <- 0 until iters) {
+      val assigned = c.withColumn("cid", assignExpr(col("emb"), centroids))
+      // mean per cluster = elementwise sum / count, via posexplode (codegen)
+      val means = assigned
+        .select(col("cid"), posexplode(col("emb")).as(Seq("i", "x")))
+        .groupBy("cid", "i").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+        .select(col("cid"), transform(col("im"), e => e.getField("m")).as("mean"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Double]]("mean").toSeq)
+      // clusters that lost all members keep their previous centroid
+      val byId = means.toMap
+      centroids = centroids.map { case (cid, prev) => cid -> byId.getOrElse(cid, prev) }
+    }
+    centroids
+  }
+
+  /** argmin over centroid squared distances, as a single expression. */
+  private def assignExpr(emb: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
+    val scored = centroids.map { case (cid, cvec) =>
+      val d = aggregate(
+        zip_with(emb, typedlit(cvec), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+      struct(d.as("d"), lit(cid).as("c"))
+    }
+    least(scored: _*).getField("c")
+  }
+
+  /** IVF ANN: assign corpus to centroids once, probe the query's `nprobe`
+    * nearest cells. The probe join is an equi-join on cell id — at 100 TB
+    * the corpus assignment is a write-once preprocessing column and each
+    * query touches nprobe/k of the data. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+      nCells: Int = 16, nprobe: Int = 2, iters: Int = 1): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCells, iters)
+    val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_emb"))
+      .withColumn("cell", assignExpr(col("c_emb"), centroids))
+    val probes = centroids.map { case (cid, cvec) =>
+      val d = aggregate(
+        zip_with(col("q_emb"), typedlit(cvec), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+      struct(d.as("d"), lit(cid).as("c"))
+    }
+    val q = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
+      .withColumn("cell",
+        explode(transform(slice(array_sort(array(probes: _*)), 1, nprobe),
+          s => s.getField("c"))))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 4).as("sim"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF/LSH-bucketed ANN: probe only the query's sign bucket. */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
       signBits: Int = 8): DataFrame = {

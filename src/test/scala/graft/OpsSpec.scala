@@ -90,6 +90,30 @@ class OpsSpec extends SparkSpec {
     assert(fp(0) != fp(2))
   }
 
+  test("IVF ANN: perfect recall on clustered data, cells partition corpus") {
+    import spark.implicits._
+    // 4 tight clusters around orthogonal axes → IVF with enough cells and
+    // probes must match brute force exactly
+    val vecs = (0L until 40L).map { i =>
+      val axis = (i % 4).toInt
+      val base = Array.fill(8)(0.01f * ((i % 7).toInt + 1))
+      base(axis) = 10f + (i % 5)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 4)
+    val bf = Similarity.bruteForceTopK(queries, vecs, k = 5)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, vecs, k = 5, nCells = 4, nprobe = 4, iters = 2)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == bf, "nprobe=nCells IVF must equal brute force")
+    // fewer probes: results are a subset with correct sims
+    val ivf1 = Similarity.ivfTopK(queries, vecs, k = 5, nCells = 4, nprobe = 1, iters = 2)
+      .select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf1.nonEmpty && ivf1.subsetOf(
+      Similarity.bruteForceTopK(queries, vecs, k = 40).select("q_id", "c_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     import graft.ops.Skew
