@@ -59,6 +59,20 @@ class PlanSpec extends SparkSpec {
       "windowed agg lacks map-side combine")
   }
 
+  test("q35 range join: band table broadcasts (no shuffled NL join)") {
+    val p = planOf("q35_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "non-equi join against tiny band table must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q25 sessionize: single window sort feeds both lag and running sum") {
+    val p = planOf("q25_sessionize")
+    // both window functions share one partitionBy/orderBy → exactly one
+    // shuffle for the window (plus the final agg/sort)
+    assert(p.split("Window").length - 1 <= 2, "window ops not coalesced")
+  }
+
   test("dedup minhash: no cartesian product anywhere") {
     val p = planOf("dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct"), "LSH must join on band hash, not cross")
