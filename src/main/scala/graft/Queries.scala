@@ -686,6 +686,22 @@ object Queries {
         |  GREATEST(length(text), 1), 4) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    QDef("text_tfidf",
+      (s, d) => TextAnalysis.tfidf(documents(s, d))
+        .select("doc_id", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "term"),
+      Some("""WITH t AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE term <> ''
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |  ROUND(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 4) AS tfidf
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |ORDER BY doc_id, term""".stripMargin)),
+
     QDef("text_lang_id",
       (s, d) => TextAnalysis.langId(documents(s, d))
         .select("doc_id", "lang", "pred_lang")

@@ -73,4 +73,24 @@ object TextAnalysis {
   /** 64-bit content fingerprint (xxhash64 of the canonicalized token stream). */
   def fingerprint(c: Column): Column =
     xxhash64(concat_ws(" ", toks(lower(c))))
+
+  /** TF-IDF per (doc, term): tf = term count in doc, df = docs containing
+    * term, idf = ln(N / df), weight = tf · idf.
+    *
+    * Fully relational: one explode, two partial-aggregated shuffles (by
+    * (doc, term) then term), and a broadcast-sized term-df join at typical
+    * vocabulary cardinalities. No driver collect — N is a scalar subquery
+    * via cross join of a 1-row aggregate. */
+  def tfidf(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val terms = documents
+      .select(col("doc_id"), explode(toks(lower(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+  }
 }

@@ -103,7 +103,7 @@ case class FetchResult(url: String, userAgent: String, fetchedAtMs: Long,
 }
 
 /** Injectable transport: returns (statusCode, body). */
-trait HttpTransport {
+trait HttpTransport extends Serializable {
   def get(url: String, ua: String, timeoutMs: Int): (Int, String)
   /** robots.txt body for a host, None if the fetch failed. */
   def robots(host: String, ua: String): Option[String] = None

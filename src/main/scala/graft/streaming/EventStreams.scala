@@ -63,6 +63,21 @@ object EventStreams {
   case class PozoDecision(sorteo: Long, fecha: String, status: String,
       changed: Boolean)
 
+  /** Split-sink router for `foreachBatch` (reference quarantine path,
+    * `pipeline.py:443-451` / `publish.py:131-133`): each micro-batch is
+    * cached once and routed — publish decisions to the canonical sink,
+    * skips/quarantines to the parking sink. */
+  def routedBatchWriter(
+      onPublish: DataFrame => Unit,
+      onQuarantine: DataFrame => Unit): (Dataset[PozoDecision], Long) => Unit =
+    (batch, _) => {
+      val df = batch.toDF().cache()
+      try {
+        onPublish(df.filter(col("status") === "publish"))
+        onQuarantine(df.filter(col("status") =!= "publish"))
+      } finally df.unpersist()
+    }
+
   /** The reference's run-over-run change detection as an arbitrary-stateful
     * stream: key = (sorteo, fecha); unchanged (same sha or same amounts) →
     * "skip", else → "publish" and state update

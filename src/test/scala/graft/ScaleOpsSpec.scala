@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops.{Consensus, ConsensusAggregator, TextAnalysis}
+import graft.sources.{DistributedFetch, FixtureTransport}
+
+/** New scale operators: UDAF consensus, distributed fetch, TF-IDF. */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("Aggregator consensus winner matches the window formulation") {
+    import spark.implicits._
+    import ConsensusAggregator.Vote
+    val votes = Seq(
+      Vote("Loto", 1000L, "a", 0), Vote("Loto", 1000L, "b", 1),
+      Vote("Loto", 1200L, "c", 2),
+      Vote("Recargado", 500L, "a", 0), Vote("Recargado", 700L, "b", 1), // tie
+      Vote("Revancha", 9L, "c", 2)).toDS()
+    val udaf = votes.groupByKey(_.categoria)
+      .agg(ConsensusAggregator.winner.toColumn.name("w"))
+      .collect().map { case (cat, w) => cat -> w.valor }.toMap
+    assert(udaf == Map("Loto" -> 1000L, "Recargado" -> 500L, "Revancha" -> 9L))
+
+    // equivalence with the window-based merge on the same data
+    val payloads = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("a", 0, "fa", "s1", true, Map("Loto" -> 1000L, "Recargado" -> 500L), 1L, "f"),
+        Row("b", 1, "fb", "s2", true, Map("Loto" -> 1000L, "Recargado" -> 700L), 1L, "f"),
+        Row("c", 2, "fc", "s3", true, Map("Loto" -> 1200L, "Revancha" -> 9L), 1L, "f")),
+      SourceStubs.schema)
+    val window = Consensus.merge(payloads).collect()
+      .map(r => r.getAs[String]("categoria") -> r.getAs[Long]("valor")).toMap
+    assert(window == udaf)
+  }
+
+  test("distributed fetch: per-host groups, failures as data") {
+    val pages = Map(
+      "https://a.cl/p1" -> "<p>Loto Clásico: $100 MILLONES</p>",
+      "https://a.cl/p2" -> "<p>Loto Clásico: $200 MILLONES</p>",
+      "https://b.cl/p1" -> "<p>Recargado: $300 MILLONES</p>")
+    // c.cl/missing has no page → empty body → parse failure as data
+    val tasks = Seq(
+      DistributedFetch.FetchTask("https://a.cl/p1", "a1", 0, true, false),
+      DistributedFetch.FetchTask("https://a.cl/p2", "a2", 1, true, false),
+      DistributedFetch.FetchTask("https://b.cl/p1", "b1", 2, true, false),
+      DistributedFetch.FetchTask("https://c.cl/missing", "c1", 3, true, false))
+    val out = DistributedFetch.fetchAll(spark, tasks,
+        new FixtureTransport(pages), "TestBot/1.0", minIntervalMs = 0)
+      .collect().map(o => o.source_name -> o).toMap
+    assert(out.size == 4)
+    assert(out("a1").ok && out("a1").montos("Loto Clásico") == 100000000L)
+    assert(out("a2").ok && out("a2").montos("Loto Clásico") == 200000000L)
+    assert(out("b1").ok && out("b1").montos("Recargado") == 300000000L)
+    assert(!out("c1").ok && out("c1").error.isDefined)
+    assert(out.values.filter(_.ok).forall(_.sha256.exists(_.length == 64)))
+  }
+
+  test("robots denial in distributed fetch is per-row data, not a job failure") {
+    val t = new FixtureTransport(
+      pages = Map("https://a.cl/ok" -> "<p>Revancha: $1 MILLONES</p>",
+        "https://d.cl/deny" -> "<p>Revancha: $2 MILLONES</p>"),
+      robotsTxt = Map("d.cl" -> "User-agent: *\nDisallow: /"))
+    val tasks = Seq(
+      DistributedFetch.FetchTask("https://a.cl/ok", "ok", 0, true, false),
+      DistributedFetch.FetchTask("https://d.cl/deny", "denied", 1, true, false))
+    val out = DistributedFetch.fetchAll(spark, tasks, t, "UA", minIntervalMs = 0)
+      .collect().map(o => o.source_name -> o).toMap
+    assert(out("ok").ok)
+    assert(!out("denied").ok)
+    assert(out("denied").error.exists(_.contains("Robots")))
+  }
+
+  test("tfidf: rare terms outweigh common ones; counts exact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common other"),
+      (3L, "common third")).toDF("doc_id", "text")
+    val w = TextAnalysis.tfidf(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term")) ->
+        (r.getAs[Long]("tf"), r.getAs[Long]("df"), r.getAs[Double]("tfidf"))).toMap
+    assert(w((1L, "common"))._1 == 2L) // tf
+    assert(w((1L, "common"))._2 == 3L) // df = all docs
+    assert(w((1L, "common"))._3 == 0.0) // idf = ln(3/3) = 0
+    assert(w((1L, "rare1"))._3 > 1.0)   // 1 * ln(3) ≈ 1.0986
+  }
+
+  test("streaming split sink routes publish vs quarantine batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.PozoUpdate
+    val published = scala.collection.mutable.ListBuffer[Long]()
+    val parked = scala.collection.mutable.ListBuffer[Long]()
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[PozoUpdate]
+    val q = EventStreams.pozoChangeDetect(input.toDS())
+      .writeStream
+      .foreachBatch(EventStreams.routedBatchWriter(
+        df => published ++= df.select("sorteo").collect().map(_.getLong(0)),
+        df => parked ++= df.select("sorteo").collect().map(_.getLong(0))))
+      .outputMode("append").start()
+    try {
+      val ts = new java.sql.Timestamp(1700000000000L)
+      input.addData(PozoUpdate(1L, "f", "s1", Map("Loto" -> 1L), ts))
+      q.processAllAvailable()
+      input.addData(PozoUpdate(1L, "f", "s1", Map("Loto" -> 1L), ts)) // repeat → skip
+      q.processAllAvailable()
+      assert(published.toList == List(1L))
+      assert(parked.toList == List(1L))
+    } finally q.stop()
+  }
+}
