@@ -500,6 +500,28 @@ object Queries {
         |array_to_string(list_sort(list(vec_id)), ',') AS ids
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
 
+    // ---- Q36: ranking-function battery ----
+    QDef("q36_rank_funcs",
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+        events(s, d)
+          .select(col("event_id"), col("event_type"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            round(percent_rank().over(w), 4).as("prnk"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(cume_dist().over(w), 4).as("cd"))
+          .orderBy("event_id")
+          .limit(5000)
+      },
+      Some("""SELECT event_id, event_type,
+        |RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+        |ROUND(PERCENT_RANK() OVER w, 4) AS prnk,
+        |CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |ROUND(CUME_DIST() OVER w, 4) AS cd
+        |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id LIMIT 5000""".stripMargin)),
+
     // ================= north-star: dedup =================
     QDef("dedup_exact",
       (s, d) => Dedup.exact(documents(s, d)).orderBy("keep_id"),

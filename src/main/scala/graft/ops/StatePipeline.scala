@@ -50,6 +50,22 @@ object StatePipeline {
       .drop("p_sorteo", "p_fecha", "p_sha256", "p_pozos")
   }
 
+  /** Change detection against a versioned [[StateTable]] — the large-key-
+    * space form: read latest snapshot, null-safe join, then upsert the new
+    * records as the next version (state written unconditionally, like the
+    * reference's `pipeline.py:436-437`). Returns the flagged frame. */
+  def withUnchangedAgainstTable(spark: org.apache.spark.sql.SparkSession,
+      current: DataFrame, stateRoot: String): DataFrame = {
+    val flagged = StateTable.read(spark, stateRoot) match {
+      case Some(state) => withUnchanged(current, state)
+      case None => current.withColumn("unchanged", lit(false))
+    }
+    StateTable.upsert(spark, stateRoot,
+      current.select("sorteo", "fecha", "sha256", "pozos_proximo"),
+      Seq("sorteo", "fecha"))
+    flagged
+  }
+
   /** Publish decision as pure values (driver-side gate around sinks). */
   def decide(
       unchanged: Boolean,

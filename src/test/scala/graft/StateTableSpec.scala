@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.ops.StateTable
+
+class StateTableSpec extends SparkSpec {
+
+  private def tmp() = Files.createTempDirectory("graft-state").toString
+
+  test("upsert replaces keyed rows, preserves others, versions advance") {
+    import spark.implicits._
+    val root = tmp()
+    assert(StateTable.read(spark, root).isEmpty)
+
+    val v0 = StateTable.upsert(spark, root,
+      Seq((5417L, "2026-04-26", 100L), (5418L, "2026-05-03", 200L))
+        .toDF("sorteo", "fecha", "monto"), Seq("sorteo", "fecha"))
+    assert(v0 == 0L)
+
+    val v1 = StateTable.upsert(spark, root,
+      Seq((5417L, "2026-04-26", 999L), (5419L, "2026-05-10", 300L))
+        .toDF("sorteo", "fecha", "monto"), Seq("sorteo", "fecha"))
+    assert(v1 == 1L)
+
+    val got = StateTable.read(spark, root).get
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (5417L, "2026-04-26") -> 999L,  // updated
+      (5418L, "2026-05-03") -> 200L,  // preserved
+      (5419L, "2026-05-10") -> 300L)) // inserted
+  }
+
+  test("old versions pruned behind the retention window") {
+    import spark.implicits._
+    val root = tmp()
+    for (i <- 0 until 6)
+      StateTable.upsert(spark, root,
+        Seq((1L, "f", i.toLong)).toDF("sorteo", "fecha", "monto"),
+        Seq("sorteo", "fecha"), keepVersions = 2)
+    assert(StateTable.latestVersion(root).contains(5L))
+    val versions = Files.list(Paths.get(root)).iterator()
+    val names = new scala.collection.mutable.ListBuffer[String]
+    while (versions.hasNext) names += versions.next().getFileName.toString
+    assert(names.count(_.startsWith("v=")) == 2) // only v=4, v=5 survive
+    assert(StateTable.read(spark, root).get.collect().head.getLong(2) == 5L)
+  }
+
+  test("table-backed change detection: first run changed, repeat unchanged") {
+    import spark.implicits._
+    import graft.ops.StatePipeline
+    val root = tmp()
+    val run = Seq((Some(5417L), "2026-04-26", "sha1", Map("Loto" -> 100L)))
+      .toDF("sorteo", "fecha", "sha256", "pozos_proximo")
+    val first = StatePipeline.withUnchangedAgainstTable(spark, run, root)
+      .collect().head.getAs[Boolean]("unchanged")
+    assert(!first)
+    val second = StatePipeline.withUnchangedAgainstTable(spark, run, root)
+      .collect().head.getAs[Boolean]("unchanged")
+    assert(second)
+    val changed = Seq((Some(5417L), "2026-04-26", "sha2", Map("Loto" -> 999L)))
+      .toDF("sorteo", "fecha", "sha256", "pozos_proximo")
+    assert(!StatePipeline.withUnchangedAgainstTable(spark, changed, root)
+      .collect().head.getAs[Boolean]("unchanged"))
+  }
+
+  test("duplicate keys inside one update batch do not multiply state") {
+    import spark.implicits._
+    val root = tmp()
+    StateTable.upsert(spark, root,
+      Seq((1L, "f", 1L)).toDF("sorteo", "fecha", "monto"), Seq("sorteo", "fecha"))
+    StateTable.upsert(spark, root,
+      Seq((1L, "f", 2L), (1L, "f", 2L)).toDF("sorteo", "fecha", "monto"),
+      Seq("sorteo", "fecha"))
+    // both update rows land (dedup of updates is the caller's contract),
+    // but the OLD row for the key is gone
+    val vals = StateTable.read(spark, root).get.collect().map(_.getLong(2)).toSeq
+    assert(!vals.contains(1L))
+    assert(vals.forall(_ == 2L))
+  }
+}
