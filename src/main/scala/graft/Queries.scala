@@ -522,6 +522,27 @@ object Queries {
         |FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
         |ORDER BY event_id LIMIT 5000""".stripMargin)),
 
+    // ---- Q37: array math over embeddings (HOF fold = sequential, so the
+    // accumulation order matches DuckDB's list aggregates bit-for-bit) ----
+    QDef("q37_array_math",
+      (s, d) => {
+        val emb = col("embedding").cast("array<double>")
+        embeddings(s, d)
+          .select(col("vec_id"),
+            round(Similarity.norm(emb), 4).as("l2"),
+            round(aggregate(emb, lit(0.0), (a, x) => a + x) / size(emb), 4).as("mean"),
+            round(array_max(emb), 4).as("mx"),
+            round(array_min(emb), 4).as("mn"))
+          .orderBy("vec_id")
+          .limit(1000)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT vec_id, ROUND(sqrt(list_dot_product(emb, emb)), 4) AS l2,
+        |ROUND(list_aggregate(emb, 'sum') / len(emb), 4) AS mean,
+        |ROUND(list_aggregate(emb, 'max'), 4) AS mx,
+        |ROUND(list_aggregate(emb, 'min'), 4) AS mn
+        |FROM e ORDER BY vec_id LIMIT 1000""".stripMargin)),
+
     // ================= north-star: dedup =================
     QDef("dedup_exact",
       (s, d) => Dedup.exact(documents(s, d)).orderBy("keep_id"),
