@@ -147,6 +147,28 @@ class PipelineSpec extends SparkSpec {
     assert(RunPipeline.normalizeSources(Seq("openloto"), Set("openloto")) == Seq("openloto"))
   }
 
+  test("malformed page (non-numeric amounts) raises ParseError (A2)") {
+    // reference fixture `malformed_pozo.html`: $ACUMULADO / $N/A / $---
+    val html = "<p>Loto Clásico: $ACUMULADO</p><p>Recargado: $N/A</p>" +
+      "<p>Revancha: $---</p>"
+    val t = new FixtureTransport(Map("https://x.cl/p" -> html))
+    val src = new HtmlPozoSource("x", 0, "https://x.cl/p", "UA",
+      new Fetcher(t), allowTotal = false)
+    val e = intercept[ParseError](src.fetch())
+    assert(e.errorCode == "PARSE_ERROR")
+  }
+
+  test("invalid date page: fecha is null, amounts still parse (A2)") {
+    val html = "<p>Loto Clásico: $690 MILLONES</p>" +
+      "<p>Próximo Sorteo: 99 de nuncabre de 20XX</p>"
+    val t = new FixtureTransport(Map("https://x.cl/p" -> html))
+    val src = new HtmlPozoSource("x", 0, "https://x.cl/p", "UA",
+      new Fetcher(t), allowTotal = false)
+    val p = src.fetch()
+    assert(p.montos("Loto Clásico") == 690000000L)
+    assert(p.fecha.isEmpty)
+  }
+
   test("golden fixture source e2e (openloto shape, FIXTURES A1)") {
     val html = """<html><body>
       |<p>Loto Clásico estimado: $690 MILLONES</p>
