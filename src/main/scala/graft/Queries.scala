@@ -702,7 +702,24 @@ object Queries {
           .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
           .orderBy("q_id", "rank")
       },
-      None),
+      Some {
+        val bucketExpr = (0 until 8)
+          .map(i => s"(CASE WHEN emb[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e),
+           |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket FROM b WHERE vec_id < 5)
+           |SELECT q_id, c_id, sim, rank FROM (
+           |  SELECT q_id, c.vec_id AS c_id,
+           |  ROUND(list_dot_product(q_emb, c.emb) /
+           |    (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c.emb, c.emb))), 4) AS sim,
+           |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+           |    ROUND(list_dot_product(q_emb, c.emb) /
+           |    (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c.emb, c.emb))), 4) DESC,
+           |    c.vec_id) AS rank
+           |  FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q_id)
+           |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+      }),
 
     // ================= north-star: text analysis =================
     QDef("text_tokens",
@@ -749,7 +766,21 @@ object Queries {
       (s, d) => TextAnalysis.langId(documents(s, d))
         .select("doc_id", "lang", "pred_lang")
         .orderBy("doc_id"),
-      None),
+      Some {
+        val branches = TextAnalysis.langMarkers.map { case (lang, ms) =>
+          val set = ms.map(m => s"'$m'").mkString(", ")
+          s"SELECT doc_id, '$lang' AS cand, " +
+            s"len(list_filter(toks, x -> x IN ($set))) AS score FROM t"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH t AS (SELECT doc_id,
+           |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+           |s AS ($branches)
+           |SELECT s.doc_id, d.lang, cand AS pred_lang FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+           |    ORDER BY score DESC, cand) AS rn FROM s) s
+           |JOIN documents d ON d.doc_id = s.doc_id
+           |WHERE rn = 1 ORDER BY s.doc_id""".stripMargin
+      }),
 
     QDef("text_fingerprint",
       (s, d) => documents(s, d)

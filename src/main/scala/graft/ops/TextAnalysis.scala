@@ -43,7 +43,7 @@ object TextAnalysis {
 
   /** Tiny stopword-profile language ID (n-gram/marker heuristic).
     * Deterministic; scores five languages by marker-token hits. */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "with", "fast", "slow"),
     "es" -> Seq("el", "la", "de", "y", "que", "los"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des"),
