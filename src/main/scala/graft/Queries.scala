@@ -836,7 +836,21 @@ object Queries {
             forcePublish = true))
           .orderBy("unchanged", "mismatch_ratio", "max_deviation", "force")
       },
-      None)
+      Some("""WITH cases(unchanged, mismatch_ratio, max_deviation, force) AS (VALUES
+        |  (false, 0.0, 0.0, false), (true, 0.0, 0.0, false),
+        |  (true, 0.0, 0.0, true), (false, 0.3, 0.0, false),
+        |  (false, 0.0, 0.2, false), (false, 0.25, 0.10, false))
+        |SELECT unchanged, mismatch_ratio, max_deviation, force,
+        |  CASE WHEN unchanged AND force THEN 'publish_forced'
+        |       WHEN unchanged THEN 'skip'
+        |       WHEN mismatch_ratio > 0.25 OR max_deviation > 0.10 THEN 'quarantine'
+        |       ELSE 'publish' END AS decision_status,
+        |  CASE WHEN unchanged AND force THEN true
+        |       WHEN unchanged THEN false
+        |       WHEN mismatch_ratio > 0.25 OR max_deviation > 0.10 THEN false
+        |       ELSE true END AS publish
+        |FROM cases
+        |ORDER BY unchanged, mismatch_ratio, max_deviation, force""".stripMargin))
   )
 
   /** Flagship query: snowflake revenue rollup (exercises scan→broadcast
