@@ -543,6 +543,15 @@ object Queries {
         |ROUND(list_aggregate(emb, 'min'), 4) AS mn
         |FROM e ORDER BY vec_id LIMIT 1000""".stripMargin)),
 
+    // ---- Q38: per-column profile sweep over orders ----
+    QDef("q38_column_profile",
+      (s, d) => graft.ops.Profiler.profile(orders(s, d)).orderBy("column"),
+      Some(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .map(c => s"""SELECT '$c' AS "column", COUNT(*) AS n_rows, """ +
+          s"COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct FROM orders")
+        .mkString("", " UNION ALL ", """ ORDER BY "column""""))),
+
     // ================= north-star: dedup =================
     QDef("dedup_exact",
       (s, d) => Dedup.exact(documents(s, d)).orderBy("keep_id"),

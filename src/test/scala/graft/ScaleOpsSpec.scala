@@ -85,6 +85,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(w((1L, "rare1"))._3 > 1.0)   // 1 * ln(3) ≈ 1.0986
   }
 
+  test("single-scan profiler agrees with the per-column formulation") {
+    import graft.ops.Profiler
+    val df = Tables.orders(spark, sf("sf0.001"))
+    val a = Profiler.profile(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val b = Profiler.profileSingleScan(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(a == b)
+    assert(a("o_orderkey")._3 == a("o_orderkey")._1) // key is unique
+  }
+
   test("streaming split sink routes publish vs quarantine batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
