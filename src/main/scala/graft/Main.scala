@@ -40,11 +40,39 @@ object Main {
   private val PollaUrl = "https://www.polla.cl/es/"
   private val Ua = "PollaSparkBot/1.0 (+contact@example.com)"
 
+  /** Source-URL overrides (reference `__main__.py:179-197` +
+    * `pipeline.py:104-108`): repeated `--source-url name=url` plus the
+    * `POLLA_ALT_SOURCE_URLS` env (comma-separated name=url pairs); value
+    * `skip` drops the source entirely. CLI flags win over env. */
+  def resolveOverrides(args: Array[String],
+      env: Map[String, String] = sys.env): Map[String, String] = {
+    val fromEnv = env.get("POLLA_ALT_SOURCE_URLS").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); k.trim -> v.trim }
+    val fromCli = args.sliding(2).collect {
+      case Array("--source-url", kv) if kv.contains("=") =>
+        val Array(k, v) = kv.split("=", 2); k.trim -> v.trim
+    }.toSeq
+    (fromEnv ++ fromCli).toMap
+  }
+
+  /** Apply overrides to (name, url) pairs: `skip` removes, else replaces. */
+  def applyOverrides(base: Seq[(String, String)],
+      overrides: Map[String, String]): Seq[(String, String)] =
+    base.flatMap { case (name, url) =>
+      overrides.get(name) match {
+        case Some("skip") => None
+        case Some(u) => Some(name -> u)
+        case None => Some(name -> url)
+      }
+    }
+
   /** Build the source registry. With a fixture dir, pages come from
     * `<dir>/<name>/page.html` (the golden-fixture convention, FIXTURES A1);
     * without one, fetching requires real transport — not wired in this
     * offline build, so sources fail gracefully into degraded mode. */
-  private def sources(fixtureDir: Option[String]): Seq[PozoSource] = {
+  private def sources(fixtureDir: Option[String],
+      overrides: Map[String, String] = Map.empty): Seq[PozoSource] = {
     val transport: HttpTransport = fixtureDir match {
       case Some(dir) =>
         val load = (n: String) => {
@@ -61,16 +89,20 @@ object Main {
     }
     val fetcher = new Fetcher(transport,
       rateLimiter = Some(new HostRateLimiter(500, System.currentTimeMillis, Thread.sleep)))
-    Seq(
-      new HtmlPozoSource("openloto", 0, OpenlotoUrl, Ua, fetcher, allowTotal = false),
-      new HtmlPozoSource("polla", 1, PollaUrl, Ua, fetcher, allowTotal = true,
-        absentAsZero = false))
+    val urls = applyOverrides(
+      Seq("openloto" -> OpenlotoUrl, "polla" -> PollaUrl), overrides)
+    urls.zipWithIndex.map { case ((name, url), prio) =>
+      new HtmlPozoSource(name, prio, url, Ua, fetcher,
+        allowTotal = name != "openloto",
+        absentAsZero = name == "openloto")
+    }
   }
 
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("help")
     val rest = args.drop(1)
     val fixtureDir = arg(rest, "--fixture-dir")
+    val overrides = resolveOverrides(rest)
     cmd match {
       case "run" =>
         val spark = session()
@@ -82,7 +114,7 @@ object Main {
           failFast = flag(rest, "--fail-fast"))
         val log = new graft.ops.Observability.JsonlLogStream(
           java.nio.file.Paths.get(cfg.workDir, "logs", "pipeline.jsonl"))
-        val result = try RunPipeline.run(spark, sources(fixtureDir), cfg, log)
+        val result = try RunPipeline.run(spark, sources(fixtureDir, overrides), cfg, log)
           finally log.close()
         println(s"decision=${result.summary.decision.status} " +
           s"publish=${result.summary.publish} reason=${result.summary.publish_reason} " +
@@ -116,7 +148,7 @@ object Main {
         spark.stop()
 
       case "pozos" =>
-        sources(fixtureDir).foreach { s =>
+        sources(fixtureDir, overrides).foreach { s =>
           try {
             val p = s.fetch()
             println(s"${s.name}: sorteo=${p.sorteo.getOrElse("-")} " +
@@ -129,7 +161,7 @@ object Main {
 
       case "health" =>
         var ok = 0; var fail = 0
-        sources(fixtureDir).foreach { s =>
+        sources(fixtureDir, overrides).foreach { s =>
           val t0 = System.nanoTime()
           try {
             val p = s.fetch()

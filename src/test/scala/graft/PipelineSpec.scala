@@ -141,6 +141,16 @@ class PipelineSpec extends SparkSpec {
       e.attrs("decision") == "publish"))
   }
 
+  test("source-url overrides: env + CLI merge, skip drops, CLI wins") {
+    val env = Map("POLLA_ALT_SOURCE_URLS" -> "openloto=https://env.cl/a, polla=skip")
+    val cli = Array("--source-url", "openloto=https://cli.cl/b", "--other", "x")
+    val o = Main.resolveOverrides(cli, env)
+    assert(o == Map("openloto" -> "https://cli.cl/b", "polla" -> "skip"))
+    val resolved = Main.applyOverrides(
+      Seq("openloto" -> "https://base.cl/o", "polla" -> "https://base.cl/p"), o)
+    assert(resolved == Seq("openloto" -> "https://cli.cl/b"))
+  }
+
   test("normalize_sources: dedupe, all→pozos, unknown rejected") {
     assert(RunPipeline.normalizeSources(Seq("ALL", "pozos", "pozos"), Set()) == Seq("pozos"))
     intercept[ConfigError](RunPipeline.normalizeSources(Seq("wat"), Set("openloto")))
