@@ -23,6 +23,12 @@ fails, oks, rows_only = [], [], []
 
 def canon(df):
     df = df[sorted(df.columns)].reset_index(drop=True)
+    # The driver sorts rows before hashing (its round-1 traceback shows
+    # sort_values → lexsort). Doing the same here catches two failure
+    # classes the old positional compare missed: unsortable cell types
+    # (numpy arrays crash lexsort → polla_consensus r1) and row-order
+    # differences hidden by matching ORDER BYs.
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
 for qdir in sorted(Path(out_dir).iterdir()):
@@ -52,6 +58,12 @@ for qdir in sorted(Path(out_dir).iterdir()):
     bad = None
     for c in s.columns:
         sv, dv = s[c], d[c]
+        # The driver's value hash is dtype-sensitive (q32 r1: DuckDB
+        # SUM(int)→HUGEINT→float64 vs Spark int64 hashed differently
+        # despite equal values). Mirror that strictness.
+        if sv.dtype.kind != dv.dtype.kind:
+            bad = f"col {c}: dtype spark={sv.dtype} duck={dv.dtype}"
+            break
         try:
             if sv.dtype.kind == 'f' or dv.dtype.kind == 'f':
                 eq = [(a == b) or (pd.isna(a) and pd.isna(b)) or

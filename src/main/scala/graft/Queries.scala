@@ -578,15 +578,61 @@ object Queries {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Portable (md5-based) hashing so DuckDB replays the exact signature
+    // pipeline: shingle → (h1,h2) mod 2^31-1 → 64 double-hash minima →
+    // 16×4 band keys → candidate join → agreement fraction. The oracle
+    // joins on the raw band key where Spark joins on xxhash64(band key) —
+    // identical pair sets modulo a ~2^-64 hash collision.
     QDef("dedup_minhash_lsh",
-      (s, d) => Dedup.minhashCandidates(documents(s, d), minEst = 0.25)
+      (s, d) => Dedup.minhashCandidates(documents(s, d), minEst = 0.25,
+          portable = true)
         .orderBy("doc_a", "doc_b"),
-      None),
+      Some("""WITH tk AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |          FOR i IN generate_series(1, len(t)-2)]
+        |    ELSE [array_to_string(t, ' ')] END) AS s FROM tk),
+        |h AS (SELECT doc_id,
+        |    CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647 AS h1,
+        |    CAST(('0x'||substr(md5(s),17,15)) AS BIGINT) % 2147483647 AS h2 FROM sh),
+        |mins AS (SELECT doc_id, i, MIN(h1 + i*h2) AS mn
+        |  FROM h CROSS JOIN generate_series(0,63) g(i) GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id, list(mn ORDER BY i) AS sg FROM mins GROUP BY doc_id),
+        |banded AS (SELECT doc_id, sg, b,
+        |    array_to_string(sg[4*b+1:4*b+4], ',') AS bkey
+        |  FROM sig CROSS JOIN generate_series(0,15) g(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |    a.sg AS sa, b2.sg AS sb
+        |  FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bkey = b2.bkey
+        |    AND a.doc_id < b2.doc_id)
+        |SELECT doc_a, doc_b, est_jaccard FROM (
+        |  SELECT doc_a, doc_b,
+        |    ROUND(len([i FOR i IN generate_series(1,64) IF sa[i] = sb[i]]) / 64.0,
+        |      4) AS est_jaccard FROM cand)
+        |WHERE est_jaccard >= 0.25 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // maxHamming=3 ⇒ the 4-chunk LSH has recall exactly 1 (pigeonhole), so
+    // the declared semantic is simply "all pairs at hamming ≤ 3" — the
+    // oracle recomputes the 60-bit portable simhash and cross-joins.
     QDef("dedup_simhash",
-      (s, d) => Dedup.simhashCandidates(documents(s, d), maxHamming = 8)
+      (s, d) => Dedup.simhashCandidates(documents(s, d), maxHamming = 3,
+          portable = true)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("doc_a", "doc_b"),
-      None),
+      Some("""WITH tk AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+        |h AS (SELECT doc_id,
+        |    CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) AS h FROM tk),
+        |bits AS (SELECT doc_id, i, SUM(((h >> i) & 1) * 2 - 1) AS bsum
+        |  FROM h CROSS JOIN generate_series(0,59) g(i) GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN bsum > 0
+        |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sg
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sg, b.sg)) <= 3 ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ---- Q32: native pivot (dynamic columns from data) ----
     QDef("q32_pivot",
@@ -600,19 +646,28 @@ object Queries {
           coalesce(col("R"), lit(0L)).as("r_cnt"))
         .orderBy("l_partkey")
         .limit(1000),
+      // DuckDB SUM(int) is HUGEINT → pandas float64; Spark counts are int64.
+      // The driver's hash is dtype-sensitive, so CAST the sums to BIGINT.
       Some("""SELECT l_partkey,
-        |SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS a_cnt,
-        |SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END) AS n_cnt,
-        |SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS r_cnt
+        |CAST(SUM(CASE WHEN l_returnflag='A' THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+        |CAST(SUM(CASE WHEN l_returnflag='N' THEN 1 ELSE 0 END) AS BIGINT) AS n_cnt,
+        |CAST(SUM(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS BIGINT) AS r_cnt
         |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey LIMIT 1000""".stripMargin)),
 
-    // ---- Q33: sketches — approx distinct vs exact (rows-only: HLL is
-    // engine-specific; accuracy pinned in OpsSpec instead) ----
+    // ---- Q33: sketches. The HLL estimate itself is engine-specific, so
+    // the declared output is the exact count plus an in-query assertion
+    // that the sketch landed within its error bound (HLL++ default rsd
+    // 0.05; 0.15 leaves 3σ headroom at any scale). The oracle then checks
+    // the exact count and that the assertion held. ----
     QDef("q33_approx_distinct",
       (s, d) => lineitem(s, d).agg(
-        countDistinct(col("l_partkey")).as("exact"),
-        approx_count_distinct(col("l_partkey")).as("approx")),
-      None),
+          countDistinct(col("l_partkey")).as("exact_distinct"),
+          approx_count_distinct(col("l_partkey")).as("approx"))
+        .select(col("exact_distinct"),
+          (abs(col("approx") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.15).as("approx_within_15pct")),
+      Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+        |true AS approx_within_15pct FROM lineitem""".stripMargin)),
 
     // ---- Q34: native unpivot (melt) ----
     QDef("q34_unpivot_native",
@@ -694,6 +749,11 @@ object Queries {
         |  FROM e c CROSS JOIN q WHERE c.vec_id <> q_id)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
+    // The IVF index is fully deterministic (seed centroids = first 16 by
+    // vec_id, one Lloyd step, nprobe=4 by centroid distance), so the whole
+    // pipeline — assignment argmin, per-dimension means, probe selection,
+    // probed top-k — replays as SQL CTEs. Distances use the identical
+    // left-fold arithmetic both sides (list_reduce ≡ functions.aggregate).
     QDef("sim_ivf_ann",
       (s, d) => {
         val e = embeddings(s, d)
@@ -702,7 +762,44 @@ object Queries {
           .select(col("q_id"), col("c_id"), col("sim"), col("rank").cast("long").as("rank"))
           .orderBy("q_id", "rank")
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, emb
+        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+        |d0 AS (SELECT e.vec_id, e.emb, s.cid,
+        |    list_reduce([(e.emb[i]-s.emb[i])*(e.emb[i]-s.emb[i])
+        |      FOR i IN generate_series(1,64)], (x,y) -> x+y) AS dist
+        |  FROM e CROSS JOIN seeds s),
+        |a0 AS (SELECT vec_id, emb, cid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |m AS (SELECT cid, i, AVG(emb[i]) AS mv
+        |  FROM a0 CROSS JOIN generate_series(1,64) g(i) GROUP BY cid, i),
+        |mm AS (SELECT cid, list(mv ORDER BY i) AS emb FROM m GROUP BY cid),
+        |cent AS (SELECT s.cid, COALESCE(mm.emb, s.emb) AS emb
+        |  FROM seeds s LEFT JOIN mm ON s.cid = mm.cid),
+        |dc AS (SELECT e.vec_id, e.emb, c.cid,
+        |    list_reduce([(e.emb[i]-c.emb[i])*(e.emb[i]-c.emb[i])
+        |      FOR i IN generate_series(1,64)], (x,y) -> x+y) AS dist
+        |  FROM e CROSS JOIN cent c),
+        |ca AS (SELECT vec_id AS c_id, emb AS c_emb, cid AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM dc) WHERE rn = 1),
+        |qd AS (SELECT e.vec_id AS q_id, e.emb AS q_emb, c.cid,
+        |    list_reduce([(e.emb[i]-c.emb[i])*(e.emb[i]-c.emb[i])
+        |      FOR i IN generate_series(1,64)], (x,y) -> x+y) AS dist
+        |  FROM e CROSS JOIN cent c WHERE e.vec_id < 5),
+        |qc AS (SELECT q_id, q_emb, cid AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, cid) AS rn
+        |    FROM qd) WHERE rn <= 4),
+        |scored AS (SELECT q_id, c_id,
+        |    ROUND(list_dot_product(q_emb, c_emb) /
+        |      (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))),
+        |      4) AS sim
+        |  FROM ca JOIN qc USING (cell) WHERE c_id <> q_id)
+        |SELECT q_id, c_id, sim, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
     QDef("sim_bucketed_ann",
       (s, d) => {
@@ -793,11 +890,16 @@ object Queries {
 
     QDef("text_fingerprint",
       (s, d) => documents(s, d)
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), TextAnalysis.fingerprintPortable(col("text")).as("fp"))
         .orderBy("doc_id"),
-      None),
+      Some("""SELECT doc_id, CAST(('0x'||substr(md5(
+        |  array_to_string(string_split_regex(trim(lower(text)), '\s+'), ' ')
+        |),1,15)) AS BIGINT) AS fp FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ================= polla-semantics goldens (literal inputs) =================
+    // VALUES oracle: inputs are fixed literals and the expected values are
+    // the reference's golden table (tests/test_monetary_parser.py:7-55,
+    // mirrored in PollaParsersSpec) — scale-independent.
     QDef("polla_parse_clp",
       (s, _) => {
         PollaFunctions.register(s)
@@ -809,8 +911,31 @@ object Queries {
           .selectExpr("raw", "parse_clp(raw) AS clp", "parse_clp_err(raw) AS err")
           .orderBy("raw")
       },
-      None),
+      Some("""SELECT raw, clp, err FROM (VALUES
+        |  ('690', CAST(690000000 AS BIGINT), CAST(NULL AS VARCHAR)),
+        |  ('$ 690', 690000000, NULL),
+        |  ('4.300', 4300000000, NULL),
+        |  ('4,75', 4750000, NULL),
+        |  ('1.234,56', 1234560000, NULL),
+        |  ('4300', 4300000000, NULL),
+        |  ('$ 4.300', 4300000000, NULL),
+        |  ('0,5', 500000, NULL),
+        |  ('4.300 MM', 4300000000, NULL),
+        |  ('4,3 M', 4300000, NULL),
+        |  ('1.000.000 Mil', 1000000000, NULL),
+        |  ('7500', 7500000000, NULL),
+        |  ('99.999', 99999000000, NULL),
+        |  ('0,1', 100000, NULL),
+        |  ('1.234.567', 1234567000000, NULL),
+        |  ('', CAST(NULL AS BIGINT), 'empty monetary value'),
+        |  (' ', NULL, 'empty monetary value'),
+        |  ('$', NULL, 'unable to parse monetary value: $'),
+        |  ('abc', NULL, 'unable to parse monetary value: abc'),
+        |  ('1.2.3.4', NULL, 'invalid multiple dots: 1.2.3.4')
+        |) AS t(raw, clp, err) ORDER BY raw""".stripMargin)),
 
+    // VALUES oracle pinned from the reference's date/sorteo semantics
+    // (sources/pozos.py:161-224; PollaParsersSpec shapes).
     QDef("polla_parse_dates",
       (s, _) => {
         PollaFunctions.register(s)
@@ -823,14 +948,37 @@ object Queries {
             "extract_sorteo(raw) AS sorteo")
           .orderBy("raw")
       },
-      None),
+      Some("""SELECT raw, fecha, sorteo FROM (VALUES
+        |  ('16 de septiembre de 2025', '2025-09-16', CAST(NULL AS BIGINT)),
+        |  ('Próximo Sorteo 27 del abril', CAST(NULL AS VARCHAR), NULL),
+        |  ('abril 27, 2026', '2026-04-27', NULL),
+        |  ('Fecha: 1 de enero del 2030', '2030-01-01', NULL),
+        |  ('sin fecha', NULL, NULL),
+        |  ('99 de enero de 2025', NULL, NULL),
+        |  ('Sorteo N° 5417 - 26 de abril de 2026', '2026-04-26', 5417)
+        |) AS t(raw, fecha, sorteo) ORDER BY raw""".stripMargin)),
 
+    // Arrays are joined to strings: the driver's row-sort can't factorize
+    // ndarray cells (r1 crash). Inputs are fixed literals (SourceStubs),
+    // so a VALUES oracle pins the full consensus semantics exactly.
     QDef("polla_consensus",
       (s, _) => Consensus.merge(SourceStubs.payloads(s))
-        .select("categoria", "valor", "winner_sources", "n_candidates",
-          "max_deviation", "missing_sources", "has_mismatch")
+        .select(col("categoria"), col("valor"),
+          concat_ws(",", col("winner_sources")).as("winner_sources"),
+          col("n_candidates"), col("max_deviation"),
+          concat_ws(",", col("missing_sources")).as("missing_sources"),
+          col("has_mismatch"))
         .orderBy("categoria"),
-      None),
+      Some("""SELECT * FROM (VALUES
+        |  ('Loto Clásico', CAST(1000 AS BIGINT), 'openloto,polla', CAST(2 AS BIGINT),
+        |     CAST(0.2 AS DOUBLE), '', true),
+        |  ('Recargado', CAST(700 AS BIGINT), 'polla,tercera', CAST(2 AS BIGINT),
+        |     CAST(0.2857 AS DOUBLE), '', true),
+        |  ('Revancha', CAST(300 AS BIGINT), 'openloto', CAST(1 AS BIGINT),
+        |     CAST(0.0 AS DOUBLE), 'polla,tercera', false)
+        |) AS t(categoria, valor, winner_sources, n_candidates,
+        |       max_deviation, missing_sources, has_mismatch)
+        |ORDER BY categoria""".stripMargin)),
 
     QDef("polla_decision_matrix",
       (s, _) => {

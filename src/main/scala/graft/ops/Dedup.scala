@@ -20,11 +20,21 @@ import org.apache.spark.sql.functions._
   *  - n-gram Jaccard: exact verification over a candidate pair set.
   *
   * Determinism: all hashing is xxhash64 with fixed seeds — stable across
-  * runs, partitions, and cluster sizes.
+  * runs, partitions, and cluster sizes. Each signature builder also has a
+  * `portable = true` mode that hashes via md5 (≈2× slower than xxhash64):
+  * any engine with md5 reproduces the exact signatures, which is what lets
+  * the minhash/simhash declared queries be value-checked against DuckDB
+  * instead of rows-only.
   */
 object Dedup {
 
   private def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Cross-engine 60-bit hash: hex digits [off, off+15) of md5, as a long.
+    * DuckDB equivalent: `CAST('0x' || substr(md5(s), off, 15) AS BIGINT)`.
+    * 15 hex digits < 2^60 — no sign or ANSI-overflow concerns. */
+  def md5Long(c: Column, off: Int = 1): Column =
+    conv(substring(md5(c), off, 15), 16, 10).cast("long")
 
   /** Exact dedup: keep lowest doc_id per identical text.
     * Output: h (md5), keep_id, copies. */
@@ -50,7 +60,8 @@ object Dedup {
     * higher-order-function formulation (64 interpreted array traversals
     * per doc) cost ~10× total bench wall-clock at sf0.1 — never put a
     * per-permutation loop in an interpreted lambda on the hot path. */
-  def minhashSignatures(documents: DataFrame, perms: Int = 64): DataFrame = {
+  def minhashSignatures(documents: DataFrame, perms: Int = 64,
+      portable: Boolean = false): DataFrame = {
     // Shingles built relationally (posexplode + window lead) instead of a
     // per-doc lambda: whole-stage codegen end to end. No distinct needed —
     // MIN over a multiset equals MIN over its set.
@@ -67,8 +78,8 @@ object Dedup {
       .filter(col("t2").isNotNull || col("pos") === 0) // short docs: whole text
       .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
       .select(col("doc_id"),
-        pmod(xxhash64(col("s")), p).as("h1"),
-        pmod(xxhash64(col("s"), lit(1)), p).as("h2"))
+        pmod(if (portable) md5Long(col("s"), 1) else xxhash64(col("s")), p).as("h1"),
+        pmod(if (portable) md5Long(col("s"), 17) else xxhash64(col("s"), lit(1)), p).as("h2"))
     // One MIN aggregate over an exploded permutation index, not `perms`
     // separate aggregates: a 64-buffer HashAggregate generates ~20 s of
     // one-time janino/JIT compilation; this shape compiles in ms and
@@ -86,9 +97,9 @@ object Dedup {
   /** MinHash-LSH candidate pairs with estimated Jaccard.
     * Output: doc_a, doc_b, est_jaccard (fraction of agreeing minhashes). */
   def minhashCandidates(documents: DataFrame, perms: Int = 64, bands: Int = 16,
-      minEst: Double = 0.0): DataFrame = {
+      minEst: Double = 0.0, portable: Boolean = false): DataFrame = {
     val rows = perms / bands
-    val sigs = minhashSignatures(documents, perms)
+    val sigs = minhashSignatures(documents, perms, portable)
     val banded = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -108,28 +119,42 @@ object Dedup {
       .filter(col("est_jaccard") >= minEst)
   }
 
-  /** 64-bit SimHash signatures, one row per doc_id: (doc_id, sig).
+  /** SimHash signatures, one row per doc_id: (doc_id, sig).
     * Bit i is set iff the majority of token hashes have bit i set.
-    * Relational (explode + 64 conditional SUMs) for codegen, as with
-    * [[minhashSignatures]]. */
-  def simhashSignatures(documents: DataFrame): DataFrame = {
+    * 64-bit xxhash64 by default; 60-bit md5-derived when `portable`.
+    * Relational — explode then one aggregate over an exploded bit index —
+    * for the same codegen/compile-time reasons as [[minhashSignatures]]. */
+  def simhashSignatures(documents: DataFrame, portable: Boolean = false): DataFrame = {
+    val nBits = if (portable) 60 else 64
     val hashed = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i"))
-    hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).foldLeft(lit(0L)) { (acc, i) =>
-          acc.bitwiseOR(when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-        }.as("sig"))
+        (if (portable) md5Long(col("tok")) else xxhash64(col("tok"))).as("h"))
+    hashed
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(nBits - 1))).as("i"))
+      .groupBy("doc_id", "i")
+      // Scala shiftright/shiftleft only take literal shifts — SQL form
+      // accepts a column shift amount.
+      .agg(sum(expr("(shiftright(h, i) & CAST(1 AS BIGINT)) * 2 - 1")).as("bsum"))
+      .groupBy("doc_id")
+      .agg(sum(expr(
+        "CASE WHEN bsum > 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END"))
+        .as("sig"))
   }
 
-  /** SimHash near-dup candidates: equal 16-bit chunk → verify hamming ≤ maxHamming. */
-  def simhashCandidates(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(documents)
+  /** SimHash near-dup candidates: equal signature chunk → verify hamming ≤
+    * maxHamming. Chunking is 4×16 bits (4×15 when `portable`), so by
+    * pigeonhole recall is exactly 1 for maxHamming ≤ 3: the output is
+    * precisely "all pairs at hamming distance ≤ 3" — a relational semantic
+    * an oracle can check without replicating the LSH. */
+  def simhashCandidates(documents: DataFrame, maxHamming: Int = 3,
+      portable: Boolean = false): DataFrame = {
+    val chunkBits = if (portable) 15 else 16
+    val mask = (1L << chunkBits) - 1
+    val sigs = simhashSignatures(documents, portable)
     val chunks = array((0 until 4).map(i =>
-      shiftright(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)
+      shiftright(col("sig"), i * chunkBits).bitwiseAND(lit(mask))): _*)
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(chunks).as(Seq("chunk", "chunk_val")))
     val a = chunked.select(col("chunk"), col("chunk_val"),

@@ -74,6 +74,13 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     xxhash64(concat_ws(" ", toks(lower(c))))
 
+  /** Cross-engine 60-bit content fingerprint over the same canonical
+    * token stream, via [[graft.ops.Dedup.md5Long]] — reproducible in any
+    * engine with md5, which makes the declared query oracle-checkable.
+    * DuckDB: `CAST('0x' || substr(md5(canon), 1, 15) AS BIGINT)`. */
+  def fingerprintPortable(c: Column): Column =
+    Dedup.md5Long(concat_ws(" ", toks(lower(c))))
+
   /** TF-IDF per (doc, term): tf = term count in doc, df = docs containing
     * term, idf = ln(N / df), weight = tf · idf.
     *
