@@ -80,18 +80,13 @@ object Dedup {
       .select(col("doc_id"),
         pmod(if (portable) md5Long(col("s"), 1) else xxhash64(col("s")), p).as("h1"),
         pmod(if (portable) md5Long(col("s"), 17) else xxhash64(col("s"), lit(1)), p).as("h2"))
-    // One MIN aggregate over an exploded permutation index, not `perms`
-    // separate aggregates: a 64-buffer HashAggregate generates ~20 s of
-    // one-time janino/JIT compilation; this shape compiles in ms and
-    // partial-aggregates the same way.
-    hashed
-      .select(col("doc_id"), col("h1"), col("h2"),
-        explode(sequence(lit(0), lit(perms - 1))).as("i"))
-      .groupBy("doc_id", "i")
-      .agg(min(col("h1") + col("i") * col("h2")).as("mn"))
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("i"), col("mn")))).as("im"))
-      .select(col("doc_id"), transform(col("im"), e => e.getField("mn")).as("sig"))
+    // All `perms` minima in ONE buffer via a typed Aggregator — not `perms`
+    // separate MIN aggregates (a 64-buffer HashAggregate generates ~20 s of
+    // one-time janino/JIT compilation) and not an exploded permutation
+    // index (64× the rows through the aggregate). See [[SketchAggregators]].
+    val minAgg = udaf(SketchAggregators.minhash(perms),
+      org.apache.spark.sql.Encoders.product[SketchAggregators.HashPair])
+    hashed.groupBy("doc_id").agg(minAgg(col("h1"), col("h2")).as("sig"))
   }
 
   /** MinHash-LSH candidate pairs with estimated Jaccard.
@@ -130,17 +125,11 @@ object Dedup {
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"),
         (if (portable) md5Long(col("tok")) else xxhash64(col("tok"))).as("h"))
-    hashed
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(nBits - 1))).as("i"))
-      .groupBy("doc_id", "i")
-      // Scala shiftright/shiftleft only take literal shifts — SQL form
-      // accepts a column shift amount.
-      .agg(sum(expr("(shiftright(h, i) & CAST(1 AS BIGINT)) * 2 - 1")).as("bsum"))
-      .groupBy("doc_id")
-      .agg(sum(expr(
-        "CASE WHEN bsum > 0 THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END"))
-        .as("sig"))
+    // One buffer of `nBits` bit-sums per doc (see [[SketchAggregators]]),
+    // not an exploded bit index — same signatures, 1/nBits the rows.
+    val simAgg = udaf(SketchAggregators.simhash(nBits),
+      org.apache.spark.sql.Encoders.scalaLong)
+    hashed.groupBy("doc_id").agg(simAgg(col("h")).as("sig"))
   }
 
   /** SimHash near-dup candidates: equal signature chunk → verify hamming ≤

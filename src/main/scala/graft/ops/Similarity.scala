@@ -20,8 +20,15 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Sequential-fold dot product — same accumulation order every engine
-    * uses for a plain loop, so results are bit-stable. */
-  def dot(a: Column, b: Column): Column =
+    * uses for a plain loop, so results are bit-stable. Codegen'd native
+    * expression ([[graft.functions.VecDot]]); [[dotHof]] is the
+    * higher-order-function form it replaced (kept for the equivalence
+    * spec — the HOF is interpreted per row and breaks whole-stage
+    * codegen on the pair-scoring hot path). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
+
+  /** HOF formulation of [[dot]]; bit-identical, ~interpreted. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -80,9 +87,7 @@ object Similarity {
   /** argmin over centroid squared distances, as a single expression. */
   private def assignExpr(emb: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
     val scored = centroids.map { case (cid, cvec) =>
-      val d = aggregate(
-        zip_with(emb, typedlit(cvec), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+      val d = graft.functions.VectorExprs.sqDist(emb, typedlit(cvec))
       struct(d.as("d"), lit(cid).as("c"))
     }
     least(scored: _*).getField("c")
@@ -98,9 +103,7 @@ object Similarity {
     val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_emb"))
       .withColumn("cell", assignExpr(col("c_emb"), centroids))
     val probes = centroids.map { case (cid, cvec) =>
-      val d = aggregate(
-        zip_with(col("q_emb"), typedlit(cvec), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, v) => acc + v)
+      val d = graft.functions.VectorExprs.sqDist(col("q_emb"), typedlit(cvec))
       struct(d.as("d"), lit(cid).as("c"))
     }
     val q = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
