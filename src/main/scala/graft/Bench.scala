@@ -16,6 +16,8 @@ object Bench {
     // charged to whichever query happens to run first.
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    spark.read.parquet(s"$sfDir/embeddings.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

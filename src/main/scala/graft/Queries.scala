@@ -578,6 +578,44 @@ object Queries {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Cluster assignment after candidate pairs: connected components by
+    // min-label propagation (see Dedup.connectedComponents). The oracle
+    // replays the same pair set, then takes the transitive closure with a
+    // recursive CTE — component id = LEAST(self, min reachable).
+    QDef("dedup_clusters",
+      (s, d) => {
+        val docs = documents(s, d).filter(col("doc_id") < 300)
+        val a = docs.select(col("doc_id").as("doc_a"), Dedup.tokenSet(col("text")).as("toks_a"))
+        val b = docs.select(col("doc_id").as("doc_b"), Dedup.tokenSet(col("text")).as("toks_b"))
+        val pairs = Dedup.jaccardPairs(a.join(b, col("doc_a") < col("doc_b")))
+          .filter(col("jaccard") >= 0.5)
+        Dedup.clusters(docs, pairs)
+          .select(col("doc_id"), col("cluster_id"),
+            col("cluster_size").cast("long").as("cluster_size"), col("is_keeper"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE d AS (SELECT doc_id,
+        |  list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (SELECT u, v FROM edges
+        |  UNION SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+        |    WHERE e.v <> r.a),
+        |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |lab AS (SELECT dd.doc_id, COALESCE(c.cluster_id, dd.doc_id) AS cluster_id
+        |  FROM d dd LEFT JOIN comp c ON dd.doc_id = c.doc_id)
+        |SELECT doc_id, cluster_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+        |  doc_id = cluster_id AS is_keeper
+        |FROM lab ORDER BY doc_id""".stripMargin)),
+
     // Portable (md5-based) hashing so DuckDB replays the exact signature
     // pipeline: shingle → (h1,h2) mod 2^31-1 → 64 double-hash minima →
     // 16×4 band keys → candidate join → agreement fraction. The oracle

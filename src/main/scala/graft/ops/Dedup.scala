@@ -168,4 +168,69 @@ object Dedup {
 
   /** Distinct-token set column, shared by jaccard producers. */
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  /** Connected components over an undirected edge list (columns u, v) by
+    * iterative min-label propagation: every node adopts the smallest label
+    * among itself and its neighbors until a fixpoint. Output: (node,
+    * label) where label = the smallest node id in the component.
+    *
+    * Scale notes: each round is one shuffle-join + aggregate over the edge
+    * list — O(|E|) work, no driver-side graph. `localCheckpoint()` after
+    * every round truncates the lineage (an iterative plan otherwise grows
+    * exponentially and re-executes prior rounds); on a real cluster use
+    * `checkpoint()` to reliable storage instead. Rounds needed = the
+    * longest hop distance from any node to its component's minimum —
+    * near-dup clusters are shallow (dups of dups of one original), so this
+    * converges in a handful of rounds; for adversarial chain-shaped graphs
+    * switch to the large-star/small-star alternation (Kiveris et al.,
+    * "Connected Components in MapReduce"), which needs O(log n) rounds.
+    * Deterministic: min is order-independent.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // materialize the (possibly expensive) edge plan ONCE, before the
+    // union doubles it and the rounds rescan it
+    val e0 = edges.select(col("u"), col("v")).localCheckpoint()
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    var labels = sym.groupBy("u").agg(min("v").as("m"))
+      .select(col("u").as("node"), least(col("u"), col("m")).as("label"))
+      .localCheckpoint()
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val nbrMin = sym.join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy("u").agg(min("label").as("nl"))
+        .withColumnRenamed("u", "node")
+      // changed-flag computed in the same pass — the convergence probe is
+      // then a narrow scan of the checkpointed frame, not another join
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          (col("nl") < col("label")).as("chg"))
+        .localCheckpoint()
+      done = next.filter(col("chg")).isEmpty
+      labels = next.select("node", "label")
+      it += 1
+    }
+    labels
+  }
+
+  /** Cluster assignment for dedup: docs joined by `pairs` (doc_a, doc_b)
+    * share a cluster; every other doc is its own singleton cluster.
+    * Output per doc: cluster_id (smallest doc_id in the cluster),
+    * cluster_size, and is_keeper (true for the one doc to retain — the
+    * canonical keep-lowest-id policy). This is the step after candidate
+    * generation in a real dedup pipeline: pairs alone don't say which row
+    * to drop when dups chain (a~b, b~c but not a~c). */
+  def clusters(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .withColumnRenamed("node", "doc_id")
+    val labeled = documents.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = labeled.groupBy("cluster_id").agg(count("*").as("cluster_size"))
+    labeled.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+  }
 }
