@@ -62,21 +62,26 @@ object Dedup {
     * per-permutation loop in an interpreted lambda on the hot path. */
   def minhashSignatures(documents: DataFrame, perms: Int = 64,
       portable: Boolean = false): DataFrame = {
-    // Shingles built relationally (posexplode + window lead) instead of a
-    // per-doc lambda: whole-stage codegen end to end. No distinct needed —
-    // MIN over a multiset equals MIN over its set.
-    // mod 2^31-1 keeps h1 + i*h2 far from Long overflow (ANSI mode errors
-    // on wraparound) while remaining a sound Carter-Wegman hash family.
+    // No distinct over shingles — MIN over a multiset equals MIN over its
+    // set. mod 2^31-1 keeps h1 + i*h2 far from Long overflow (ANSI mode
+    // errors on wraparound) while remaining a sound Carter-Wegman family.
     val p = lit(2147483647L)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("pos")
+    // Shingles straight off the token array — a transform over the index
+    // range, no window `lead` (that formulation costs a full shuffle+sort
+    // per doc just to see the next two tokens). One narrow stage from scan
+    // to the aggregate's map side.
+    // `t` is materialized in its own projection first — inlining the
+    // split() into the lambda would re-tokenize the whole text once per
+    // shingle (no CSE across a lambda boundary).
+    val t = col("t")
+    val shingles = when(size(t) >= 3,
+      transform(sequence(lit(0), size(t) - 3), i =>
+        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
+          element_at(t, i + 3))))
+      .otherwise(array(array_join(t, " "))) // short docs: whole text
     val hashed = documents
-      .select(col("doc_id"),
-        posexplode(split(trim(lower(col("text"))), "\\s+")).as(Seq("pos", "tok")))
-      .withColumn("t1", lead("tok", 1).over(w))
-      .withColumn("t2", lead("tok", 2).over(w))
-      .filter(col("t2").isNotNull || col("pos") === 0) // short docs: whole text
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("s"))
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
+      .select(col("doc_id"), explode(shingles).as("s"))
       .select(col("doc_id"),
         pmod(if (portable) md5Long(col("s"), 1) else xxhash64(col("s")), p).as("h1"),
         pmod(if (portable) md5Long(col("s"), 17) else xxhash64(col("s"), lit(1)), p).as("h2"))
