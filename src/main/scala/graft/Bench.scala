@@ -15,6 +15,10 @@ object Bench {
     // Untimed warmup: JVM/codegen/parquet-driver init would otherwise be
     // charged to whichever query happens to run first.
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
+    // one tiny shuffle: initializes the shuffle/AQE machinery so the
+    // first timed query isn't charged for engine bring-up
+    spark.range(10000).selectExpr("id % 7 AS k", "id AS v")
+      .groupBy("k").sum("v").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     spark.read.parquet(s"$sfDir/embeddings.parquet").count()

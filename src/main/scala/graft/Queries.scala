@@ -926,6 +926,46 @@ object Queries {
            |WHERE rn = 1 ORDER BY s.doc_id""".stripMargin
       }),
 
+    // End-to-end curation chain (quality → language → near-dup keeper);
+    // oracle recomposes the text_quality / text_lang_id / fingerprint
+    // oracle SQL with the same thresholds and first-failing-rule CASE.
+    QDef("text_curation",
+      (s, d) => TextAnalysis.curate(documents(s, d)).orderBy("doc_id"),
+      Some {
+        val branches = TextAnalysis.langMarkers.map { case (lang, ms) =>
+          val set = ms.map(m => s"'$m'").mkString(", ")
+          s"SELECT doc_id, '$lang' AS cand, " +
+            s"len(list_filter(toks, x -> x IN ($set))) AS score FROM t"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH q AS (SELECT doc_id, text,
+           |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+           |    ROUND(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+           |      x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) /
+           |      GREATEST(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS stop_ratio,
+           |    ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) /
+           |      GREATEST(length(text), 1), 4) AS punct_ratio
+           |  FROM documents),
+           |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+           |  FROM documents),
+           |s AS ($branches),
+           |pl AS (SELECT doc_id, cand AS pred_lang FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+           |    ORDER BY score DESC, cand) AS rn FROM s) WHERE rn = 1),
+           |base AS (SELECT q.doc_id, q.text, q.n_tokens, pl.pred_lang,
+           |    (q.n_tokens >= 20 AND q.stop_ratio <= 0.15 AND q.punct_ratio <= 0.2) AS q_ok,
+           |    (pl.pred_lang IN ('en', 'es')) AS l_ok
+           |  FROM q JOIN pl ON q.doc_id = pl.doc_id),
+           |surv AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(
+           |    array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' '))) AS keep_id
+           |  FROM base WHERE q_ok AND l_ok)
+           |SELECT b.doc_id, b.pred_lang, b.n_tokens,
+           |  CASE WHEN NOT b.q_ok THEN 'quality'
+           |       WHEN NOT b.l_ok THEN 'language'
+           |       WHEN b.doc_id <> sv.keep_id THEN 'duplicate' END AS drop_reason
+           |FROM base b LEFT JOIN surv sv ON b.doc_id = sv.doc_id
+           |ORDER BY b.doc_id""".stripMargin
+      }),
+
     QDef("text_fingerprint",
       (s, d) => documents(s, d)
         .select(col("doc_id"), TextAnalysis.fingerprintPortable(col("text")).as("fp"))

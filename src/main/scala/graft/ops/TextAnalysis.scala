@@ -70,6 +70,37 @@ object TextAnalysis {
       .drop("scores")
   }
 
+  /** End-to-end curation: the canonical training-data filter chain, one
+    * auditable row per input doc. drop_reason (first failing rule wins):
+    *  - "quality"   — too short / too stopword-heavy / too much punctuation
+    *  - "language"  — predicted language not in the accept list
+    *  - "duplicate" — another surviving doc has the same content
+    *    fingerprint and a lower doc_id (keep-lowest-id policy)
+    *  - null        — kept.
+    *
+    * Scale: quality + language are pure per-row expressions (map-only);
+    * the dedup stage is one window over the content fingerprint of the
+    * *surviving* subset — filter first, dedup the survivors, never the
+    * raw corpus. */
+  def curate(documents: DataFrame, minTokens: Int = 20,
+      maxStopRatio: Double = 0.15, maxPunctRatio: Double = 0.2,
+      langs: Seq[String] = Seq("en", "es")): DataFrame = {
+    val base = langId(qualityFeatures(documents))
+      .withColumn("q_ok", col("n_tokens") >= minTokens &&
+        col("stop_ratio") <= maxStopRatio && col("punct_ratio") <= maxPunctRatio)
+      .withColumn("l_ok", col("pred_lang").isin(langs: _*))
+    val surv = base.filter(col("q_ok") && col("l_ok"))
+      .select(col("doc_id"),
+        min("doc_id").over(org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(concat_ws(" ", toks(lower(col("text"))))))).as("keep_id"))
+    base.join(surv, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+        when(!col("q_ok"), lit("quality"))
+          .when(!col("l_ok"), lit("language"))
+          .when(col("doc_id") =!= col("keep_id"), lit("duplicate"))
+          .as("drop_reason"))
+  }
+
   /** 64-bit content fingerprint (xxhash64 of the canonicalized token stream). */
   def fingerprint(c: Column): Column =
     xxhash64(concat_ws(" ", toks(lower(c))))
