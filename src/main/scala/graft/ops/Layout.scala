@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout management — the write-side half of scan performance.
+  *
+  * At 100 TB the fastest query is the one that never reads most of the
+  * data; that is decided when the data is WRITTEN:
+  *
+  *  - [[writePartitioned]]: hive-style directory partitioning on a
+  *    low-cardinality column ⇒ partition pruning (the scan's
+  *    `PartitionFilters`) skips whole directories.
+  *  - [[writeClustered]]: repartition on a key + sort within partitions ⇒
+  *    parquet row-group min/max stats become selective, point/range
+  *    predicates skip row groups, and downstream joins on the cluster key
+  *    see pre-sorted runs. File count is explicit — small-file storms are
+  *    a layout bug, not a tuning knob.
+  *  - [[zorder2]]: bit-interleaving of two normalized dimensions ⇒ one
+  *    sort order that preserves locality in BOTH dimensions, for tables
+  *    queried by either/both (the classic lakehouse OPTIMIZE ZORDER BY).
+  */
+object Layout {
+
+  /** Hive-style partitioned parquet write. Caller picks partition columns
+    * with few distinct values (lang, date, source) — each becomes a
+    * directory level the planner can prune without touching data. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      sortCols: Seq[String] = Nil): Unit = {
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(sortCols.map(col): _*)
+    sorted.write.partitionBy(partitionCols: _*).mode("overwrite").parquet(path)
+  }
+
+  /** Clustered write: `files` output files, co-partitioned and sorted by
+    * `keys`. Row-group stats on the sort key turn range predicates into
+    * row-group skips at read time. */
+  def writeClustered(df: DataFrame, path: String, keys: Seq[String],
+      files: Int): Unit =
+    df.repartition(files, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
+  /** 2-D Z-order (Morton) key: interleaves the low `bitsPerDim` bits of
+    * two non-negative long columns — bit i of `a` lands at 2i, bit i of
+    * `b` at 2i+1. Pure shift/or expression tree, codegen-friendly.
+    * Normalize each dimension to [0, 2^bitsPerDim) first (e.g. rank or
+    * scaled min-max) — Z-order on raw skewed values clusters poorly. */
+  def zorder2(a: Column, b: Column, bitsPerDim: Int = 16): Column = {
+    require(bitsPerDim >= 1 && bitsPerDim <= 31, "bitsPerDim in [1,31]")
+    (0 until bitsPerDim).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+}
