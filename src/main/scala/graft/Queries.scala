@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{PollaFunctions, PollaParsers}
-import graft.ops.{Consensus, Dedup, Similarity, StatePipeline, TextAnalysis}
+import graft.ops.{Consensus, Dedup, Multimodal, Similarity, StatePipeline, TextAnalysis}
 
 /** The declared-query surface (SURVEY.md §2.12 + north-star extensions).
   *
@@ -965,6 +965,30 @@ object Queries {
            |FROM base b LEFT JOIN surv sv ON b.doc_id = sv.doc_id
            |ORDER BY b.doc_id""".stripMargin
       }),
+
+    // Multimodal frame-sampling plumbing (relational half: metadata →
+    // ragged frame explosion → stride filter). The codec stub's frame
+    // counts are pure arithmetic on the synthetic metadata, so DuckDB
+    // replays them exactly; the imperative decode path is spec-pinned
+    // (ObsMultimodalSpec) instead.
+    QDef("mm_frame_sample",
+      (s, d) => {
+        val media = Multimodal.syntheticMedia(s, documents(s, d))
+        Multimodal.sampleFrames(media, new Multimodal.StubCodec(), everyNth = 2)
+          .select(col("media_id"), col("kind"),
+            col("frame_idx").cast("long").as("frame_idx"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1
+        |         ELSE GREATEST(doc_id % 6, 1) END AS n
+        |  FROM documents)
+        |SELECT media_id, kind, CAST(f AS BIGINT) AS frame_idx FROM (
+        |  SELECT media_id, kind,
+        |    unnest([i FOR i IN generate_series(0, n - 1) IF i % 2 = 0]) AS f
+        |  FROM m)
+        |ORDER BY media_id, frame_idx""".stripMargin)),
 
     QDef("text_fingerprint",
       (s, d) => documents(s, d)

@@ -81,7 +81,9 @@ object Multimodal {
   }
 
   /** Build a synthetic media table from any text corpus (UTF-8 bytes as
-    * blobs) — lets the plumbing be exercised against driver test data. */
+    * blobs) — lets the plumbing be exercised against driver test data.
+    * Audio durations vary by id (500 + (id mod 6)·1000 ms ⇒ frameCount
+    * max(1, id mod 6)) so frame-level ops exercise ragged frame counts. */
   def syntheticMedia(spark: SparkSession, documents: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -89,7 +91,8 @@ object Multimodal {
         MediaRow(id, if (id % 2 == 0) "image" else "audio",
           text.getBytes("UTF-8"),
           MediaMeta(if (id % 2 == 0) "png" else "wav",
-            (id % 64).toInt + 1, 32, if (id % 2 == 0) 0L else 2500L))
+            (id % 64).toInt + 1, 32,
+            if (id % 2 == 0) 0L else 500L + (id % 6) * 1000L))
       }
   }
 }

@@ -95,6 +95,9 @@ class ObsMultimodalSpec extends SparkSpec {
         countDistinct(col("media_id")).as("docs")).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(byKind("image")._1 == byKind("image")._2) // 1 frame per image
-    assert(byKind("audio")._1 == byKind("audio")._2 * 2) // 2500ms → 2 frames
+    // audio frames are ragged: max(1, id % 6) per doc
+    val audioIds = docs.collect().map(_.getLong(0)).filter(_ % 2 == 1)
+    val expectedAudio = audioIds.map(id => math.max(1, id % 6)).sum
+    assert(byKind("audio")._1 == expectedAudio)
   }
 }
