@@ -966,6 +966,41 @@ object Queries {
            |ORDER BY b.doc_id""".stripMargin
       }),
 
+    // ---- Q39: time-series resample with gap fill — dense 5-min grid per
+    // event type (min..max bucket), empty buckets as explicit zero rows.
+    // The grid is built from a 1-row min/max aggregate cross-joined with
+    // the distinct type set (broadcast both ways at any scale); only the
+    // final left join shuffles, on (type, bucket). ----
+    QDef("q39_resample_gapfill",
+      (s, d) => {
+        val e = events(s, d).select(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 300) * 300).cast("long").as("b"),
+          col("value"))
+        val agg = e.groupBy("event_type", "b")
+          .agg(count(lit(1)).as("n"), decSum2(col("value")).as("sum_v"))
+        val grid = e.select("event_type").distinct()
+          .crossJoin(e.agg(min("b").as("mn"), max("b").as("mx"))
+            .select(explode(sequence(col("mn"), col("mx"), lit(300L))).as("b")))
+        grid.join(agg, Seq("event_type", "b"), "left")
+          .select(col("event_type"), col("b").as("bucket_epoch"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("sum_v"), lit(0.0)).as("sum_v"))
+          .orderBy("event_type", "bucket_epoch")
+      },
+      Some("""WITH e AS (SELECT event_type,
+        |    CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b, value FROM events),
+        |agg AS (SELECT event_type, b, COUNT(*) AS n,
+        |    CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_v
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT MIN(b) AS mn, MAX(b) AS mx FROM e),
+        |grid AS (SELECT t.event_type, g.g AS b
+        |  FROM (SELECT DISTINCT event_type FROM e) t
+        |  CROSS JOIN (SELECT unnest(generate_series(mn, mx, 300)) AS g FROM r) g)
+        |SELECT grid.event_type, grid.b AS bucket_epoch,
+        |  COALESCE(agg.n, 0) AS n, COALESCE(agg.sum_v, 0.0) AS sum_v
+        |FROM grid LEFT JOIN agg ON grid.event_type = agg.event_type AND grid.b = agg.b
+        |ORDER BY grid.event_type, bucket_epoch""".stripMargin)),
+
     // Multimodal frame-sampling plumbing (relational half: metadata →
     // ragged frame explosion → stride filter). The codec stub's frame
     // counts are pure arithmetic on the synthetic metadata, so DuckDB

@@ -54,6 +54,28 @@ object EventStreams {
     events.withWatermark("ts", lateness)
       .dropDuplicates("user_id", "event_type")
 
+  /** Stream-stream interval join: pair each left event with right-stream
+    * events for the same user arriving within `within` AFTER it.
+    *
+    * Both sides carry watermarks, so the join state is bounded: a left
+    * row is held only until `l_ts + within` passes the right watermark,
+    * then evicted — no unbounded buffering at any scale. The time bound
+    * must live in the join condition (an equi-join alone would force
+    * Spark to keep all history). Output: user_id, l_type/l_ts, r_type/
+    * r_ts, lag_sec. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      within: String = "15 minutes", lateness: String = "30 minutes"): DataFrame = {
+    val l = left.select(col("user_id"), col("ts").as("l_ts"),
+      col("event_type").as("l_type")).withWatermark("l_ts", lateness)
+    val r = right.select(col("user_id").as("r_user_id"), col("ts").as("r_ts"),
+      col("event_type").as("r_type")).withWatermark("r_ts", lateness)
+    l.join(r, expr(
+        s"user_id = r_user_id AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL $within"))
+      .select(col("user_id"), col("l_type"), col("l_ts"),
+        col("r_type"), col("r_ts"),
+        (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts"))).as("lag_sec"))
+  }
+
   /** One pozo snapshot arriving on the stream. */
   case class PozoUpdate(sorteo: Long, fecha: String, sha256: String,
       montos: Map[String, Long], ts: java.sql.Timestamp)

@@ -97,4 +97,34 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(0).getAs[Long]("n_events") == 2L)
     assert(sessions(1).getAs[Long]("n_events") == 1L)
   }
+
+  test("stream-stream interval join pairs events within the bound only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val q = EventStreams.intervalJoin(views.toDF(), buys.toDF(),
+        within = "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      views.addData(Ev(ts(0), 1, "view", 0), Ev(ts(0), 2, "view", 0))
+      buys.addData(
+        Ev(ts(5), 1, "buy", 0),    // within 10m of user 1's view → match
+        Ev(ts(20), 2, "buy", 0),   // 20m after user 2's view → outside bound
+        Ev(ts(6), 3, "buy", 0))    // no left side → no match
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      views.addData(Ev(ts(120), 9, "view", 0))
+      buys.addData(Ev(ts(120), 9, "buy", 0))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin")
+        .select("user_id", "l_type", "r_type", "lag_sec").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      assert(rows.count(_._1 == 1L) == 1)
+      assert(rows.find(_._1 == 1L).get == ((1L, "view", "buy", 300L)))
+      assert(!rows.exists(_._1 == 2L)) // outside the interval
+      assert(!rows.exists(_._1 == 3L)) // unmatched right
+    } finally q.stop()
+  }
 }
