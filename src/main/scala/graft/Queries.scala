@@ -966,6 +966,32 @@ object Queries {
            |ORDER BY b.doc_id""".stripMargin
       }),
 
+    // ---- Q40: explicit GROUPING SETS with grouping() disambiguation —
+    // the general form behind rollup (q11) and cube (q28): two chosen
+    // grouping combinations in ONE pass (Expand + single aggregate). ----
+    QDef("q40_grouping_sets",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+        s.sql("""SELECT COALESCE(l_returnflag, '_') AS l_returnflag,
+          |COALESCE(l_linestatus, '_') AS l_linestatus,
+          |CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+          |CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+          |COUNT(*) AS n,
+          |CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS q
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT COALESCE(l_returnflag, '_') AS l_returnflag,
+        |COALESCE(l_linestatus, '_') AS l_linestatus,
+        |CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+        |COUNT(*) AS n,
+        |CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS q
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
     // ---- Q39: time-series resample with gap fill — dense 5-min grid per
     // event type (min..max bucket), empty buckets as explicit zero rows.
     // The grid is built from a 1-row min/max aggregate cross-joined with

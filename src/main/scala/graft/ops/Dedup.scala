@@ -174,6 +174,39 @@ object Dedup {
   /** Distinct-token set column, shared by jaccard producers. */
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
+  /** Incremental-dedup prefilter: split a new batch against a (possibly
+    * huge) historical corpus WITHOUT joining the whole batch.
+    *
+    * A Bloom filter over the corpus's content hashes is built
+    * distributively (`DataFrameStatFunctions.bloomFilter` tree-aggregates
+    * partial filters; only the compact bitset reaches the driver) and
+    * broadcast into a map-side membership test. Rows the filter rejects
+    * are DEFINITELY new — they skip the verification join entirely. Only
+    * the "maybe" fraction (true dups + fpp false positives) joins against
+    * the corpus hashes for exact confirmation.
+    *
+    * At 100 TB this is the difference between shuffling the full batch
+    * against the corpus and shuffling a few percent of it: the expensive
+    * side of the join shrinks by the novelty rate of the batch.
+    * Output: batch rows + is_known (exact, no false positives). */
+  def bloomPrefilter(batch: DataFrame, corpus: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val h = md5(trim(lower(col("text"))))
+    val corpusH = corpus.select(h.as("h"))
+    val bloom = corpusH.stat.bloomFilter("h", expectedItems, fpp)
+    val bloomB = batch.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => bloomB.value.mightContainString(s))
+    val tagged = batch.withColumn("h", h)
+      .withColumn("maybe", mightContain(col("h")))
+    // verification join on the maybe-subset only; anti side is exact-new
+    val confirmed = tagged.filter(col("maybe"))
+      .join(corpusH.distinct().withColumn("is_known", lit(true)), Seq("h"), "left")
+      .withColumn("is_known", coalesce(col("is_known"), lit(false)))
+    val definiteNew = tagged.filter(!col("maybe"))
+      .withColumn("is_known", lit(false))
+    confirmed.unionByName(definiteNew).drop("maybe", "h")
+  }
+
   /** Connected components over an undirected edge list (columns u, v) by
     * iterative min-label propagation: every node adopts the smallest label
     * among itself and its neighbors until a fixpoint. Output: (node,

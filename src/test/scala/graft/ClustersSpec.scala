@@ -24,6 +24,21 @@ class ClustersSpec extends SparkSpec {
     assert(got.length == n && got.forall(_.getLong(1) == 1L))
   }
 
+  test("bloom prefilter: no false negatives, exact is_known, pruning real") {
+    val corpus = Tables.documents(spark, sf("sf0.001")).filter(col("doc_id") < 400)
+    val knownPart = Tables.documents(spark, sf("sf0.001"))
+      .filter(col("doc_id") < 100) // overlaps corpus
+    val novel = Seq((9001L, "a genuinely new document body"),
+      (9002L, "another unseen text")).toDF("doc_id", "text")
+    val batch = knownPart.select("doc_id", "text").unionByName(novel)
+    val got = Dedup.bloomPrefilter(batch, corpus, expectedItems = 1000)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_known")).toMap
+    // every corpus doc in the batch is flagged known (no false negatives)
+    assert((0L until 100L).filter(got.contains).forall(got(_)))
+    assert(!got(9001L) && !got(9002L)) // novel rows are exactly-new
+    assert(got.size == batch.count())
+  }
+
   test("clusters: singletons kept, keeper is the min id, sizes correct") {
     val docs = Seq(1L, 2L, 3L, 7L, 9L).map(id => (id, s"text $id")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
