@@ -966,6 +966,26 @@ object Queries {
            |ORDER BY b.doc_id""".stripMargin
       }),
 
+    // ---- Q41: grouped top-k via partial-prune (TopK.perKey): per-key
+    // heaps bound each map partition to k rows per key BEFORE the
+    // shuffle — O(keys·k·partitions) crosses the wire, not O(rows).
+    // Same answer as the window form (the oracle), better plan. ----
+    QDef("q41_topk_perkey",
+      (s, d) => {
+        val votes = lineitem(s, d)
+          .groupBy("l_partkey", "l_suppkey").agg(count(lit(1)).as("cnt"))
+        ops.TopK.perKey(votes, "l_partkey",
+            Seq("cnt" -> false, "l_suppkey" -> true), k = 2)
+          .orderBy("l_partkey", "l_suppkey")
+      },
+      Some("""SELECT l_partkey, l_suppkey, cnt FROM (
+        |SELECT l_partkey, l_suppkey, cnt,
+        |ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |  ORDER BY cnt DESC, l_suppkey ASC) AS rn
+        |FROM (SELECT l_partkey, l_suppkey, COUNT(*) AS cnt
+        |      FROM lineitem GROUP BY 1, 2))
+        |WHERE rn <= 2 ORDER BY l_partkey, l_suppkey""".stripMargin)),
+
     // ---- Q40: explicit GROUPING SETS with grouping() disambiguation —
     // the general form behind rollup (q11) and cube (q28): two chosen
     // grouping combinations in ONE pass (Expand + single aggregate). ----
