@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{PollaFunctions, PollaParsers}
-import graft.ops.{Consensus, Dedup, Multimodal, Similarity, StatePipeline, TextAnalysis}
+import graft.ops.{Consensus, Dedup, Multimodal, Sampling, Similarity, StatePipeline, TextAnalysis}
 
 /** The declared-query surface (SURVEY.md §2.12 + north-star extensions).
   *
@@ -1046,6 +1046,34 @@ object Queries {
         |  COALESCE(agg.n, 0) AS n, COALESCE(agg.sum_v, 0.0) AS sum_v
         |FROM grid LEFT JOIN agg ON grid.event_type = agg.event_type AND grid.b = agg.b
         |ORDER BY grid.event_type, bucket_epoch""".stripMargin)),
+
+    // Deterministic hash split: every row's fate is a pure function of
+    // its key — reproducible across reruns/cluster sizes/engines, unlike
+    // RNG sampling. Oracle replays the md5 bucket arithmetic.
+    QDef("sample_hash_split",
+      (s, d) => Sampling.hashSplit(documents(s, d), "doc_id")
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split"),
+      Some("""SELECT CASE WHEN CAST(('0x'||substr(md5('split:' || CAST(doc_id AS VARCHAR)),1,15))
+        |    AS BIGINT) % 100 < 80 THEN 'train' ELSE 'val' END AS split,
+        |  COUNT(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // Per-shard token-budget packing (streaming-concat approximation):
+    // hash-shard, then a per-shard running token sum assigns sequence
+    // ids. Packing is sequential by nature — sharding IS the scale knob.
+    QDef("sample_pack_budget",
+      (s, d) => Sampling.packByBudget(documents(s, d), budgetTokens = 512,
+          nShards = 8)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 8 AS shard
+        |  FROM documents)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+        |    - n_tokens AS DOUBLE) / 512) AS BIGINT) AS seq_id
+        |FROM t ORDER BY doc_id""".stripMargin)),
 
     // Multimodal frame-sampling plumbing (relational half: metadata →
     // ragged frame explosion → stride filter). The codec stub's frame

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting/packing for training-data pipelines.
+  *
+  * Everything here is HASH-driven, never RNG-driven: `sample()` and
+  * `sampleBy()` draw from per-partition RNG streams, so their output
+  * depends on partitioning and run order — unacceptable for a split that
+  * must be reproducible across reruns, cluster sizes, and engines. A
+  * content/key hash gives every row a stable fate, makes splits exactly
+  * disjoint, and lets any other engine reproduce the assignment.
+  */
+object Sampling {
+
+  /** Stable per-row bucket in [0, 100) from the key column (md5-derived,
+    * engine-portable — DuckDB: `CAST('0x'||substr(md5(..),1,15) AS
+    * BIGINT) % 100`). A salt keeps independent splits independent. */
+  def hashBucket(key: Column, salt: String): Column =
+    pmod(Dedup.md5Long(concat(lit(salt + ":"), key.cast("string"))), lit(100L))
+
+  /** Deterministic train/val split: rows with bucket < trainPct train,
+    * the rest val. Disjoint, exhaustive, stable under any partitioning. */
+  def hashSplit(df: DataFrame, key: String, trainPct: Int = 80,
+      salt: String = "split"): DataFrame =
+    df.withColumn("split",
+      when(hashBucket(col(key), salt) < trainPct, lit("train"))
+        .otherwise(lit("val")))
+
+  /** Pack documents into training sequences of ≤ `budgetTokens` tokens
+    * (boundary-crossing docs open the next sequence — the standard
+    * streaming-concat approximation).
+    *
+    * Scale: packing is inherently sequential, so it is done PER SHARD —
+    * rows are hash-sharded first, each shard packs independently under a
+    * window ordered by doc_id. One shuffle on shard id, bounded state per
+    * window; nShards is the parallelism knob. A single global packing
+    * order would serialize the whole corpus through one partition.
+    * Output: doc_id, shard, n_tokens, seq_id (per-shard sequence index). */
+  def packByBudget(documents: DataFrame, budgetTokens: Long,
+      nShards: Int = 64, textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    documents
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .withColumn("shard", pmod(Dedup.md5Long(col("doc_id").cast("string")), lit(nShards.toLong)))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")).cast("double") / budgetTokens)
+          .cast("long").as("seq_id"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+
+/** Hash-driven sampling: stable, disjoint, partition-invariant. */
+class SamplingSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf("sf0.001"))
+
+  test("hash split is deterministic and partition-invariant") {
+    val a = Sampling.hashSplit(docs.repartition(1), "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.hashSplit(docs.repartition(13), "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+    // roughly 80/20 (hash uniformity; generous bounds for 500 docs)
+    val train = a.values.count(_ == "train")
+    assert(train > 350 && train < 450, train.toString)
+  }
+
+  test("independent salts give independent splits") {
+    val s1 = Sampling.hashSplit(docs, "doc_id", salt = "a")
+      .filter(col("split") === "train").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSplit(docs, "doc_id", salt = "b")
+      .filter(col("split") === "train").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 != s2) // different salts reshuffle membership
+    val overlap = (s1 & s2).size.toDouble / s1.size
+    assert(overlap > 0.6 && overlap < 0.95, overlap.toString) // ~0.8 expected
+  }
+
+  test("budget packing: sequences respect the budget boundary rule") {
+    val packed = Sampling.packByBudget(docs, budgetTokens = 200, nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // within each (shard, seq), total tokens of all docs EXCEPT the last
+    // stays under budget (the last doc may cross the boundary)
+    packed.groupBy(p => (p._2, p._4)).foreach { case ((shard, seq), rows) =>
+      val sorted = rows.sortBy(_._1)
+      val exceptLast = sorted.dropRight(1).map(_._3).sum
+      assert(exceptLast < 200, s"shard $shard seq $seq overfilled: $exceptLast")
+    }
+    // seq ids are dense from 0 per shard
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      val seqs = rows.map(_._4).distinct.sorted.toSeq
+      assert(seqs == (0L until seqs.length.toLong).toList)
+    }
+  }
+}
