@@ -77,4 +77,36 @@ class PlanSpec extends SparkSpec {
     val p = planOf("dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct"), "LSH must join on band hash, not cross")
   }
+
+  test("q39 resample: 1-row range and type set broadcast into the grid") {
+    val p = planOf("q39_resample_gapfill")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "grid construction must broadcast the tiny sides")
+    assert(!p.contains("CartesianProduct"), "grid cross join must not be a shuffled cartesian")
+  }
+
+  test("curation: quality+language stay in one map stage (no extra shuffle)") {
+    val p = planOf("text_curation")
+    // one shuffle for the survivor window, one for the left join back —
+    // the per-row feature/lang expressions must NOT introduce exchanges
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 3, s"curation shuffles too much ($exchanges):\n${p.take(1200)}")
+  }
+
+  test("sample queries: hash split is map-only before its aggregate") {
+    val p = planOf("sample_hash_split")
+    // exactly one exchange — the groupBy(split); the split assignment
+    // itself is a pure projection
+    val exchanges = p.split("Exchange").length - 1
+    assert(exchanges <= 2, s"hash split must not shuffle to assign buckets:\n${p.take(1200)}")
+  }
+
+  test("minhash signatures: one aggregate, no per-permutation explode") {
+    val df = graft.ops.Dedup.minhashSignatures(
+      Tables.documents(spark, sf("sf0.001")), perms = 64)
+    val p = df.queryExecution.executedPlan.toString
+    // single ObjectHashAggregate pair (partial+final), one exchange
+    assert(p.contains("ObjectHashAggregate"), "sketch agg should be object hash aggregate")
+    assert(p.split("Exchange").length - 1 == 1, "exactly one shuffle for signatures")
+  }
 }
