@@ -966,6 +966,37 @@ object Queries {
            |ORDER BY b.doc_id""".stripMargin
       }),
 
+    // ---- Q42: FULL OUTER join — both unmatched sides surface (the one
+    // join shape q03-q35 didn't cover). Null keys coalesce for a total
+    // sort order. ----
+    QDef("q42_full_outer",
+      (s, d) => {
+        val custTotals = orders(s, d).groupBy("o_custkey")
+          .agg(decSum2(col("o_totalprice")).as("spend"))
+        val bigCust = customer(s, d)
+          .filter(col("c_acctbal") > 9000)
+          .select(col("c_custkey"), col("c_name"))
+        bigCust.join(custTotals, col("c_custkey") === col("o_custkey"), "full_outer")
+          .filter(col("c_custkey").isNull || col("o_custkey").isNull)
+          .select(
+            coalesce(col("c_custkey"), lit(-1L)).as("c_custkey"),
+            coalesce(col("o_custkey"), lit(-1L)).as("o_custkey"),
+            coalesce(col("c_name"), lit("_")).as("c_name"),
+            coalesce(col("spend"), lit(0.0)).as("spend"))
+          .orderBy("c_custkey", "o_custkey")
+      },
+      Some("""WITH t AS (SELECT o_custkey,
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000)
+        |SELECT COALESCE(c_custkey, -1) AS c_custkey,
+        |  COALESCE(o_custkey, -1) AS o_custkey,
+        |  COALESCE(c_name, '_') AS c_name,
+        |  COALESCE(spend, 0.0) AS spend
+        |FROM b FULL OUTER JOIN t ON b.c_custkey = t.o_custkey
+        |WHERE c_custkey IS NULL OR o_custkey IS NULL
+        |ORDER BY 1, 2""".stripMargin)),
+
     // ---- Q41: grouped top-k via partial-prune (TopK.perKey): per-key
     // heaps bound each map partition to k rows per key BEFORE the
     // shuffle — O(keys·k·partitions) crosses the wire, not O(rows).

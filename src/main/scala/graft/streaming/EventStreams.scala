@@ -76,6 +76,14 @@ object EventStreams {
         (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts"))).as("lag_sec"))
   }
 
+  /** Stream-static enrichment: join each arriving event against a static
+    * (batch) dimension. The static side is broadcast — no streaming
+    * state at all, and the dimension is re-resolved per micro-batch, so
+    * a dimension refresh (e.g. an updated user table) is picked up
+    * without restarting the query. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** One pozo snapshot arriving on the stream. */
   case class PozoUpdate(sorteo: Long, fecha: String, sha256: String,
       montos: Map[String, Long], ts: java.sql.Timestamp)

@@ -98,6 +98,24 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(1).getAs[Long]("n_events") == 1L)
   }
 
+  test("stream-static enrich broadcasts the dim, unmatched keys survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Ev]
+    val q = EventStreams.enrich(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(ts(0), 1, "view", 1.0), Ev(ts(1), 7, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").select("user_id", "tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows(1L).contains("gold"))
+      assert(rows(7L).isEmpty) // left join keeps unmatched events
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs events within the bound only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
