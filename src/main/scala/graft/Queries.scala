@@ -997,15 +997,17 @@ object Queries {
         |WHERE c_custkey IS NULL OR o_custkey IS NULL
         |ORDER BY 1, 2""".stripMargin)),
 
-    // ---- Q41: grouped top-k via partial-prune (TopK.perKey): per-key
+    // ---- Q41: grouped top-k as a NATIVE operator (custom LogicalPlan +
+    // Strategy + two-stage SparkPlan, plans/GroupedTopK.scala): per-key
     // heaps bound each map partition to k rows per key BEFORE the
     // shuffle — O(keys·k·partitions) crosses the wire, not O(rows).
-    // Same answer as the window form (the oracle), better plan. ----
+    // Same answer as the window form (the oracle), better plan. The
+    // composition form (ops.TopK.perKey) is pinned by TopKSpec. ----
     QDef("q41_topk_perkey",
       (s, d) => {
         val votes = lineitem(s, d)
           .groupBy("l_partkey", "l_suppkey").agg(count(lit(1)).as("cnt"))
-        ops.TopK.perKey(votes, "l_partkey",
+        plans.GroupedTopK.perKey(votes, "l_partkey",
             Seq("cnt" -> false, "l_suppkey" -> true), k = 2)
           .orderBy("l_partkey", "l_suppkey")
       },

@@ -88,6 +88,7 @@ object RewriteVectorFolds extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RewriteVectorFolds)
+    e.injectPlannerStrategy(_ => GroupedTopKStrategy)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
         new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
