@@ -446,6 +446,29 @@ object Queries {
         |ROUND(quantile_cont(value, 0.99), 2) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- Q43: quantile sketch, q33-style — the sketch value itself is
+    // engine/merge-order specific, so the declared output is the exact
+    // percentile plus an in-query assertion that the sketch landed within
+    // its documented error (approx_percentile accuracy 1000 ⇒ ~0.1%
+    // rank error; 2% value headroom covers it on any partitioning). ----
+    QDef("q43_approx_percentile",
+      (s, d) => events(s, d)
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 2).as("exact_p50"),
+          expr("approx_percentile(value, 0.5, 1000)").as("ap"),
+          round(expr("percentile(value, 0.95)"), 2).as("exact_p95"),
+          expr("approx_percentile(value, 0.95, 1000)").as("ap95"))
+        .select(col("event_type"), col("exact_p50"), col("exact_p95"),
+          ((abs(col("ap") - col("exact_p50")) <=
+            greatest(abs(col("exact_p50")) * 0.02, lit(0.5))) &&
+           (abs(col("ap95") - col("exact_p95")) <=
+            greatest(abs(col("exact_p95")) * 0.02, lit(0.5)))).as("sketch_in_bounds"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, ROUND(quantile_cont(value, 0.5), 2) AS exact_p50,
+        |ROUND(quantile_cont(value, 0.95), 2) AS exact_p95,
+        |true AS sketch_in_bounds
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- Q28: cube (full grouping-set lattice) ----
     QDef("q28_cube",
       (s, d) => lineitem(s, d)

@@ -190,9 +190,17 @@ object Dedup {
     * side of the join shrinks by the novelty rate of the batch.
     * Output: batch rows + is_known (exact, no false positives). */
   def bloomPrefilter(batch: DataFrame, corpus: DataFrame,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    bloomPrefilterHashes(batch,
+      corpus.select(md5(trim(lower(col("text")))).as("h")), expectedItems, fpp)
+
+  /** As [[bloomPrefilter]], but against an already-hashed corpus (column
+    * `h` = md5 of canonical text) — the shape the incremental loop uses,
+    * where only the compact hash state survives between runs. */
+  def bloomPrefilterHashes(batch: DataFrame, corpusHashes: DataFrame,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val h = md5(trim(lower(col("text"))))
-    val corpusH = corpus.select(h.as("h"))
+    val corpusH = corpusHashes.select(col("h"))
     val bloom = corpusH.stat.bloomFilter("h", expectedItems, fpp)
     val bloomB = batch.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((s: String) => bloomB.value.mightContainString(s))
