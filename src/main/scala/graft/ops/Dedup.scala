@@ -96,15 +96,30 @@ object Dedup {
 
   /** MinHash-LSH candidate pairs with estimated Jaccard.
     * Output: doc_a, doc_b, est_jaccard (fraction of agreeing minhashes). */
+  /** `maxBucket`: drop LSH buckets holding more than this many docs
+    * before the self-join. A hot band (e.g. a boilerplate shingle set
+    * shared by 10⁵ docs) otherwise goes quadratic in ONE task — the
+    * classic LSH skew failure at scale. Docs in an overflowing bucket
+    * still pair through their 15 other bands; buckets that large signal
+    * near-identical boilerplate better handled by exact dedup anyway.
+    * Default None preserves exact declared-query semantics. */
   def minhashCandidates(documents: DataFrame, perms: Int = 64, bands: Int = 16,
-      minEst: Double = 0.0, portable: Boolean = false): DataFrame = {
+      minEst: Double = 0.0, portable: Boolean = false,
+      maxBucket: Option[Int] = None): DataFrame = {
     val rows = perms / bands
     val sigs = minhashSignatures(documents, perms, portable)
-    val banded = sigs.select(
+    val bandedAll = sigs.select(
       col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
         .as(Seq("band", "band_hash")))
+    val banded = maxBucket match {
+      case None => bandedAll
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")
+        bandedAll.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= cap).drop("__bn")
+    }
     val a = banded.select(col("band"), col("band_hash"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("band_hash"),

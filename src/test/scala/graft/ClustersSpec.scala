@@ -24,6 +24,18 @@ class ClustersSpec extends SparkSpec {
     assert(got.length == n && got.forall(_.getLong(1) == 1L))
   }
 
+  test("LSH hot-bucket cap: capped run is a subset, hot buckets skipped") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val all = Dedup.minhashCandidates(docs, minEst = 0.25)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashCandidates(docs, minEst = 0.25, maxBucket = Some(3))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(all))
+    // a tight cap on this corpus must actually drop something (hot
+    // buckets exist), while pairs sharing a quiet band survive
+    assert(capped.size < all.size)
+  }
+
   test("bloom prefilter: no false negatives, exact is_known, pruning real") {
     val corpus = Tables.documents(spark, sf("sf0.001")).filter(col("doc_id") < 400)
     val knownPart = Tables.documents(spark, sf("sf0.001"))
