@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, RowOrdering, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Grouped top-k as a first-class operator: custom logical node, planner
+  * strategy, and a two-stage physical implementation.
+  *
+  * This is the whole-operator form of [[graft.ops.TopK.perKey]]
+  * (preference ladder: compose built-ins → custom Expression → custom
+  * LogicalPlan + Strategy + SparkPlan). The physical pipeline is
+  *
+  *   [[PartialTopKExec]]  — bounded per-key heaps inside every input
+  *     partition, over raw InternalRows (no encoder round-trip); emits
+  *     ≤ k rows per key per partition.
+  *   [[ExactTopKExec]]    — declares `ClusteredDistribution(key)` and a
+  *     (key, ordering) child ordering; Spark's EnsureRequirements then
+  *     inserts exactly the hash exchange + sort this operator needs —
+  *     the operator states WHAT it requires, the planner owns HOW.
+  *     Emits the first k rows of each key run.
+  *
+  * What crosses the exchange is O(keys·k·partitions), not O(rows) — the
+  * same pruning argument as TopK.perKey, but with operator-level control:
+  * no Row encoders, no window machinery, and a plan that reads as what
+  * it is (`ExactTopK ← Sort ← Exchange ← PartialTopK`).
+  */
+case class GroupedTopKNode(key: Attribute, ordering: Seq[SortOrder], k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupedTopKNode =
+    copy(child = newChild)
+}
+
+object GroupedTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupedTopKNode(key, ordering, k, child) =>
+      ExactTopKExec(key, ordering, k,
+        PartialTopKExec(key, ordering, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Map-side prune: ≤ k rows per key per partition, bounded heaps. */
+case class PartialTopKExec(key: Attribute, ordering: Seq[SortOrder], k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val boundKey = BindReferences.bindReference(key: Expression, child.output)
+    val sortExprs = ordering.map(so =>
+      so.copy(child = BindReferences.bindReference(so.child, child.output)))
+    child.execute().mapPartitions ({ rows =>
+      val ord = RowOrdering.create(sortExprs, Nil).asInstanceOf[Ordering[InternalRow]]
+      // max-heap on "worst kept": a better arrival evicts the head
+      val heaps = scala.collection.mutable.Map
+        .empty[Any, scala.collection.mutable.PriorityQueue[InternalRow]]
+      rows.foreach { r =>
+        // copy: eval over UnsafeRow may return buffer-backed values
+        val kv = InternalRow.copyValue(boundKey.eval(r))
+        val h = heaps.getOrElseUpdate(kv,
+          scala.collection.mutable.PriorityQueue.empty[InternalRow](ord))
+        if (h.size < k) h.enqueue(r.copy())
+        else if (ord.lt(r, h.head)) { h.dequeue(); h.enqueue(r.copy()) }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+  }
+}
+
+/** Reduce side: requires clustering on the key and a (key, ordering)
+  * sort — EnsureRequirements materializes both — then emits the first k
+  * rows of every key run. */
+case class ExactTopKExec(key: Attribute, ordering: Seq[SortOrder], k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: SparkPlan): ExactTopKExec =
+    copy(child = newChild)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(key)) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(SortOrder(key, Ascending) +: ordering)
+  override def outputOrdering: Seq[SortOrder] = SortOrder(key, Ascending) +: ordering
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val boundKey = BindReferences.bindReference(key: Expression, child.output)
+    child.execute().mapPartitions ({ rows =>
+      var currentKey: Any = null
+      var started = false
+      var emitted = 0
+      rows.filter { r =>
+        val kv = InternalRow.copyValue(boundKey.eval(r))
+        if (!started || kv != currentKey) {
+          started = true; currentKey = kv; emitted = 0
+        }
+        emitted += 1
+        emitted <= k
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
+object GroupedTopK {
+
+  /** Top `k` rows per `key` under `sortCols` = (name, ascending), as a
+    * native operator. Registers the strategy on the session (idempotent —
+    * `extraStrategies` is also injected by [[GraftExtensions]]). */
+  def perKey(df: DataFrame, key: String, sortCols: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    val plan = df.queryExecution.analyzed
+    val keyAttr = plan.output.find(_.name == key).getOrElse(
+      throw new IllegalArgumentException(s"no column $key"))
+    val ordering = sortCols.map { case (n, asc) =>
+      val a = plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n"))
+      SortOrder(a, if (asc) Ascending
+        else org.apache.spark.sql.catalyst.expressions.Descending)
+    }
+    GraftColumnBridge.ofRows(spark, GroupedTopKNode(keyAttr, ordering, k, plan))
+  }
+}
