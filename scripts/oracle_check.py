@@ -48,7 +48,13 @@ for qdir in sorted(Path(out_dir).iterdir()):
     except Exception as e:
         fails.append((name, f"oracle SQL error: {e}"))
         continue
-    s, d = canon(spark_df), canon(duck_df)
+    try:
+        s, d = canon(spark_df), canon(duck_df)
+    except Exception as e:
+        # unsortable cell types (e.g. ndarray columns) fail THIS query's
+        # compare, not the whole gate
+        fails.append((name, f"uncanonicalizable result: {e}"))
+        continue
     if list(s.columns) != list(d.columns):
         fails.append((name, f"columns spark={list(s.columns)} duck={list(d.columns)}"))
         continue

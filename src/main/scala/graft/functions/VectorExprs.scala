@@ -42,8 +42,8 @@ abstract class VecFoldExpr extends BinaryExpression {
   /** Scala form of the per-element term, for interpreted eval. */
   protected def term(x: Double, y: Double): Double
 
-  /** Java source of the per-element term over variables `x` and `y`. */
-  protected def termCode: String
+  /** Java source of the per-element term over the given local names. */
+  protected def termCode(x: String, y: String): String
 
   protected override def nullSafeEval(leftV: Any, rightV: Any): Any = {
     val a = leftV.asInstanceOf[ArrayData]
@@ -65,6 +65,8 @@ abstract class VecFoldExpr extends BinaryExpression {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val sum = ctx.freshName("sum")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -73,9 +75,9 @@ abstract class VecFoldExpr extends BinaryExpression {
          |  double $sum = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    final double x = $a.getDouble($i);
-         |    final double y = $b.getDouble($i);
-         |    $sum += $termCode;
+         |    final double $x = $a.getDouble($i);
+         |    final double $y = $b.getDouble($i);
+         |    $sum += ${termCode(x, y)};
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $sum;
          |}
@@ -87,7 +89,7 @@ abstract class VecFoldExpr extends BinaryExpression {
 case class VecDot(left: Expression, right: Expression) extends VecFoldExpr {
   override def prettyName: String = "vec_dot"
   protected def term(x: Double, y: Double): Double = x * y
-  protected val termCode: String = "x * y"
+  protected def termCode(x: String, y: String): String = s"$x * $y"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
     copy(left = l, right = r)
 }
@@ -96,7 +98,7 @@ case class VecDot(left: Expression, right: Expression) extends VecFoldExpr {
 case class VecSqDist(left: Expression, right: Expression) extends VecFoldExpr {
   override def prettyName: String = "vec_sqdist"
   protected def term(x: Double, y: Double): Double = (x - y) * (x - y)
-  protected val termCode: String = "(x - y) * (x - y)"
+  protected def termCode(x: String, y: String): String = s"($x - $y) * ($x - $y)"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSqDist =
     copy(left = l, right = r)
 }

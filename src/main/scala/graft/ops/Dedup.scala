@@ -215,10 +215,13 @@ object Dedup {
   def bloomPrefilterHashes(batch: DataFrame, corpusHashes: DataFrame,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val h = md5(trim(lower(col("text"))))
-    val corpusH = corpusHashes.select(col("h"))
+    // null hashes (null text) can't be bloom-tested: drop them from the
+    // build and classify null-text batch rows as not-known
+    val corpusH = corpusHashes.select(col("h")).filter(col("h").isNotNull)
     val bloom = corpusH.stat.bloomFilter("h", expectedItems, fpp)
     val bloomB = batch.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) => bloomB.value.mightContainString(s))
+    val mightContain = udf((s: String) =>
+      s != null && bloomB.value.mightContainString(s))
     val tagged = batch.withColumn("h", h)
       .withColumn("maybe", mightContain(col("h")))
     // verification join on the maybe-subset only; anti side is exact-new

@@ -32,12 +32,16 @@ object IncrementalDedup {
         // bloom over the compact state hashes, then exact verify
         Dedup.bloomPrefilterHashes(batch, state.select("h"), expectedCorpus)
     }
+    // materialize ONCE before committing: the caller must see exactly the
+    // rows whose hashes were written, not a lazy plan that re-reads the
+    // batch source after the commit
     val fresh = known.filter(!col("is_known"))
       .withColumn("h", md5(trim(lower(col("text")))))
       .withColumn("keep_id", min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .filter(col("doc_id") === col("keep_id"))
       .drop("keep_id", "is_known")
+      .localCheckpoint()
     val version = StateTable.upsert(spark, stateRoot,
       fresh.select(col("h"), col("doc_id").as("keeper_id")), Seq("h"))
     (fresh.drop("h"), version)

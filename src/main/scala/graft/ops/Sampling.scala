@@ -28,9 +28,12 @@ object Sampling {
       when(hashBucket(col(key), salt) < trainPct, lit("train"))
         .otherwise(lit("val")))
 
-  /** Pack documents into training sequences of ≤ `budgetTokens` tokens
-    * (boundary-crossing docs open the next sequence — the standard
-    * streaming-concat approximation).
+  /** Pack documents into training sequences by start offset: a doc joins
+    * the sequence its running-sum start position falls in, so every
+    * sequence holds < `budgetTokens` tokens of complete docs plus at most
+    * one boundary-crossing doc (the streaming-concat approximation — the
+    * assembler truncates or pads that last doc; strict ≤budget packing
+    * would need a sequential carry that doesn't parallelize).
     *
     * Scale: packing is inherently sequential, so it is done PER SHARD —
     * rows are hash-sharded first, each shard packs independently under a

@@ -73,7 +73,10 @@ object EventStreams {
         s"user_id = r_user_id AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL $within"))
       .select(col("user_id"), col("l_type"), col("l_ts"),
         col("r_type"), col("r_ts"),
-        (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts"))).as("lag_sec"))
+        // subtract at full timestamp precision, THEN floor — flooring each
+        // side first (unix_timestamp) mis-reports sub-second lags by ±1s
+        floor(col("r_ts").cast("double") - col("l_ts").cast("double"))
+          .cast("long").as("lag_sec"))
   }
 
   /** Stream-static enrichment: join each arriving event against a static
