@@ -446,6 +446,37 @@ object Queries {
         |ROUND(quantile_cont(value, 0.99), 2) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    // ---- Q44: window value functions (first/last/nth) over an
+    // unbounded frame — constant per partition, DISTINCT collapses to
+    // one row per group. Total order (orderkey, linenumber) keeps the
+    // nth pick deterministic on both engines. ----
+    QDef("q44_window_values",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_wv")
+        s.sql("""SELECT DISTINCT l_returnflag,
+          |FIRST_VALUE(l_orderkey) OVER (PARTITION BY l_returnflag
+          |  ORDER BY l_orderkey, l_linenumber
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ok,
+          |LAST_VALUE(l_orderkey) OVER (PARTITION BY l_returnflag
+          |  ORDER BY l_orderkey, l_linenumber
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+          |NTH_VALUE(l_orderkey, 3) OVER (PARTITION BY l_returnflag
+          |  ORDER BY l_orderkey, l_linenumber
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_ok
+          |FROM lineitem_wv ORDER BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT DISTINCT l_returnflag,
+        |FIRST_VALUE(l_orderkey) OVER (PARTITION BY l_returnflag
+        |  ORDER BY l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ok,
+        |LAST_VALUE(l_orderkey) OVER (PARTITION BY l_returnflag
+        |  ORDER BY l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+        |NTH_VALUE(l_orderkey, 3) OVER (PARTITION BY l_returnflag
+        |  ORDER BY l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_ok
+        |FROM lineitem ORDER BY l_returnflag""".stripMargin)),
+
     // ---- Q43: quantile sketch, q33-style — the sketch value itself is
     // engine/merge-order specific, so the declared output is the exact
     // percentile plus an in-query assertion that the sketch landed within

@@ -29,7 +29,7 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * no Row encoders, no window machinery, and a plan that reads as what
   * it is (`ExactTopK ← Sort ← Exchange ← PartialTopK`).
   */
-case class GroupedTopKNode(key: Attribute, ordering: Seq[SortOrder], k: Int,
+case class GroupedTopKNode(keys: Seq[Attribute], ordering: Seq[SortOrder], k: Int,
     child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -39,22 +39,23 @@ case class GroupedTopKNode(key: Attribute, ordering: Seq[SortOrder], k: Int,
 
 object GroupedTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GroupedTopKNode(key, ordering, k, child) =>
-      ExactTopKExec(key, ordering, k,
-        PartialTopKExec(key, ordering, k, planLater(child))) :: Nil
+    case GroupedTopKNode(keys, ordering, k, child) =>
+      ExactTopKExec(keys, ordering, k,
+        PartialTopKExec(keys, ordering, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
 /** Map-side prune: ≤ k rows per key per partition, bounded heaps. */
-case class PartialTopKExec(key: Attribute, ordering: Seq[SortOrder], k: Int,
+case class PartialTopKExec(keys: Seq[Attribute], ordering: Seq[SortOrder], k: Int,
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKExec =
     copy(child = newChild)
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val boundKey = BindReferences.bindReference(key: Expression, child.output)
+    val boundKeys = keys.map(k =>
+      BindReferences.bindReference(k: Expression, child.output))
     val sortExprs = ordering.map(so =>
       so.copy(child = BindReferences.bindReference(so.child, child.output)))
     child.execute().mapPartitions ({ rows =>
@@ -64,7 +65,7 @@ case class PartialTopKExec(key: Attribute, ordering: Seq[SortOrder], k: Int,
         .empty[Any, scala.collection.mutable.PriorityQueue[InternalRow]]
       rows.foreach { r =>
         // copy: eval over UnsafeRow may return buffer-backed values
-        val kv = InternalRow.copyValue(boundKey.eval(r))
+        val kv = boundKeys.map(b => InternalRow.copyValue(b.eval(r)))
         val h = heaps.getOrElseUpdate(kv,
           scala.collection.mutable.PriorityQueue.empty[InternalRow](ord))
         if (h.size < k) h.enqueue(r.copy())
@@ -78,27 +79,29 @@ case class PartialTopKExec(key: Attribute, ordering: Seq[SortOrder], k: Int,
 /** Reduce side: requires clustering on the key and a (key, ordering)
   * sort — EnsureRequirements materializes both — then emits the first k
   * rows of every key run. */
-case class ExactTopKExec(key: Attribute, ordering: Seq[SortOrder], k: Int,
+case class ExactTopKExec(keys: Seq[Attribute], ordering: Seq[SortOrder], k: Int,
     child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: SparkPlan): ExactTopKExec =
     copy(child = newChild)
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(key)) :: Nil
+    ClusteredDistribution(keys) :: Nil
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
-    Seq(SortOrder(key, Ascending) +: ordering)
-  override def outputOrdering: Seq[SortOrder] = SortOrder(key, Ascending) +: ordering
+    Seq(keys.map(SortOrder(_, Ascending)) ++ ordering)
+  override def outputOrdering: Seq[SortOrder] =
+    keys.map(SortOrder(_, Ascending)) ++ ordering
   override def outputPartitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val boundKey = BindReferences.bindReference(key: Expression, child.output)
+    val boundKeys = keys.map(k =>
+      BindReferences.bindReference(k: Expression, child.output))
     child.execute().mapPartitions ({ rows =>
       var currentKey: Any = null
       var started = false
       var emitted = 0
       rows.filter { r =>
-        val kv = InternalRow.copyValue(boundKey.eval(r))
+        val kv = boundKeys.map(b => InternalRow.copyValue(b.eval(r)))
         if (!started || kv != currentKey) {
           started = true; currentKey = kv; emitted = 0
         }
@@ -115,20 +118,23 @@ object GroupedTopK {
     * native operator. Registers the strategy on the session (idempotent —
     * `extraStrategies` is also injected by [[GraftExtensions]]). */
   def perKey(df: DataFrame, key: String, sortCols: Seq[(String, Boolean)],
+      k: Int): DataFrame = perKeys(df, Seq(key), sortCols, k)
+
+  /** Composite-key form: top `k` per distinct `keys` tuple. */
+  def perKeys(df: DataFrame, keys: Seq[String], sortCols: Seq[(String, Boolean)],
       k: Int): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GroupedTopKStrategy
     val plan = df.queryExecution.analyzed
-    val keyAttr = plan.output.find(_.name == key).getOrElse(
-      throw new IllegalArgumentException(s"no column $key"))
+    def attr(n: String): Attribute = plan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column $n"))
     val ordering = sortCols.map { case (n, asc) =>
-      val a = plan.output.find(_.name == n).getOrElse(
-        throw new IllegalArgumentException(s"no column $n"))
-      SortOrder(a, if (asc) Ascending
+      SortOrder(attr(n), if (asc) Ascending
         else org.apache.spark.sql.catalyst.expressions.Descending)
     }
-    GraftColumnBridge.ofRows(spark, GroupedTopKNode(keyAttr, ordering, k, plan))
+    GraftColumnBridge.ofRows(spark,
+      GroupedTopKNode(keys.map(attr), ordering, k, plan))
   }
 }

@@ -33,6 +33,22 @@ class GroupedTopKSpec extends SparkSpec {
     assert(exact >= 0 && exchange > exact && partial > exchange, p.take(2000))
   }
 
+  test("composite key: top-1 per (returnflag, linestatus) equals window") {
+    val li = Tables.lineitem(spark, sf("sf0.001"))
+    val byWindow = li.withColumn("rn", row_number().over(
+        Window.partitionBy("l_returnflag", "l_linestatus")
+          .orderBy(col("l_orderkey").asc, col("l_linenumber").asc)))
+      .filter(col("rn") === 1)
+      .select("l_returnflag", "l_linestatus", "l_orderkey")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    val byNative = GroupedTopK.perKeys(li,
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("l_orderkey" -> true, "l_linenumber" -> true), k = 1)
+      .select("l_returnflag", "l_linestatus", "l_orderkey")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(byNative == byWindow)
+  }
+
   test("partition-count invariant, ragged keys, null-safe ordering") {
     import spark.implicits._
     val data = Seq(
