@@ -17,11 +17,22 @@ class ClustersSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("long chain converges (multi-round propagation)") {
-    val n = 30
+  test("long chain converges in O(log n) rounds (pointer doubling)") {
+    // a 256-node path is the adversarial case for plain min-label
+    // propagation (255 rounds); pointer doubling must finish in ~log2(n)
+    val n = 256
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("u", "v")
-    val got = Dedup.connectedComponents(edges).collect()
+    val (labelsDf, rounds) = Dedup.ccWithRounds(edges)
+    val got = labelsDf.collect()
     assert(got.length == n && got.forall(_.getLong(1) == 1L))
+    assert(rounds <= 10, s"chain-256 took $rounds rounds — pointer doubling broken")
+  }
+
+  test("non-convergence within maxIter throws instead of mislabeling") {
+    val edges = (1 until 64).map(i => (i.toLong, (i + 1).toLong)).toDF("u", "v")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(edges, maxIter = 2).collect()
+    }
   }
 
   test("LSH hot-bucket cap: capped run is a subset, hot buckets skipped") {

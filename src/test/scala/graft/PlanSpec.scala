@@ -109,4 +109,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), "sketch agg should be object hash aggregate")
     assert(p.split("Exchange").length - 1 == 1, "exactly one shuffle for signatures")
   }
+
+  test("minhash portable mode (the declared-query path) keeps ObjectHashAggregate") {
+    // the declared dedup_minhash_lsh query runs portable=true; a silent
+    // fall back to SortAggregate (e.g. a non-ObjectHash-capable buffer
+    // type) would double its shuffle cost at scale
+    val df = graft.ops.Dedup.minhashSignatures(
+      Tables.documents(spark, sf("sf0.001")), perms = 64, portable = true)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"), "portable sketch agg must stay object-hash")
+    assert(!p.contains("SortAggregate"), "portable sketch agg fell back to sort-based")
+  }
 }
