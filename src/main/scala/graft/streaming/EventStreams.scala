@@ -49,10 +49,20 @@ object EventStreams {
 
   /** Streaming dedupe by key within the watermark horizon — the
     * `dropDuplicates`-with-state shape of the reference's
-    * sorteo/fecha/sha change detection (`pipeline.py:264-285`). */
+    * sorteo/fecha/sha change detection (`pipeline.py:264-285`).
+    *
+    * Uses `dropDuplicatesWithinWatermark`, NOT plain `dropDuplicates`:
+    * with the event-time column absent from the key subset, plain
+    * `dropDuplicates` never evicts its state (Spark only applies the
+    * watermark to dedup state when the watermark column is part of the
+    * keys) — an unbounded-state leak on an unbounded stream. The
+    * WithinWatermark variant evicts each key once the watermark passes
+    * its first-seen event time + `lateness`, so state is bounded by the
+    * key arrival rate × the lateness horizon; a key recurring after the
+    * horizon is (by design) emitted again. */
   def dedupe(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", lateness)
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   /** Stream-stream interval join: pair each left event with right-stream
     * events for the same user arriving within `within` AFTER it.

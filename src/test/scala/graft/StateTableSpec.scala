@@ -63,6 +63,51 @@ class StateTableSpec extends SparkSpec {
       .collect().head.getAs[Boolean]("unchanged"))
   }
 
+  test("bucketed upsert: untouched bucket files are byte-identical across versions") {
+    import spark.implicits._
+    val root = tmp()
+    // small bucket count so a 64-key state spreads over every bucket
+    StateTable.upsert(spark, root,
+      (0L until 64L).map(i => (i, s"f$i", i)).toDF("sorteo", "fecha", "monto"),
+      Seq("sorteo", "fecha"), numBuckets = 4)
+    val before = bucketFiles(Paths.get(root, "v=0"))
+    assert(before.size == 4, s"expected all 4 buckets populated, got ${before.keySet}")
+    // a single-key update touches exactly one bucket
+    StateTable.upsert(spark, root,
+      Seq((0L, "f0", 999L)).toDF("sorteo", "fecha", "monto"), Seq("sorteo", "fecha"))
+    val after = bucketFiles(Paths.get(root, "v=1"))
+    assert(after.keySet == before.keySet, "every bucket must exist in the new version")
+    val identical = before.keySet.count(b => before(b) == after(b))
+    assert(identical == 3, s"expected 3 untouched buckets carried over unchanged, got $identical")
+    // and the merged content is still right
+    val got = StateTable.read(spark, root).get
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(0L) == 999L && got(1L) == 1L && got.size == 64)
+  }
+
+  /** bucket dir name -> (file name -> content hash), data files only. */
+  private def bucketFiles(versionDir: java.nio.file.Path): Map[String, Map[String, String]] = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val it = Files.list(versionDir).iterator()
+    val out = scala.collection.mutable.Map[String, Map[String, String]]()
+    while (it.hasNext) {
+      val p = it.next()
+      val name = p.getFileName.toString
+      if (name.startsWith("__graft_bucket=")) {
+        val files = Files.list(p).iterator()
+        val m = scala.collection.mutable.Map[String, String]()
+        while (files.hasNext) {
+          val f = files.next()
+          if (f.getFileName.toString.endsWith(".parquet"))
+            m += f.getFileName.toString ->
+              md.digest(Files.readAllBytes(f)).map("%02x".format(_)).mkString
+        }
+        out += name -> m.toMap
+      }
+    }
+    out.toMap
+  }
+
   test("duplicate keys inside one update batch do not multiply state") {
     import spark.implicits._
     val root = tmp()

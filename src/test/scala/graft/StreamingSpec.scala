@@ -54,6 +54,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedupe state is evicted past the watermark (bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStreams.dedupe(input.toDF(), "5 minutes")
+      .writeStream.format("memory").queryName("dedupe_evict")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(ts(0), 1, "view", 1.0), Ev(ts(1), 1, "view", 9.0))
+      q.processAllAvailable() // (1,view) emitted once, state row created
+      // advance the watermark way past ts(0)+5min — the (1,view) state
+      // row must be evicted, not held forever
+      input.addData(Ev(ts(120), 2, "click", 1.0))
+      q.processAllAvailable()
+      // the same key AFTER the horizon is a fresh arrival: emitted again —
+      // observable proof the dedup state was dropped
+      input.addData(Ev(ts(121), 1, "view", 3.0))
+      q.processAllAvailable()
+      val views = spark.table("dedupe_evict")
+        .filter(col("user_id") === 1 && col("event_type") === "view").count()
+      assert(views == 2, "key re-emitted after horizon => state was evicted")
+      // and the state store itself stays bounded: only the two live keys
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 2, s"state rows not evicted: $stateRows")
+    } finally q.stop()
+  }
+
   test("pozo change detection stream: publish → skip → publish on change") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
