@@ -82,6 +82,12 @@ object Dedup {
     val hashed = documents
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
       .select(col("doc_id"), explode(shingles).as("s"))
+      // a null text yields one null shingle; in portable mode md5(null) is
+      // null, which the primitive-Long aggregator buffer can't encode
+      // (runtime NPE), while xxhash64 hashes null to the seed — the modes
+      // would disagree. No content ⇒ no signature ⇒ no candidates: drop
+      // null shingles before hashing so both modes agree on null-text docs.
+      .filter(col("s").isNotNull)
       .select(col("doc_id"),
         pmod(if (portable) md5Long(col("s"), 1) else xxhash64(col("s")), p).as("h1"),
         pmod(if (portable) md5Long(col("s"), 17) else xxhash64(col("s"), lit(1)), p).as("h2"))
@@ -211,26 +217,41 @@ object Dedup {
 
   /** As [[bloomPrefilter]], but against an already-hashed corpus (column
     * `h` = md5 of canonical text) — the shape the incremental loop uses,
-    * where only the compact hash state survives between runs. */
+    * where only the compact hash state survives between runs.
+    *
+    * The membership test is Spark's codegen'd `BloomFilterMightContain`
+    * expression (the one runtime row-group filters use) over
+    * `xxhash64(h)`, not a per-row Scala UDF — the prefilter stays inside
+    * whole-stage codegen, which matters when it screens every row of a
+    * 100 TB batch. The filter is built over the same `xxhash64` longs, so
+    * the no-false-negative guarantee is preserved; exactness still comes
+    * from the verification join. Internal columns use collision-proofed
+    * `__graft_*` names so caller columns named `h`/`maybe` survive. */
   def bloomPrefilterHashes(batch: DataFrame, corpusHashes: DataFrame,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val h = md5(trim(lower(col("text"))))
+    val hc = "__graft_h"
+    val mc = "__graft_maybe"
     // null hashes (null text) can't be bloom-tested: drop them from the
     // build and classify null-text batch rows as not-known
     val corpusH = corpusHashes.select(col("h")).filter(col("h").isNotNull)
-    val bloom = corpusH.stat.bloomFilter("h", expectedItems, fpp)
-    val bloomB = batch.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((s: String) =>
-      s != null && bloomB.value.mightContainString(s))
-    val tagged = batch.withColumn("h", h)
-      .withColumn("maybe", mightContain(col("h")))
+    val bloom = corpusH.select(xxhash64(col("h")).as("hl"))
+      .stat.bloomFilter("hl", expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val mightContain = org.apache.spark.sql.GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.GraftColumnBridge.expression(lit(bos.toByteArray)),
+        org.apache.spark.sql.GraftColumnBridge.expression(xxhash64(col(hc)))))
+    val tagged = batch.withColumn(hc, md5(trim(lower(col("text")))))
+      .withColumn(mc, col(hc).isNotNull && coalesce(mightContain, lit(false)))
     // verification join on the maybe-subset only; anti side is exact-new
-    val confirmed = tagged.filter(col("maybe"))
-      .join(corpusH.distinct().withColumn("is_known", lit(true)), Seq("h"), "left")
+    val confirmed = tagged.filter(col(mc))
+      .join(corpusH.select(col("h").as(hc)).distinct()
+        .withColumn("is_known", lit(true)), Seq(hc), "left")
       .withColumn("is_known", coalesce(col("is_known"), lit(false)))
-    val definiteNew = tagged.filter(!col("maybe"))
+    val definiteNew = tagged.filter(!col(mc))
       .withColumn("is_known", lit(false))
-    confirmed.unionByName(definiteNew).drop("maybe", "h")
+    confirmed.unionByName(definiteNew).drop(mc, hc)
   }
 
   /** Connected components over an undirected edge list (columns u, v).

@@ -35,15 +35,23 @@ object IncrementalDedup {
     // materialize ONCE before committing: the caller must see exactly the
     // rows whose hashes were written, not a lazy plan that re-reads the
     // batch source after the commit
-    val fresh = known.filter(!col("is_known"))
+    val hashed = known.filter(!col("is_known"))
       .withColumn("h", md5(trim(lower(col("text")))))
+    // null text hashes to null: those rows carry no content to be a
+    // duplicate OF, so each passes through as its own keeper instead of
+    // all collapsing into one shared null-key window partition — and no
+    // null hash is ever committed to the state table
+    val deduped = hashed.filter(col("h").isNotNull)
       .withColumn("keep_id", min("doc_id").over(
         org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .filter(col("doc_id") === col("keep_id"))
-      .drop("keep_id", "is_known")
+      .drop("keep_id")
+    val fresh = deduped.unionByName(hashed.filter(col("h").isNull))
+      .drop("is_known")
       .localCheckpoint()
     val version = StateTable.upsert(spark, stateRoot,
-      fresh.select(col("h"), col("doc_id").as("keeper_id")), Seq("h"))
+      fresh.filter(col("h").isNotNull)
+        .select(col("h"), col("doc_id").as("keeper_id")), Seq("h"))
     (fresh.drop("h"), version)
   }
 }

@@ -62,6 +62,37 @@ class ClustersSpec extends SparkSpec {
     assert(got.size == batch.count())
   }
 
+  test("bloom membership test is codegen (might_contain), not a Scala UDF") {
+    val corpus = Tables.documents(spark, sf("sf0.001")).filter(col("doc_id") < 100)
+    val batch = Tables.documents(spark, sf("sf0.001")).filter(col("doc_id") < 10)
+    val out = Dedup.bloomPrefilter(batch, corpus, expectedItems = 1000)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), "prefilter must use BloomFilterMightContain")
+    assert(!p.contains("UDF("), s"prefilter fell back to a ScalaUDF:\n${p.take(800)}")
+  }
+
+  test("bloom prefilter: caller columns named h/maybe survive untouched") {
+    import spark.implicits._
+    val corpus = Seq((1L, "known body")).toDF("doc_id", "text")
+    val batch = Seq((1L, "known body", "callerH", "callerMaybe"))
+      .toDF("doc_id", "text", "h", "maybe")
+    val row = Dedup.bloomPrefilter(batch, corpus, expectedItems = 100).collect().head
+    assert(row.getAs[String]("h") == "callerH")
+    assert(row.getAs[String]("maybe") == "callerMaybe")
+    assert(row.getAs[Boolean]("is_known"))
+  }
+
+  test("null text: no minhash signature in either hashing mode (no NPE)") {
+    import spark.implicits._
+    val docs = Seq((1L, "shared body of words"), (2L, null.asInstanceOf[String]),
+      (3L, "shared body of words")).toDF("doc_id", "text")
+    val portable = Dedup.minhashSignatures(docs, portable = true)
+      .collect().map(_.getLong(0)).toSet
+    val fast = Dedup.minhashSignatures(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(portable == Set(1L, 3L) && fast == Set(1L, 3L))
+  }
+
   test("clusters: singletons kept, keeper is the min id, sizes correct") {
     val docs = Seq(1L, 2L, 3L, 7L, 9L).map(id => (id, s"text $id")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")

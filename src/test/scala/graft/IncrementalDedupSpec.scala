@@ -36,4 +36,21 @@ class IncrementalDedupSpec extends SparkSpec {
       docs(20L -> "alpha text", 21L -> "beta text", 22L -> "gamma text"))
     assert(a3.isEmpty)
   }
+
+  test("null-text rows each pass through; null never enters the hash state") {
+    val root = java.nio.file.Files.createTempDirectory("graft-incdedup-null").toString
+    val (a1, _) = IncrementalDedup.ingest(spark, root,
+      docs(1L -> null, 2L -> null, 3L -> "real text"))
+    // null text is not 'duplicate content': both rows survive, not just
+    // the lowest id
+    val kept = a1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L))
+    // state only carries the real content hash
+    val state = StateTable.read(spark, root).get.collect()
+    assert(state.length == 1 && state.head.getAs[Long]("keeper_id") == 3L)
+    // a later null-text row is still accepted (nothing 'known' about null)
+    val (a2, _) = IncrementalDedup.ingest(spark, root,
+      docs(10L -> null, 11L -> "real text"))
+    assert(a2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(10L))
+  }
 }
