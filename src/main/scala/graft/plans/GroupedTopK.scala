@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, RowOrdering, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
@@ -60,12 +60,17 @@ case class PartialTopKExec(keys: Seq[Attribute], ordering: Seq[SortOrder], k: In
       so.copy(child = BindReferences.bindReference(so.child, child.output)))
     child.execute().mapPartitions ({ rows =>
       val ord = RowOrdering.create(sortExprs, Nil).asInstanceOf[Ordering[InternalRow]]
+      // keys are compared as projected UnsafeRows (byte-wise equals +
+      // murmur hash) — Seq[Any] equality would be reference-based for
+      // binary/array/struct keys, splintering every row into its own
+      // "group" and silently disabling the map-side prune
+      val keyProj = UnsafeProjection.create(boundKeys)
       // max-heap on "worst kept": a better arrival evicts the head
       val heaps = scala.collection.mutable.Map
-        .empty[Any, scala.collection.mutable.PriorityQueue[InternalRow]]
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
       rows.foreach { r =>
-        // copy: eval over UnsafeRow may return buffer-backed values
-        val kv = boundKeys.map(b => InternalRow.copyValue(b.eval(r)))
+        // copy: the projection reuses its output buffer across rows
+        val kv = keyProj(r).copy()
         val h = heaps.getOrElseUpdate(kv,
           scala.collection.mutable.PriorityQueue.empty[InternalRow](ord))
         if (h.size < k) h.enqueue(r.copy())
@@ -97,13 +102,15 @@ case class ExactTopKExec(keys: Seq[Attribute], ordering: Seq[SortOrder], k: Int,
     val boundKeys = keys.map(k =>
       BindReferences.bindReference(k: Expression, child.output))
     child.execute().mapPartitions ({ rows =>
-      var currentKey: Any = null
-      var started = false
+      // run boundaries detected on projected UnsafeRows (byte-wise
+      // equals), not Seq[Any] — see PartialTopKExec
+      val keyProj = UnsafeProjection.create(boundKeys)
+      var currentKey: UnsafeRow = null
       var emitted = 0
       rows.filter { r =>
-        val kv = boundKeys.map(b => InternalRow.copyValue(b.eval(r)))
-        if (!started || kv != currentKey) {
-          started = true; currentKey = kv; emitted = 0
+        val kv = keyProj(r)
+        if (currentKey == null || kv != currentKey) {
+          currentKey = kv.copy(); emitted = 0
         }
         emitted += 1
         emitted <= k
@@ -124,9 +131,13 @@ object GroupedTopK {
   def perKeys(df: DataFrame, keys: Seq[String], sortCols: Seq[(String, Boolean)],
       k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    // check-then-append on the session-global list must be atomic:
+    // concurrent callers would otherwise double-register the strategy
+    GroupedTopK.synchronized {
+      if (!spark.experimental.extraStrategies.contains(GroupedTopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ GroupedTopKStrategy
+    }
     val plan = df.queryExecution.analyzed
     def attr(n: String): Attribute = plan.output.find(_.name == n).getOrElse(
       throw new IllegalArgumentException(s"no column $n"))

@@ -49,6 +49,27 @@ class GroupedTopKSpec extends SparkSpec {
     assert(byNative == byWindow)
   }
 
+  test("binary and array keys group by value, not by reference") {
+    import spark.implicits._
+    // 3 rows per logical key; with reference-equality on copied key
+    // values every row would start its own "group" and k=1 would leak
+    // all 6 rows instead of 2
+    val data = Seq(
+      ("alpha", 3L), ("alpha", 1L), ("alpha", 2L),
+      ("beta", 6L), ("beta", 4L), ("beta", 5L)).toDF("s", "v")
+    val binKeyed = data.withColumn("bk", unhex(md5(col("s")))).drop("s")
+    val topBin = GroupedTopK.perKey(binKeyed.repartition(4), "bk",
+        Seq("v" -> true), k = 1)
+      .collect().map(_.getAs[Long]("v")).sorted.toSeq
+    assert(topBin == Seq(1L, 4L), s"binary key grouping broken: $topBin")
+
+    val arrKeyed = data.withColumn("ak", array(col("s"), lit("x"))).drop("s")
+    val topArr = GroupedTopK.perKey(arrKeyed.repartition(4), "ak",
+        Seq("v" -> true), k = 1)
+      .collect().map(_.getAs[Long]("v")).sorted.toSeq
+    assert(topArr == Seq(1L, 4L), s"array key grouping broken: $topArr")
+  }
+
   test("partition-count invariant, ragged keys, null-safe ordering") {
     import spark.implicits._
     val data = Seq(
