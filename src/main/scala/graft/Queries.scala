@@ -599,7 +599,7 @@ object Queries {
 
     // ---- Q38: per-column profile sweep over orders ----
     QDef("q38_column_profile",
-      (s, d) => graft.ops.Profiler.profile(orders(s, d)).orderBy("column"),
+      (s, d) => graft.ops.Profiler.profileSingleScan(orders(s, d)).orderBy("column"),
       Some(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
           "o_orderdate", "o_orderpriority")
         .map(c => s"""SELECT '$c' AS "column", COUNT(*) AS n_rows, """ +
