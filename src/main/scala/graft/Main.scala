@@ -92,7 +92,11 @@ object Main {
     val urls = applyOverrides(
       Seq("openloto" -> OpenlotoUrl, "polla" -> PollaUrl), overrides)
     urls.zipWithIndex.map { case ((name, url), prio) =>
-      new HtmlPozoSource(name, prio, url, Ua, fetcher,
+      // polla.cl is an SPA: its adapter is the DOM-selector path
+      // (reference get_pozo_polla); openloto stays text-flatten
+      // (reference _fetch_pozos).
+      if (name == "polla") new DomPozoSource(name, prio, url, Ua, fetcher)
+      else new HtmlPozoSource(name, prio, url, Ua, fetcher,
         allowTotal = name != "openloto",
         absentAsZero = name == "openloto")
     }

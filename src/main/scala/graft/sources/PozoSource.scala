@@ -48,23 +48,101 @@ final class HtmlPozoSource(
   }
 }
 
+/** DOM-selector jackpot source — the polla.cl SPA extraction path
+  * (reference `sources/pozos.py:363-438`), minus the live headless
+  * browser: the reference waits on `.jackpot-banner`, clicks "VER
+  * DETALLE POR CATEGORÍA", then parses the rendered HTML; this adapter
+  * parses the same rendered HTML (live transport or fixture replay —
+  * the reference's own CI never launches a browser either,
+  * `tests/test_smoke_sources.py:42-52`).
+  *
+  * Extraction semantics, mirrored element-for-element:
+  *  - total: the text node containing "POZO TOTAL ESTIMADO" → nearest
+  *    strict `li` ancestor of its owner → first `.prize` descendant →
+  *    `_parse_millones_to_clp`; any failure silently skips the total.
+  *  - every `.sub-game` element: first `img` descendant's `src`
+  *    (lowercased) maps logo → category; `jubilazo` variants are
+  *    disambiguated by an exact "$1.000.000" / "$500.000" member of the
+  *    element's stripped strings; first `.prize` descendant parses the
+  *    amount; unparseable or unmapped items are skipped.
+  *  - sorteo/fecha come from the page's visible text
+  *    (`_extract_proximo_info`), and the zero-amount guard applies.
+  */
+final class DomPozoSource(
+    val name: String,
+    val priority: Int,
+    url: String,
+    ua: String,
+    fetcher: Fetcher) extends PozoSource {
+
+  def fetch(): SourcePayload = {
+    val res = fetcher.fetch(url, ua)
+    val root = Dom.parse(res.html)
+    val amounts = DomPozoSource.extractAmounts(root)
+    if (amounts.isEmpty || amounts.values.sum == 0L)
+      throw new ParseError(s"No valid pozo amounts found in source content from $url",
+        Map("url" -> url, "text_snippet" -> Html.toText(res.html).take(200)))
+    val (sorteo, fecha) = PollaParsers.extractProximoInfo(Html.toText(res.html))
+    SourcePayload(
+      source_name = name, priority = priority, fuente = url,
+      fetched_at = java.time.Instant.ofEpochMilli(res.fetchedAtMs).toString,
+      sha256 = Some(res.sha256), estimado = true, montos = amounts,
+      user_agent = Some(ua), sorteo = sorteo, fecha = fecha)
+  }
+}
+
+object DomPozoSource {
+  /** Logo filename fragment → category (`sources/pozos.py:399-417`). */
+  private def category(src: String, texts: Seq[String]): Option[String] =
+    if (src.contains("loto_logo")) Some("Loto Clásico")
+    else if (src.contains("recargado")) Some("Recargado")
+    else if (src.contains("revancha")) Some("Revancha")
+    else if (src.contains("desquite")) Some("Desquite")
+    else if (src.contains("jubilazo") && !src.contains("50")) {
+      if (texts.contains("$1.000.000")) Some("Jubilazo $1.000.000")
+      else if (texts.contains("$500.000")) Some("Jubilazo $500.000")
+      else None
+    } else if (src.contains("jubilazo-50")) {
+      if (texts.contains("$1.000.000")) Some("Jubilazo 50 años $1.000.000")
+      else if (texts.contains("$500.000")) Some("Jubilazo 50 años $500.000")
+      else None
+    } else None
+
+  def extractAmounts(root: Dom.Elem): Map[String, Long] = {
+    val total: Option[(String, Long)] = for {
+      owner <- root.findStringOwner("POZO TOTAL ESTIMADO")
+      li <- owner.ancestor("li")
+      prize <- li.byClass("prize").headOption
+      v <- PollaParsers.parseClp(prize.textStripped).toOption
+    } yield "Total estimado" -> v
+
+    val subGames = root.byClass("sub-game").flatMap { li =>
+      for {
+        img <- li.firstByTag("img")
+        src = img.attr("src").getOrElse("").toLowerCase
+        prize <- li.byClass("prize").headOption
+        v <- PollaParsers.parseClp(prize.textStripped).toOption
+        cat <- category(src, li.strippedStrings)
+      } yield cat -> v
+    }
+    (total.toSeq ++ subGames).toMap
+  }
+}
+
 /** HTML → visible text, BeautifulSoup `get_text(" ", strip=True)`-style:
   * drop script/style subtrees, replace tags with spaces, unescape common
   * entities, collapse whitespace. */
 object Html {
-  def toText(html: String): String = {
-    val noScript = html
-      .replaceAll("(?is)<script.*?</script>", " ")
-      .replaceAll("(?is)<style.*?</style>", " ")
-      .replaceAll("(?is)<!--.*?-->", " ")
-    val noTags = noScript.replaceAll("(?s)<[^>]*>", " ")
-    val named = Map(
-      "nbsp" -> " ", "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
-      "aacute" -> "á", "eacute" -> "é", "iacute" -> "í", "oacute" -> "ó",
-      "uacute" -> "ú", "ntilde" -> "ñ", "Aacute" -> "Á", "Eacute" -> "É",
-      "Iacute" -> "Í", "Oacute" -> "Ó", "Uacute" -> "Ú", "Ntilde" -> "Ñ",
-      "deg" -> "°", "ordm" -> "º", "ordf" -> "ª")
-    val unescaped = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r.replaceAllIn(noTags, m => {
+  private val named = Map(
+    "nbsp" -> " ", "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "aacute" -> "á", "eacute" -> "é", "iacute" -> "í", "oacute" -> "ó",
+    "uacute" -> "ú", "ntilde" -> "ñ", "Aacute" -> "Á", "Eacute" -> "É",
+    "Iacute" -> "Í", "Oacute" -> "Ó", "Uacute" -> "Ú", "Ntilde" -> "Ñ",
+    "deg" -> "°", "ordm" -> "º", "ordf" -> "ª")
+
+  /** Decode numeric and the common named character entities. */
+  def unescape(s: String): String =
+    "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r.replaceAllIn(s, m => {
       val e = m.group(1)
       val rep =
         if (e.startsWith("#x") || e.startsWith("#X"))
@@ -73,7 +151,14 @@ object Html {
         else named.getOrElse(e, m.matched)
       scala.util.matching.Regex.quoteReplacement(rep)
     })
-    unescaped.replaceAll("\\s+", " ").trim
+
+  def toText(html: String): String = {
+    val noScript = html
+      .replaceAll("(?is)<script.*?</script>", " ")
+      .replaceAll("(?is)<style.*?</style>", " ")
+      .replaceAll("(?is)<!--.*?-->", " ")
+    val noTags = noScript.replaceAll("(?s)<[^>]*>", " ")
+    unescape(noTags).replaceAll("\\s+", " ").trim
   }
 }
 

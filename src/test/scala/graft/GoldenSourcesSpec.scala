@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.functions.col
-import graft.sources.{Fetcher, FixtureTransport, HtmlPozoSource}
+import graft.sources.{DomPozoSource, Fetcher, FixtureTransport, HtmlPozoSource, PozoSource}
 
 /** Golden source-smoke harness, replicating the reference convention
   * verbatim (`tests/test_smoke_sources.py:19-70`): one directory per
@@ -38,8 +38,12 @@ class GoldenSourcesSpec extends SparkSpec {
       val (url, allowTotal) = sourceCfg.getOrElse(name,
         fail(s"no source config for fixture dir $name"))
       val html = Files.readString(dir.resolve("page.html"))
-      val src = new HtmlPozoSource(name, 0, url, "TestBot/1.0",
-        new Fetcher(new FixtureTransport(Map(url -> html))), allowTotal)
+      val fetcher = new Fetcher(new FixtureTransport(Map(url -> html)))
+      // polla runs the DOM-selector adapter (the SPA path); the rest
+      // run text-flatten — mirrors Main.sources
+      val src: PozoSource =
+        if (name == "polla") new DomPozoSource(name, 0, url, "TestBot/1.0", fetcher)
+        else new HtmlPozoSource(name, 0, url, "TestBot/1.0", fetcher, allowTotal)
       val payload = src.fetch()
 
       val exp = spark.read.schema(expectedSchema)
