@@ -11,9 +11,11 @@ import graft.sources._
   * HTML fixtures through the same adapter stack the live sources use (the
   * reference's CI never hits the network either).
   *
-  * Usage:
-  *   run     --work-dir D [--fixture-dir F] [--force-publish] [--mismatch-threshold 0.25]
-  *   publish --work-dir D [--dry-run]
+  * Usage (fetch knobs `--retries N --timeout SEC --only a,b` and
+  * `--source-url name=url` apply to run/pozos/health):
+  *   run     --work-dir D [--fixture-dir F] [--force-publish] [--fail-fast]
+  *           [--mismatch-threshold 0.25]
+  *   publish --work-dir D [--dry-run] [--summary run_summary.json]
   *   pozos   [--fixture-dir F]
   *   health  [--fixture-dir F]
   */
@@ -72,7 +74,9 @@ object Main {
     * without one, fetching requires real transport — not wired in this
     * offline build, so sources fail gracefully into degraded mode. */
   private def sources(fixtureDir: Option[String],
-      overrides: Map[String, String] = Map.empty): Seq[PozoSource] = {
+      overrides: Map[String, String] = Map.empty,
+      retries: Int = 3, timeoutSec: Int = 30,
+      only: Option[Set[String]] = None): Seq[PozoSource] = {
     val transport: HttpTransport = fixtureDir match {
       case Some(dir) =>
         val load = (n: String) => {
@@ -87,10 +91,12 @@ object Main {
           throw new NetworkError("offline build: no live transport; use --fixture-dir",
             Map("url" -> url))
     }
-    val fetcher = new Fetcher(transport,
+    val fetcher = new Fetcher(transport, retries = retries,
+      timeoutMs = timeoutSec * 1000,
       rateLimiter = Some(new HostRateLimiter(500, System.currentTimeMillis, Thread.sleep)))
     val urls = applyOverrides(
       Seq("openloto" -> OpenlotoUrl, "polla" -> PollaUrl), overrides)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     urls.zipWithIndex.map { case ((name, url), prio) =>
       // polla.cl is an SPA: its adapter is the DOM-selector path
       // (reference get_pozo_polla); openloto stays text-flatten
@@ -102,23 +108,51 @@ object Main {
     }
   }
 
+  /** Tolerant run-summary load (`__main__.py:269-275`): a missing file
+    * is fine — publish proceeds on the comparison report alone; a
+    * present-but-invalid file still errors (only FileNotFound is
+    * tolerated there). */
+  def loadSummaryDecision(p: String): Option[String] = {
+    val path = java.nio.file.Paths.get(p)
+    if (!java.nio.file.Files.exists(path)) None
+    else {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(path))
+      Option(node.at("/decision/status").asText(null))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cmd = args.headOption.getOrElse("help")
     val rest = args.drop(1)
     val fixtureDir = arg(rest, "--fixture-dir")
     val overrides = resolveOverrides(rest)
+    // fetch knobs shared by run/pozos/health (`__main__.py:80-81,160-165`)
+    val retries = arg(rest, "--retries").map(_.toInt).getOrElse(3)
+    val timeoutSec = arg(rest, "--timeout").map(_.toInt).getOrElse(30)
+    if (retries < 1) throw new ConfigError("--retries must be >= 1")
+    if (timeoutSec < 1) throw new ConfigError("--timeout must be >= 1")
+    val only = arg(rest, "--only").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // pozos-only by design: the flag is accepted but deprecated
+    // (`__main__.py:167-174`)
+    if (flag(rest, "--no-include-pozos"))
+      System.err.println("DEPRECATION WARNING: --no-include-pozos is deprecated and " +
+        "will be removed. This tool is now pozos-only by design.")
+    def registry() = sources(fixtureDir, overrides, retries, timeoutSec, only)
     cmd match {
       case "run" =>
+        val threshold = arg(rest, "--mismatch-threshold").map(_.toDouble).getOrElse(0.25)
+        if (threshold < 0) throw new ConfigError("--mismatch-threshold must be >= 0")
         val spark = session()
         val cfg = RunPipeline.Config(
           workDir = arg(rest, "--work-dir").getOrElse(
             throw new ConfigError("--work-dir is required")),
-          mismatchThreshold = arg(rest, "--mismatch-threshold").map(_.toDouble).getOrElse(0.25),
+          mismatchThreshold = threshold,
           forcePublish = flag(rest, "--force-publish"),
           failFast = flag(rest, "--fail-fast"))
         val log = new graft.ops.Observability.JsonlLogStream(
           java.nio.file.Paths.get(cfg.workDir, "logs", "pipeline.jsonl"))
-        val result = try RunPipeline.run(spark, sources(fixtureDir, overrides), cfg, log)
+        val result = try RunPipeline.run(spark, registry(), cfg, log)
           finally log.close()
         println(s"decision=${result.summary.decision.status} " +
           s"publish=${result.summary.publish} reason=${result.summary.publish_reason} " +
@@ -131,6 +165,8 @@ object Main {
         import spark.implicits._
         val workDir = arg(rest, "--work-dir").getOrElse(
           throw new ConfigError("--work-dir is required"))
+        arg(rest, "--summary").flatMap(loadSummaryDecision)
+          .foreach(d => System.err.println(s"[publish] run summary decision=$d"))
         val records = RunPipeline.loadState(spark, s"$workDir/normalized.jsonl")
         if (records.isEmpty) throw new PublishError("no normalized records")
         if (records.length > 1)
@@ -152,7 +188,7 @@ object Main {
         spark.stop()
 
       case "pozos" =>
-        sources(fixtureDir, overrides).foreach { s =>
+        registry().foreach { s =>
           try {
             val p = s.fetch()
             println(s"${s.name}: sorteo=${p.sorteo.getOrElse("-")} " +
@@ -165,7 +201,7 @@ object Main {
 
       case "health" =>
         var ok = 0; var fail = 0
-        sources(fixtureDir, overrides).foreach { s =>
+        registry().foreach { s =>
           val t0 = System.nanoTime()
           try {
             val p = s.fetch()

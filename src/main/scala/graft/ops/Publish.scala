@@ -95,6 +95,37 @@ object Publish {
     }
   }
 
+  /** Service-account credential resolution (`publish.py:24-46`): a
+    * `service_account.json` in the working directory wins (developer
+    * override — and if it exists but is empty, that's an error, not a
+    * fallthrough); otherwise the first non-empty of the env triple
+    * GOOGLE_SERVICE_ACCOUNT_JSON > GOOGLE_CREDENTIALS > CREDENTIALS.
+    * Nothing found → ConfigError; payload that isn't a JSON object →
+    * ConfigError. Returns the raw JSON payload — the transport client
+    * (stubbed in this offline build) consumes it verbatim. */
+  def resolveCredentials(cwd: java.nio.file.Path = java.nio.file.Paths.get("."),
+      env: Map[String, String] = sys.env): String = {
+    val file = cwd.resolve("service_account.json")
+    val raw =
+      if (java.nio.file.Files.exists(file)) Some(java.nio.file.Files.readString(file))
+      else Seq("GOOGLE_SERVICE_ACCOUNT_JSON", "GOOGLE_CREDENTIALS", "CREDENTIALS")
+        .flatMap(env.get).find(_.nonEmpty)
+    val payload = raw.filter(_.nonEmpty).getOrElse(
+      throw new graft.ConfigError("GOOGLE_SERVICE_ACCOUNT_JSON environment variable is required"))
+    val ok = try {
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(payload).isObject
+    } catch { case _: Exception => false }
+    if (!ok) throw new graft.ConfigError("Invalid GOOGLE_SERVICE_ACCOUNT_JSON payload")
+    payload
+  }
+
+  /** Spreadsheet-id resolution (`publish.py:282-284`):
+    * GOOGLE_SPREADSHEET_ID, falling back to GOOGLE_SHEETS_SPREADSHEET_ID. */
+  def resolveSpreadsheetId(env: Map[String, String] = sys.env): String =
+    Seq("GOOGLE_SPREADSHEET_ID", "GOOGLE_SHEETS_SPREADSHEET_ID")
+      .flatMap(env.get).find(_.nonEmpty).getOrElse(
+        throw new graft.ConfigError("GOOGLE_SPREADSHEET_ID environment variable is required"))
+
   /** Minimal Sheets client surface (clear+update = truncate+overwrite,
     * `publish.py:161-171`); production impl would wrap the Sheets API,
     * tests use [[InMemorySheets]] like the reference's fake gspread. */

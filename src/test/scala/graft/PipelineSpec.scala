@@ -151,6 +151,36 @@ class PipelineSpec extends SparkSpec {
     assert(resolved == Seq("openloto" -> "https://cli.cl/b"))
   }
 
+  test("CLI: --only filters sources, bad --retries/--timeout rejected, " +
+      "--no-include-pozos warns deprecation") {
+    val fixtures = "src/test/resources/fixtures/sources"
+    def runMain(args: String*): (String, String) = {
+      val out = new java.io.ByteArrayOutputStream()
+      val err = new java.io.ByteArrayOutputStream()
+      val oldErr = System.err
+      System.setErr(new java.io.PrintStream(err, true, "UTF-8"))
+      try Console.withOut(out)(Main.main(args.toArray))
+      finally System.setErr(oldErr)
+      (out.toString("UTF-8"), err.toString("UTF-8"))
+    }
+    val (onlyOut, _) = runMain("pozos", "--fixture-dir", fixtures, "--only", "openloto")
+    assert(onlyOut.contains("openloto:") && !onlyOut.contains("polla:"))
+    intercept[ConfigError](Main.main(Array("pozos", "--retries", "0")))
+    intercept[ConfigError](Main.main(Array("pozos", "--timeout", "0")))
+    val (_, depErr) = runMain("pozos", "--fixture-dir", fixtures, "--no-include-pozos")
+    assert(depErr.contains("DEPRECATION WARNING") && depErr.contains("pozos-only"))
+  }
+
+  test("publish --summary load is missing-file tolerant, invalid-file strict") {
+    assert(Main.loadSummaryDecision("/tmp/graft-no-such-summary.json").isEmpty)
+    val p = java.nio.file.Files.createTempFile("graft-summary", ".json")
+    java.nio.file.Files.writeString(p,
+      """{"decision":{"status":"quarantine"},"publish":false}""")
+    assert(Main.loadSummaryDecision(p.toString).contains("quarantine"))
+    java.nio.file.Files.writeString(p, "{not json")
+    intercept[Exception](Main.loadSummaryDecision(p.toString))
+  }
+
   test("normalize_sources: dedupe, all→pozos, unknown rejected") {
     assert(RunPipeline.normalizeSources(Seq("ALL", "pozos", "pozos"), Set()) == Seq("pozos"))
     intercept[ConfigError](RunPipeline.normalizeSources(Seq("wat"), Set("openloto")))

@@ -20,6 +20,44 @@ class PublishSpec extends SparkSpec {
     spark.createDataset(Seq(r))
   }
 
+  test("credential chain: file > env triple, in order; empty file errors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cred")
+    val env = Map(
+      "GOOGLE_SERVICE_ACCOUNT_JSON" -> """{"client_email":"a@x"}""",
+      "GOOGLE_CREDENTIALS" -> """{"client_email":"b@x"}""",
+      "CREDENTIALS" -> """{"client_email":"c@x"}""")
+    // no file: first env var wins
+    assert(Publish.resolveCredentials(dir, env).contains("a@x"))
+    // earlier vars empty: fall through in order
+    assert(Publish.resolveCredentials(dir,
+      env + ("GOOGLE_SERVICE_ACCOUNT_JSON" -> "")).contains("b@x"))
+    assert(Publish.resolveCredentials(dir, Map("CREDENTIALS" -> env("CREDENTIALS")))
+      .contains("c@x"))
+    // file present: wins over all env
+    val f = dir.resolve("service_account.json")
+    java.nio.file.Files.writeString(f, """{"client_email":"file@x"}""")
+    assert(Publish.resolveCredentials(dir, env).contains("file@x"))
+    // file present but empty: error, NOT env fallthrough (publish.py:31-38)
+    java.nio.file.Files.writeString(f, "")
+    val e1 = intercept[ConfigError](Publish.resolveCredentials(dir, env))
+    assert(e1.getMessage.contains("GOOGLE_SERVICE_ACCOUNT_JSON"))
+    // nothing anywhere
+    java.nio.file.Files.delete(f)
+    intercept[ConfigError](Publish.resolveCredentials(dir, Map.empty))
+    // invalid JSON payload
+    val e2 = intercept[ConfigError](
+      Publish.resolveCredentials(dir, Map("CREDENTIALS" -> "not json")))
+    assert(e2.getMessage.contains("Invalid"))
+  }
+
+  test("spreadsheet id: primary env, legacy fallback, missing errors") {
+    assert(Publish.resolveSpreadsheetId(Map("GOOGLE_SPREADSHEET_ID" -> "id1",
+      "GOOGLE_SHEETS_SPREADSHEET_ID" -> "id2")) == "id1")
+    assert(Publish.resolveSpreadsheetId(
+      Map("GOOGLE_SHEETS_SPREADSHEET_ID" -> "id2")) == "id2")
+    intercept[ConfigError](Publish.resolveSpreadsheetId(Map.empty))
+  }
+
   test("pozos-only mode → 4-col rows ordered by categoria") {
     val rows = Publish.recordToRows(ds(record())).collect()
     assert(rows.map(_.toSeq) sameElements Array(
