@@ -893,6 +893,56 @@ object Queries {
         |  FROM scored)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
+    // ---- PQ/ADC ANN: 4 subspaces × 16 codes, deterministic seeding,
+    // one Lloyd step; oracle replays codebook training, encoding, and
+    // the ADC scan (subspace-ordered distance fold = Spark's) ----
+    QDef("sim_pq_adc",
+      (s, d) => {
+        val e = embeddings(s, d)
+        Similarity.pqTopK(e.filter(col("vec_id") < 5), e, k = 10,
+            m = 4, codes = 16, iters = 1)
+          .select(col("q_id"), col("c_id"), col("adc"), col("rank").cast("long").as("rank"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |sp AS (SELECT 0 AS sub, 1 AS a, 16 AS b UNION ALL SELECT 1, 17, 32
+        |  UNION ALL SELECT 2, 33, 48 UNION ALL SELECT 3, 49, 64),
+        |subv AS (SELECT e.vec_id, sp.sub, e.emb[sp.a:sp.b] AS se FROM e CROSS JOIN sp),
+        |seedids AS (SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        |  FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 16)),
+        |seeds AS (SELECT s.sub, si.code, s.se FROM subv s JOIN seedids si USING (vec_id)),
+        |d0 AS (SELECT v.vec_id, v.sub, s.code,
+        |    list_reduce([(v.se[i]-s.se[i])*(v.se[i]-s.se[i])
+        |      FOR i IN generate_series(1,16)], (x,y) -> x+y) AS dist
+        |  FROM subv v JOIN seeds s ON v.sub = s.sub),
+        |a0 AS (SELECT vec_id, sub, code FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |mn AS (SELECT a0.sub, a0.code, g.i, AVG(v.se[g.i]) AS mv
+        |  FROM a0 JOIN subv v ON a0.vec_id = v.vec_id AND a0.sub = v.sub
+        |  CROSS JOIN generate_series(1,16) g(i) GROUP BY a0.sub, a0.code, g.i),
+        |mm AS (SELECT sub, code, list(mv ORDER BY i) AS se FROM mn GROUP BY sub, code),
+        |cbk AS (SELECT s.sub, s.code, COALESCE(mm.se, s.se) AS se
+        |  FROM seeds s LEFT JOIN mm ON s.sub = mm.sub AND s.code = mm.code),
+        |enc AS (SELECT vec_id AS c_id, sub, code FROM (
+        |    SELECT v.vec_id, v.sub, c.code,
+        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub ORDER BY
+        |        list_reduce([(v.se[i]-c.se[i])*(v.se[i]-c.se[i])
+        |          FOR i IN generate_series(1,16)], (x,y) -> x+y), c.code) AS rn
+        |    FROM subv v JOIN cbk c ON v.sub = c.sub) WHERE rn = 1),
+        |lut AS (SELECT v.vec_id AS q_id, v.sub, c.code,
+        |    list_reduce([(v.se[i]-c.se[i])*(v.se[i]-c.se[i])
+        |      FOR i IN generate_series(1,16)], (x,y) -> x+y) AS d
+        |  FROM subv v JOIN cbk c ON v.sub = c.sub WHERE v.vec_id < 5),
+        |scored AS (SELECT l.q_id, en.c_id,
+        |    ROUND(list_reduce(list(l.d ORDER BY l.sub), (x,y) -> x+y), 4) AS adc
+        |  FROM enc en JOIN lut l ON en.sub = l.sub AND en.code = l.code
+        |  GROUP BY l.q_id, en.c_id HAVING l.q_id <> en.c_id)
+        |SELECT q_id, c_id, adc, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
     QDef("sim_bucketed_ann",
       (s, d) => {
         val e = embeddings(s, d)

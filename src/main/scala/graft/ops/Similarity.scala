@@ -118,6 +118,112 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Product quantization (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): split each vector into `m`
+    * subspaces, learn a `codes`-entry codebook per subspace (seeded from
+    * the first vectors by vec_id — deterministic — and refined with
+    * `iters` Lloyd steps), store each vector as `m` small codes, and
+    * answer queries with an asymmetric-distance (ADC) scan: a per-query
+    * lookup table of query-to-centroid distances per subspace, summed
+    * over the stored codes.
+    *
+    * Scale design: the codebook is m×codes×subDim doubles (a few KB) —
+    * the only thing that ever reaches the driver. Encoding is a map-only
+    * pass (argmin against a broadcast codebook literal, codegen'd
+    * [[graft.functions.VecSqDist]]), and the stored representation is
+    * m bytes/vector instead of dim floats — a 64-d float corpus shrinks
+    * 64×, which is the point at 100 TB. The ADC scan is a broadcast join
+    * of the (tiny) per-query LUT against the code table plus one
+    * partially-aggregated shuffle keyed (q_id, c_id): raw vectors are
+    * never shuffled or re-read at query time.
+    *
+    * The per-pair distance folds the m partial distances in subspace
+    * order (array_sort before the fold), so the sum is order-stable and
+    * reproducible across engines and partitionings. */
+  def pqCodebooks(corpus: DataFrame, m: Int = 4, codes: Int = 16,
+      iters: Int = 1): Seq[((Int, Int), Seq[Double])] = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val seedVecs = c.orderBy("vec_id").limit(codes).collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("emb").toSeq)
+    val subDim = seedVecs.head.length / m
+    var cb: Map[(Int, Int), Seq[Double]] = (for {
+      (v, code) <- seedVecs.zipWithIndex
+      sub <- 0 until m
+    } yield (sub, code) -> v.slice(sub * subDim, (sub + 1) * subDim)).toMap
+    val sub = c.select(col("vec_id"),
+        explode(subVectors(col("emb"), m, subDim)).as("sp"))
+      .select(col("vec_id"), col("sp.sub").as("sub"), col("sp.se").as("se"))
+    for (_ <- 0 until iters) {
+      val assigned = sub.withColumn("code",
+        pqAssignExpr(col("sub"), col("se"), cb, m, codes))
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("se")).as(Seq("i", "x")))
+        .groupBy("sub", "code", "i").agg(avg("x").as("mv"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("i"), col("mv")))).as("im"))
+        .select(col("sub"), col("code"),
+          transform(col("im"), e => e.getField("mv")).as("mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          r.getAs[scala.collection.Seq[Double]]("mean").toSeq)
+      // subspace cells that lost all members keep their previous centroid
+      cb = cb ++ means
+    }
+    cb.toSeq.sortBy(_._1)
+  }
+
+  /** (sub, 16-dim slice) structs for one vector. */
+  private def subVectors(emb: Column, m: Int, subDim: Int): Column =
+    array((0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(emb, s * subDim + 1, subDim).as("se"))): _*)
+
+  /** Per-subspace argmin over the codebook, as one when-chain expression
+    * (ties → lowest code, same as the oracle's ORDER BY dist, code). */
+  private def pqAssignExpr(subCol: Column, se: Column,
+      cb: Map[(Int, Int), Seq[Double]], m: Int, codes: Int): Column =
+    (0 until m).foldRight(lit(-1): Column) { (s, acc) =>
+      val scored = (0 until codes).map { code =>
+        val d = graft.functions.VectorExprs.sqDist(se, typedlit(cb((s, code))))
+        struct(d.as("d"), lit(code).as("c"))
+      }
+      when(subCol === s, least(scored: _*).getField("c")).otherwise(acc)
+    }
+
+  /** PQ/ADC top-k: smallest approximate distance first. Output:
+    * q_id, c_id, adc (rounded 4), rank — ranked on the rounded distance
+    * with c_id tiebreak so near-ties resolve identically everywhere. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
+      m: Int = 4, codes: Int = 16, iters: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = pqCodebooks(corpus, m, codes, iters)
+    val subDim = cb.head._2.length
+    val corpusCodes = corpus
+      .select(col("vec_id").as("c_id"),
+        explode(subVectors(asDouble(col("embedding")), m, subDim)).as("sp"))
+      .select(col("c_id"), col("sp.sub").as("sub"), col("sp.se").as("se"))
+      .withColumn("code", pqAssignExpr(col("sub"), col("se"), cb.toMap, m, codes))
+      .drop("se")
+    val cbDf = cb.map { case ((s, c), v) => (s, c, v) }.toDF("sub", "code", "cvec")
+    val lut = queries
+      .select(col("vec_id").as("q_id"),
+        explode(subVectors(asDouble(col("embedding")), m, subDim)).as("sp"))
+      .select(col("q_id"), col("sp.sub").as("sub"), col("sp.se").as("qse"))
+      .join(cbDf, Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code"),
+        graft.functions.VectorExprs.sqDist(col("qse"), col("cvec")).as("d"))
+    val adc = corpusCodes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy("q_id", "c_id")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("sub"), col("d")))),
+          e => e.getField("d")),
+        lit(0.0), (a, v) => a + v).as("adc0"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), round(col("adc0"), 4).as("adc"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("c_id").asc)
+    adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF/LSH-bucketed ANN: probe only the query's sign bucket. */
   def bucketedTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
       signBits: Int = 8): DataFrame = {

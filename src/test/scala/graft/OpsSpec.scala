@@ -114,6 +114,37 @@ class OpsSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet))
   }
 
+  test("PQ/ADC: clustered data recalls its cluster; plan broadcasts the LUT") {
+    import spark.implicits._
+    // 4 tight clusters on orthogonal axes, 16-d so m=4 → 4-d subspaces;
+    // a query's ADC-nearest neighbors must come from its own cluster
+    val vecs = (0L until 48L).map { i =>
+      val axis = (i % 4).toInt
+      val base = Array.fill(16)(0.01f * ((i % 7).toInt + 1))
+      base(axis * 4) = 10f + (i % 5)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 4)
+    val pq = Similarity.pqTopK(queries, vecs, k = 5, m = 4, codes = 8, iters = 1)
+    val rows = pq.collect()
+    assert(rows.length == 4 * 5)
+    rows.foreach { r =>
+      val (q, c) = (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))
+      assert(q % 4 == c % 4, s"query $q matched cross-cluster neighbor $c")
+    }
+    // ADC scan never shuffles raw vectors: the LUT side is broadcast
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    // ranks are 1..k per query, distances non-decreasing
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+      val ds = sorted.map(_.getAs[Double]("adc"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     import graft.ops.Skew
