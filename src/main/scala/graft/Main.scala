@@ -16,6 +16,7 @@ import graft.sources._
   *   run     --work-dir D [--fixture-dir F] [--force-publish] [--fail-fast]
   *           [--mismatch-threshold 0.25]
   *   publish --work-dir D [--dry-run] [--summary run_summary.json]
+  *   curate  --input docs.parquet --output D [--min-tokens 20] [--langs en,es]
   *   pozos   [--fixture-dir F]
   *   health  [--fixture-dir F]
   */
@@ -187,6 +188,31 @@ object Main {
         }
         spark.stop()
 
+      case "curate" =>
+        // training-data curation over a documents parquet: writes the
+        // kept docs and a full per-doc audit (drop_reason) — the batch
+        // entry point for the TextAnalysis.curate chain
+        val in = arg(rest, "--input").getOrElse(
+          throw new ConfigError("--input is required (documents parquet dir)"))
+        val out = arg(rest, "--output").getOrElse(
+          throw new ConfigError("--output is required"))
+        val minTokens = arg(rest, "--min-tokens").map(_.toInt).getOrElse(20)
+        val langs = arg(rest, "--langs").map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(Seq("en", "es"))
+        val spark = session()
+        val docs = spark.read.parquet(in)
+        val audit = graft.ops.TextAnalysis.curate(docs, minTokens = minTokens,
+          langs = langs).cache()
+        audit.write.mode("overwrite").parquet(s"$out/audit")
+        docs.join(audit.filter(col("drop_reason").isNull).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$out/kept")
+        val byReason = audit.groupBy("drop_reason").count().collect()
+          .map(r => s"${Option(r.getString(0)).getOrElse("kept")}=${r.getLong(1)}")
+          .sorted.mkString(" ")
+        println(s"curate $byReason")
+        spark.stop()
+
       case "pozos" =>
         registry().foreach { s =>
           try {
@@ -219,7 +245,7 @@ object Main {
         if (status == "fail") sys.exit(1)
 
       case other =>
-        System.err.println(s"unknown command: $other (expected run|publish|pozos|health)")
+        System.err.println(s"unknown command: $other (expected run|publish|curate|pozos|health)")
         sys.exit(2)
     }
   }

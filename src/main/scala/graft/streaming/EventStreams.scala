@@ -64,6 +64,36 @@ object EventStreams {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Streaming curation: the batch curation chain
+    * ([[graft.ops.TextAnalysis.curate]]: quality → language → content
+    * dedupe) over an unbounded document stream (doc_id, text, ts).
+    *
+    * Quality and language scoring are pure per-row expressions — no
+    * state, arbitrarily parallel. Only the content-dedupe step carries
+    * state: `dropDuplicatesWithinWatermark` on the canonical content
+    * fingerprint, so state is bounded by (survivor arrival rate ×
+    * `lateness`), never by corpus size. A duplicate arriving after the
+    * horizon re-admits by design — on an unbounded stream the
+    * alternative is unbounded state; cross-horizon dedup belongs to the
+    * incremental batch loop ([[graft.ops.IncrementalDedup]]), which this
+    * stage feeds. Survivors keep their audit features
+    * (pred_lang, n_tokens). */
+  def curateStream(docs: DataFrame, lateness: String = "30 minutes",
+      minTokens: Int = 20, maxStopRatio: Double = 0.15,
+      maxPunctRatio: Double = 0.2,
+      langs: Seq[String] = Seq("en", "es")): DataFrame = {
+    import graft.ops.TextAnalysis
+    val scored = TextAnalysis.langId(TextAnalysis.qualityFeatures(docs))
+      .filter(col("n_tokens") >= minTokens &&
+        col("stop_ratio") <= maxStopRatio &&
+        col("punct_ratio") <= maxPunctRatio &&
+        col("pred_lang").isin(langs: _*))
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    scored.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), col("ts"), col("pred_lang"), col("n_tokens"))
+  }
+
   /** Stream-stream interval join: pair each left event with right-stream
     * events for the same user arriving within `within` AFTER it.
     *

@@ -9,6 +9,7 @@ import graft.streaming.EventStreams.{PozoDecision, PozoUpdate}
 /** Streaming operators driven through real `readStream`-style execution
   * (MemoryStream → query → memory sink), not batch shortcuts. */
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
 class StreamingSpec extends SparkSpec {
 
@@ -78,6 +79,44 @@ class StreamingSpec extends SparkSpec {
       // and the state store itself stays bounded: only the two live keys
       val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
       assert(stateRows <= 2, s"state rows not evicted: $stateRows")
+    } finally q.stop()
+  }
+
+  test("streaming curation: quality/lang rejects dropped, dup within " +
+      "horizon dropped, dup past horizon re-admitted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = "fast cars move quickly down long roads while drivers watch " +
+      "carefully the traffic signals blinking red during cold winter nights with friends"
+    val german = "der schnelle braune fuchs springt über den faulen hund und " +
+      "läuft davon ist das nicht schön mit viel energie heute morgen"
+    val input = MemoryStream[Doc]
+    val q = EventStreams.curateStream(input.toDF(), "5 minutes")
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(ts(0), 1L, good),
+        Doc(ts(0), 2L, "too short"),          // quality reject
+        Doc(ts(1), 3L, german),               // language reject
+        Doc(ts(2), 4L, good))                 // duplicate within horizon
+      q.processAllAvailable()
+      val first = spark.table("curated").select("doc_id").as[Long].collect().toSet
+      assert(first == Set(1L), s"expected only doc 1, got $first")
+      // advance the watermark past the horizon (the advancer must itself
+      // survive the filters — rejected rows never reach the watermark
+      // node), then repeat the content: fresh arrival — state was
+      // evicted, doc re-admitted
+      val good2 = "slow trains travel quietly across tall bridges while engineers " +
+        "check carefully the signal lights glowing green during warm summer evenings with family"
+      input.addData(Doc(ts(120), 9L, good2))
+      q.processAllAvailable()
+      input.addData(Doc(ts(121), 10L, good))
+      q.processAllAvailable()
+      val all = spark.table("curated").select("doc_id").as[Long].collect().toSet
+      assert(all.contains(10L), "duplicate past the horizon must re-admit")
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 2, s"curation dedup state not bounded: $stateRows")
     } finally q.stop()
   }
 
