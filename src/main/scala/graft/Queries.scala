@@ -477,6 +477,42 @@ object Queries {
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_ok
         |FROM lineitem ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- Q45: strict-order funnel (view → click → purchase). One
+    // shuffle on user_id: the three stage timestamps are stacked window
+    // minima over the SAME partitioning (Spark reuses the exchange for
+    // every window pass), then a per-user rollup and a scalar count —
+    // the plan a 100 TB funnel wants (no per-stage self-joins). ----
+    QDef("q45_funnel",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+        val e = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+          .withColumn("t_view",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t_click",
+            min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+              col("ts"))).over(w))
+          .withColumn("t_purchase",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+              col("ts"))).over(w))
+        e.groupBy("user_id")
+          .agg(min("t_view").as("tv"), min("t_click").as("tc"),
+            min("t_purchase").as("tp"))
+          .agg(count(when(col("tv").isNotNull, 1)).as("n_view"),
+            count(when(col("tc").isNotNull, 1)).as("n_view_click"),
+            count(when(col("tp").isNotNull, 1)).as("n_full_funnel"))
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM v) AS n_view,
+        |  (SELECT COUNT(*) FROM c) AS n_view_click,
+        |  (SELECT COUNT(*) FROM p) AS n_full_funnel""".stripMargin)),
+
     // ---- Q43: quantile sketch, q33-style — the sketch value itself is
     // engine/merge-order specific, so the declared output is the exact
     // percentile plus an in-query assertion that the sketch landed within

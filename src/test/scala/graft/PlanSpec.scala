@@ -110,6 +110,20 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Exchange").length - 1 == 1, "exactly one shuffle for signatures")
   }
 
+  test("q45 funnel: stacked stage windows reuse ONE user_id exchange") {
+    // three window passes + the per-user rollup all cluster on user_id;
+    // a per-stage self-join plan would shuffle the events table once per
+    // funnel stage instead
+    val df = Queries.all.find(_.name == "q45_funnel").get.fn(spark, sf("sf0.001"))
+    df.collect()
+    // AQE's toString prints Final + Initial plans — assert on the final only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "funnel must not be join-shaped")
+  }
+
   test("minhash portable mode (the declared-query path) keeps ObjectHashAggregate") {
     // the declared dedup_minhash_lsh query runs portable=true; a silent
     // fall back to SortAggregate (e.g. a non-ObjectHash-capable buffer
