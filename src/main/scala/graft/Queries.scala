@@ -1232,6 +1232,19 @@ object Queries {
         |  COUNT(*) AS n
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin)),
 
+    // Stratified sample: 10% within each order status — per-stratum
+    // hash streams keep small strata at their own rate (map-only; the
+    // groupBy here is only the declared query's summary).
+    QDef("sample_stratified",
+      (s, d) => Sampling.stratifiedSample(orders(s, d), "o_orderstatus",
+          "o_orderkey", pct = 10)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        |WHERE CAST(('0x'||substr(md5('strat:' || o_orderstatus || '|'
+        |    || CAST(o_orderkey AS VARCHAR)),1,15)) AS BIGINT) % 100 < 10
+        |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
     // Per-shard token-budget packing (streaming-concat approximation):
     // hash-shard, then a per-shard running token sum assigns sequence
     // ids. Packing is sequential by nature — sharding IS the scale knob.

@@ -28,6 +28,19 @@ object Sampling {
       when(hashBucket(col(key), salt) < trainPct, lit("train"))
         .otherwise(lit("val")))
 
+  /** Stratified hash-sample: keep `pct`% WITHIN each stratum (language,
+    * source, quality band…), not globally. The bucket hash mixes the
+    * stratum INTO the key, so each stratum draws from its own
+    * independent hash stream — a global hash sample would correlate the
+    * picks across strata and (with skewed strata) drift tiny strata's
+    * realized rates. Map-only: no shuffle, no per-stratum count pass,
+    * deterministic under any partitioning and engine. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, key: String,
+      pct: Int, salt: String = "strat"): DataFrame =
+    df.filter(hashBucket(
+      concat_ws("|", col(stratumCol).cast("string"), col(key).cast("string")),
+      salt) < pct)
+
   /** Pack documents into training sequences by start offset: a doc joins
     * the sequence its running-sum start position falls in, so every
     * sequence holds < `budgetTokens` tokens of complete docs plus at most

@@ -33,6 +33,26 @@ class SamplingSpec extends SparkSpec {
     assert(overlap > 0.6 && overlap < 0.95, overlap.toString) // ~0.8 expected
   }
 
+  test("stratified sample: per-stratum rate, determinism, partition invariance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one big stratum, one 100× smaller — each must sample at ~pct
+    // independently (a correlated global draw would let the big stratum
+    // dominate the small one's realized rate)
+    val df = ((0L until 20000L).map(i => (i, "big")) ++
+      (20000L until 20200L).map(i => (i, "small"))).toDF("id", "stratum")
+    val got = Sampling.stratifiedSample(df, "stratum", "id", pct = 20)
+    val rates = got.groupBy("stratum").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates("big") > 3500 && rates("big") < 4500, s"big rate off: $rates")
+    assert(rates("small") > 20 && rates("small") < 60, s"small rate off: $rates")
+    // deterministic + partition-invariant
+    val a = got.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.stratifiedSample(df.repartition(7), "stratum", "id", pct = 20)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
   test("budget packing: sequences respect the budget boundary rule") {
     val packed = Sampling.packByBudget(docs, budgetTokens = 200, nShards = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -96,6 +96,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a("o_orderkey")._3 == a("o_orderkey")._1) // key is unique
   }
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hot key 0 carries ~95% of the fact rows; with the skew thresholds
+    // scaled down to toy-data sizes, AQE must mark the SMJ skew-handled
+    // and split the hot partition instead of leaving one straggler task
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val fact = (0L until 40000L)
+        .map(i => (if (i % 20 != 0) 0L else i % 97, s"payload_$i"))
+        .toDF("k", "v")
+      val dim = (0L until 97L).map(i => (i, s"dim_$i")).toDF("k", "name")
+      val joined = fact.join(dim, "k")
+      // execute THIS df — AQE finalizes (and skew-splits) only the
+      // executed plan, not derived ones like count()'s
+      assert(joined.collect().length == 40000)
+      val p = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(p.contains("skew=true") || p.contains("skewed"),
+        s"AQE did not split the skewed partition:\n${p.take(1600)}")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
+
   test("streaming split sink routes publish vs quarantine batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
