@@ -513,6 +513,34 @@ object Queries {
         |  (SELECT COUNT(*) FROM c) AS n_view_click,
         |  (SELECT COUNT(*) FROM p) AS n_full_funnel""".stripMargin)),
 
+    // ---- Q46: CDC → SCD2 dimension build. Each user's event_type
+    // change stream compacts to distinct-value runs with
+    // [valid_from, valid_to) intervals — one user_id exchange, two
+    // window passes (see ops/Cdc.scala). ----
+    QDef("q46_scd2",
+      (s, d) => graft.ops.Cdc.scd2(
+          events(s, d).select("user_id", "event_id", "ts", "event_type"),
+          key = Seq("user_id"), tsCol = "ts", tieBreak = "event_id",
+          valueCols = Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          tsFmtMicro(col("valid_from")).as("valid_from"),
+          tsFmtMicro(col("valid_to")).as("valid_to"),
+          col("is_current"))
+        .orderBy("user_id", "valid_from", "event_type"),
+      Some("""WITH ordered AS (SELECT user_id, event_id, ts, event_type,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |compacted AS (SELECT user_id, event_id, ts, event_type FROM ordered
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |v AS (SELECT user_id, event_type, ts AS vf,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM compacted)
+        |SELECT user_id, event_type,
+        |  strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  (vt IS NULL) AS is_current
+        |FROM v ORDER BY user_id, valid_from, event_type""".stripMargin)),
+
     // ---- Q43: quantile sketch, q33-style — the sketch value itself is
     // engine/merge-order specific, so the declared output is the exact
     // percentile plus an in-query assertion that the sketch landed within

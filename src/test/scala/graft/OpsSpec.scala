@@ -145,6 +145,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("SCD2: runs compact, intervals chain, exactly one current per key") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val changes = Seq(
+      (1L, 1L, t(0), "A"), (1L, 2L, t(1), "A"),   // run of A compacts
+      (1L, 3L, t(2), "B"), (1L, 4L, t(3), "A"),   // A again = NEW version
+      (2L, 5L, t(0), "X"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = graft.ops.Cdc.scd2(changes, Seq("user_id"), "ts", "event_id",
+        Seq("event_type"))
+      .select("user_id", "event_type", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+      .sortBy(x => (x._1, x._3.getTime))
+    assert(out.map(x => (x._1, x._2)).toSeq ==
+      Seq((1L, "A"), (1L, "B"), (1L, "A"), (2L, "X")))
+    // intervals chain: each valid_to equals the next valid_from
+    val u1 = out.filter(_._1 == 1L)
+    assert(u1.init.zip(u1.tail).forall { case (a, b) => a._4.contains(b._3) })
+    // exactly one current row per key, and it's the last version
+    assert(out.filter(_._5).map(_._1).toSeq == Seq(1L, 2L))
+    assert(u1.last._4.isEmpty && u1.last._5)
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     import graft.ops.Skew
