@@ -541,6 +541,54 @@ object Queries {
         |  (vt IS NULL) AS is_current
         |FROM v ORDER BY user_id, valid_from, event_type""".stripMargin)),
 
+    // ---- PII detect + redact. The corpus is synthetic (no organic
+    // PII), so the query injects a deterministic contact block into
+    // every 7th doc and both engines must agree on counts, flags, and
+    // the redacted text's length — engine parity on the regex surface
+    // is what's under test. ----
+    QDef("text_pii",
+      (s, d) => {
+        val injected = when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com tel +56 9 1234 5678"))).otherwise(col("text"))
+        TextAnalysis.piiFeatures(documents(s, d).withColumn("text", injected))
+          .select(col("doc_id"),
+            col("n_emails").cast("long").as("n_emails"),
+            col("n_phones").cast("long").as("n_phones"),
+            col("has_pii"),
+            length(col("redacted")).cast("long").as("redacted_len"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH inj AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user'
+        |      || CAST(doc_id AS VARCHAR) || '@example.com tel +56 9 1234 5678'
+        |    ELSE text END AS text FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.emailRe}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '${TextAnalysis.phoneRe}')) AS BIGINT) AS n_phones,
+        |  (len(regexp_extract_all(text, '${TextAnalysis.emailRe}')) > 0
+        |    OR len(regexp_extract_all(text, '${TextAnalysis.phoneRe}')) > 0) AS has_pii,
+        |  CAST(length(regexp_replace(regexp_replace(text, '${TextAnalysis.emailRe}',
+        |    '[EMAIL]', 'g'), '${TextAnalysis.phoneRe}', '[PHONE]', 'g')) AS BIGINT)
+        |    AS redacted_len
+        |FROM inj ORDER BY doc_id""".stripMargin)),
+
+    // ---- Q47: per-user EWMA of event values — sequential fold per key
+    // after one clustering shuffle (ops/TimeSeries.scala). The oracle
+    // writes (1 - 0.3), not 0.7: both engines must derive 1−α by the
+    // same double subtraction or the folds diverge in the last bits. ----
+    QDef("q47_ewma",
+      (s, d) => graft.ops.TimeSeries.ewma(
+          events(s, d).select("user_id", "event_id", "ts", "value"),
+          key = "user_id", tsCol = "ts", tieBreak = "event_id",
+          valueCol = "value", alpha = 0.3)
+        .select(col("user_id"), col("n_events"), col("ewma"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+        |  ROUND(list_reduce(list(value ORDER BY ts, event_id),
+        |    (acc, x) -> 0.3 * x + (1 - 0.3) * acc), 4) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ---- Q43: quantile sketch, q33-style — the sketch value itself is
     // engine/merge-order specific, so the declared output is the exact
     // percentile plus an in-query assertion that the sketch landed within

@@ -101,6 +101,26 @@ object TextAnalysis {
           .as("drop_reason"))
   }
 
+  /** PII patterns kept RE2-compatible (no backrefs/lookaround) so any
+    * engine can reproduce counts and redactions exactly. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /** PII detection + redaction for training-data curation: per-doc
+    * match counts, a has_pii flag, and the text with emails/phones
+    * replaced by placeholder tags (emails first, so phone digits inside
+    * addresses are already gone). Pure per-row regex expressions —
+    * map-only at any scale. */
+  def piiFeatures(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    documents
+      .withColumn("n_emails", regexp_count(t, lit(emailRe)))
+      .withColumn("n_phones", regexp_count(t, lit(phoneRe)))
+      .withColumn("has_pii", col("n_emails") > 0 || col("n_phones") > 0)
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(t, emailRe, "[EMAIL]"), phoneRe, "[PHONE]"))
+  }
+
   /** 64-bit content fingerprint (xxhash64 of the canonicalized token stream). */
   def fingerprint(c: Column): Column =
     xxhash64(concat_ws(" ", toks(lower(c))))

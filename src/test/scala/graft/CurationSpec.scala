@@ -43,4 +43,37 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
     assert(got(3L).isEmpty && got(8L).contains("duplicate"))
   }
+
+  test("PII: emails and phones counted and redacted; clean text untouched") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "reach me at jane.doe+spam@corp.example.org or +56 9 1234 5678 thanks"),
+      (2L, "two mails a@b.io c.d@e.museum and a number (02) 2345 6789 end"),
+      (3L, "no contact info here, just words and the number 42")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.piiFeatures(docs)
+      .select("doc_id", "n_emails", "n_phones", "has_pii", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getBoolean(3), r.getString(4))).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1 && got(1L)._3)
+    assert(got(1L)._4 == "reach me at [EMAIL] or [PHONE] thanks")
+    assert(got(2L)._1 == 2 && got(2L)._2 == 1 && got(2L)._3)
+    assert(got(3L) == (0, 0, false, "no contact info here, just words and the number 42"))
+  }
+
+  test("EWMA: seeded with first value, folds in event order, per key") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(m: Int) = new Timestamp(1700000000000L + m * 60000L)
+    val ev = Seq(
+      (1L, 1L, t(0), 10.0), (1L, 2L, t(1), 20.0), (1L, 3L, t(2), 0.0),
+      (2L, 4L, t(0), 5.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val got = graft.ops.TimeSeries.ewma(ev, "user_id", "ts", "event_id", "value", 0.5)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Double]("ewma"))).toMap
+    // s1=10, s2=.5*20+.5*10=15, s3=.5*0+.5*15=7.5
+    assert(got(1L) == (3L, 7.5))
+    assert(got(2L) == (1L, 5.0)) // singleton: the seed itself
+  }
 }
