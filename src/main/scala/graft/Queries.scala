@@ -1308,6 +1308,22 @@ object Queries {
         |  COUNT(*) AS n
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin)),
 
+    // Entity resolution: fuzzy part-name pairs blocked on
+    // (brand, type) — equi-join candidates, edit distance only inside
+    // blocks, never an all-pairs cartesian (ops/EntityResolution.scala).
+    QDef("er_fuzzy_pairs",
+      (s, d) => graft.ops.EntityResolution.blockedPairs(part(s, d),
+          "p_partkey", "p_name", Seq("p_brand", "p_type"), maxDistance = 3)
+        .select(col("id_a"), col("id_b"), col("distance").cast("long").as("distance"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH p AS (SELECT p_partkey, p_name, p_brand, p_type FROM part)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+        |FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // Stratified sample: 10% within each order status — per-stratum
     // hash streams keep small strata at their own rate (map-only; the
     // groupBy here is only the declared query's summary).

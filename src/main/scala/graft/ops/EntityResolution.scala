@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy matching (entity resolution) — the record-level
+  * sibling of the document dedup family: find pairs of records that
+  * are *almost* the same entity.
+  *
+  * Scale design mirrors MinHash-LSH candidate generation
+  * ([[Dedup.minhashCandidates]]): candidates come from a self-EQUI-join
+  * on a blocking key — never an all-pairs cartesian — so the shuffle
+  * clusters on the block and the quadratic cost is bounded per block.
+  * The edit-distance check runs only inside blocks; `maxBlock` drops
+  * pathologically hot blocks (the blocking analog of the LSH
+  * hot-bucket cap) so one degenerate key can't go quadratic at 100 TB —
+  * callers split hot blocks with a finer key instead.
+  */
+object EntityResolution {
+
+  /** Candidate pairs (id_a < id_b) within a block whose `nameCol` edit
+    * distance is ≤ `maxDistance`. Output: id_a, id_b, distance. */
+  def blockedPairs(records: DataFrame, idCol: String, nameCol: String,
+      blockCols: Seq[String], maxDistance: Int,
+      maxBlock: Option[Int] = None): DataFrame = {
+    val base = records.select(
+      (Seq(col(idCol).as("__er_id"), col(nameCol).as("__er_name")) ++
+        blockCols.map(col)): _*)
+    val blocked = maxBlock match {
+      case Some(cap) =>
+        val ok = base.groupBy(blockCols.map(col): _*)
+          .agg(count(lit(1)).as("__er_n"))
+          .filter(col("__er_n") <= cap)
+          .drop("__er_n")
+        base.join(ok, blockCols)
+      case None => base
+    }
+    val a = blocked.withColumnRenamed("__er_id", "id_a")
+      .withColumnRenamed("__er_name", "name_a")
+    val b = blocked.withColumnRenamed("__er_id", "id_b")
+      .withColumnRenamed("__er_name", "name_b")
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("distance", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("distance") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("distance"))
+  }
+}

@@ -170,6 +170,30 @@ class OpsSpec extends SparkSpec {
     assert(u1.last._4.isEmpty && u1.last._5)
   }
 
+  test("entity resolution: block-bounded pairs, hot-block cap, no cartesian") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "acme corp", "CL"), (2L, "acme corp.", "CL"),  // dist 1, same block
+      (3L, "acme corp", "AR"),                            // same name, OTHER block
+      (4L, "zenith ltd", "CL"), (5L, "completely other", "CL"))
+      .toDF("id", "name", "country")
+    val pairs = graft.ops.EntityResolution.blockedPairs(
+      recs, "id", "name", Seq("country"), maxDistance = 2)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cross-block identical names never pair; in-block far names filtered
+    assert(got == Set((1L, 2L)), s"got $got")
+    assert(!pairs.queryExecution.executedPlan.toString.contains("Cartesian"))
+    // hot-block cap drops the whole oversized block
+    val hot = (10L until 30L).map(i => (i, s"name $i", "HOT")) :+ (40L, "x", "COLD") :+ (41L, "x", "COLD")
+    val capped = graft.ops.EntityResolution.blockedPairs(
+      hot.toDF("id", "name", "country"), "id", "name", Seq("country"),
+      maxDistance = 99, maxBlock = Some(5))
+    val cps = capped.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cps == Set((40L, 41L)), s"hot block not dropped: $cps")
+  }
+
   test("salted join equals plain join on skewed data") {
     import spark.implicits._
     import graft.ops.Skew
