@@ -1308,6 +1308,26 @@ object Queries {
         |  COUNT(*) AS n
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin)),
 
+    // Sliding-window chunking (64-token windows, stride 48): map-only
+    // sequence+explode; a 100 TB corpus chunks without any shuffle.
+    QDef("text_chunks",
+      (s, d) => TextAnalysis.chunk(documents(s, d), window = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          substring(col("chunk_text"), 1, 40).as("chunk_head"))
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d),
+        |c AS (SELECT doc_id, n, toks, UNNEST(generate_series(0,
+        |    CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END)) AS chunk_id
+        |  FROM n)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(toks[(chunk_id*48+1):LEAST(chunk_id*48+64, n)]) AS BIGINT)
+        |    AS n_chunk_tokens,
+        |  substring(array_to_string(toks[(chunk_id*48+1):LEAST(chunk_id*48+64, n)],
+        |    ' '), 1, 40) AS chunk_head
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // Entity resolution: fuzzy part-name pairs blocked on
     // (brand, type) — equi-join candidates, edit distance only inside
     // blocks, never an all-pairs cartesian (ops/EntityResolution.scala).

@@ -101,6 +101,29 @@ object TextAnalysis {
           .as("drop_reason"))
   }
 
+  /** Sliding-window document chunking for sequence training: token
+    * windows of `size` advancing by `stride` (overlap = size − stride
+    * keeps context across boundaries). Chunk starts are arithmetic on
+    * the token count — one `sequence` + `explode`, map-only, no UDF —
+    * and a short document yields exactly one (possibly short) chunk.
+    * Output: doc_id, chunk_id, n_chunk_tokens, chunk_text. */
+  def chunk(documents: DataFrame, textCol: String = "text",
+      window: Int = 64, stride: Int = 48): DataFrame = {
+    // Spark's / on longs is double division — floor() it for the
+    // ceil-div; counts are far below double's exact-integer range
+    val lastChunk = when(col("__n") <= window, lit(0L))
+      .otherwise(floor(((col("__n") - window) + (stride - 1)) / stride))
+    documents
+      .withColumn("__toks", toks(col(textCol)))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .withColumn("chunk_id", explode(sequence(lit(0L), lastChunk.cast("long"))))
+      .withColumn("__chunk", slice(col("__toks"),
+        (col("chunk_id") * stride + 1).cast("int"), lit(window)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
   /** PII patterns kept RE2-compatible (no backrefs/lookaround) so any
     * engine can reproduce counts and redactions exactly. */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -61,6 +61,27 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == (0, 0, false, "no contact info here, just words and the number 42"))
   }
 
+  test("chunking: window/stride boundaries, short and exact-fit docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 tokens
+      (2L, "a b c d e"),                               // short: 1 chunk of 5
+      (3L, (1 to 10).map(i => s"t$i").mkString(" ")))  // exact fit: 1 chunk
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.chunk(docs, window = 10, stride = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(x => (x._1, x._2))
+    val d1 = got.filter(_._1 == 1L)
+    // last start = ceil((100-10)/8) = 12 → 13 chunks; tail chunk holds 4
+    assert(d1.length == 13 && d1.last._3 == 4L)
+    assert(d1.init.forall(_._3 == 10L))
+    // stride 8 < window 10: consecutive chunks overlap by 2 tokens
+    assert(d1(0)._4.split(" ").takeRight(2).toSeq ==
+      d1(1)._4.split(" ").take(2).toSeq)
+    assert(got.filter(_._1 == 2L).map(c => (c._2, c._3)).toSeq == Seq((0L, 5L)))
+    assert(got.filter(_._1 == 3L).map(c => (c._2, c._3)).toSeq == Seq((0L, 10L)))
+  }
+
   test("EWMA: seeded with first value, folds in event order, per key") {
     import spark.implicits._
     import java.sql.Timestamp
