@@ -109,16 +109,23 @@ object Dedup {
     * still pair through their 15 other bands; buckets that large signal
     * near-identical boilerplate better handled by exact dedup anyway.
     * Default None preserves exact declared-query semantics. */
-  def minhashCandidates(documents: DataFrame, perms: Int = 64, bands: Int = 16,
-      minEst: Double = 0.0, portable: Boolean = false,
-      maxBucket: Option[Int] = None): DataFrame = {
+  /** LSH banding: one (doc_id, sig, band, band_hash) row per band —
+    * docs sharing any (band, band_hash) are candidate near-dups. Shared
+    * by the batch candidate join and the incremental band state. */
+  def bandHashes(sigs: DataFrame, perms: Int, bands: Int): DataFrame = {
     val rows = perms / bands
-    val sigs = minhashSignatures(documents, perms, portable)
-    val bandedAll = sigs.select(
+    sigs.select(
       col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
         .as(Seq("band", "band_hash")))
+  }
+
+  def minhashCandidates(documents: DataFrame, perms: Int = 64, bands: Int = 16,
+      minEst: Double = 0.0, portable: Boolean = false,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val sigs = minhashSignatures(documents, perms, portable)
+    val bandedAll = bandHashes(sigs, perms, bands)
     val banded = maxBucket match {
       case None => bandedAll
       case Some(cap) =>

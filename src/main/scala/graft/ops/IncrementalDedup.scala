@@ -54,4 +54,62 @@ object IncrementalDedup {
         .select(col("h"), col("doc_id").as("keeper_id")), Seq("h"))
     (fresh.drop("h"), version)
   }
+
+  /** Continuous-ingest NEAR dedup: the MinHash-LSH analog of [[ingest]].
+    * The state is two compact tables under `stateRoot`:
+    *   `bands/` — one (band, band_hash, keeper_id) row per accepted
+    *     doc×band: the LSH index of the corpus-so-far;
+    *   `sigs/`  — (keeper_id, sig): full signatures for verification.
+    *
+    *   1. Candidate lookup is an equi-join of the batch's band hashes
+    *      against the band state — the batch only ever meets the corpus
+    *      rows it shares a bucket with, never the whole corpus.
+    *   2. Candidates verify against the matched keepers' stored
+    *      signatures (estimated Jaccard = matching permutations /
+    *      perms); ≥ `threshold` ⇒ near-duplicate of the corpus, dropped.
+    *   3. Within the batch, surviving docs near-dedup against each
+    *      other ([[Dedup.minhashCandidates]]); of each candidate pair
+    *      the higher doc_id drops (greedy pairwise rule — cheap,
+    *      deterministic; chain clusters may keep more than one member,
+    *      which only costs recall, never a false drop).
+    *   4. Accepted docs commit their bands and signatures atomically.
+    *
+    * State grows by bands+1 rows per accepted doc — independent of how
+    * many duplicates arrive — and the corpus text is never re-read. */
+  def ingestNear(spark: SparkSession, stateRoot: String, batch: DataFrame,
+      threshold: Double = 0.8, perms: Int = 64, bands: Int = 16): (DataFrame, Long) = {
+    val sigs = Dedup.minhashSignatures(batch, perms).localCheckpoint()
+    val banded = Dedup.bandHashes(sigs, perms, bands)
+    val knownDup = StateTable.read(spark, s"$stateRoot/sigs") match {
+      case None => sigs.limit(0).select(col("doc_id"))
+      case Some(stateSigs) =>
+        val stateBands = StateTable.read(spark, s"$stateRoot/bands").get
+        val cands = banded.join(stateBands, Seq("band", "band_hash"))
+          .select(col("doc_id"), col("keeper_id")).distinct()
+        cands.join(sigs, "doc_id")
+          .join(stateSigs.select(col("keeper_id"), col("sig").as("k_sig")), "keeper_id")
+          .withColumn("est", size(filter(
+            zip_with(col("sig"), col("k_sig"), (x, y) => x === y), eq => eq))
+            / lit(perms.toDouble))
+          .filter(col("est") >= threshold)
+          .select("doc_id").distinct()
+    }
+    val corpusFresh = batch.join(knownDup, Seq("doc_id"), "left_anti")
+    val inBatchDrop = Dedup.minhashCandidates(corpusFresh, perms, bands,
+        minEst = threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val accepted = corpusFresh.join(inBatchDrop, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val accSigs = sigs.join(accepted.select("doc_id"), "doc_id")
+      .select(col("doc_id").as("keeper_id"), col("sig"))
+      .localCheckpoint()
+    StateTable.upsert(spark, s"$stateRoot/bands",
+      Dedup.bandHashes(accSigs.select(col("keeper_id").as("doc_id"), col("sig")),
+          perms, bands)
+        .select(col("band"), col("band_hash"), col("doc_id").as("keeper_id")),
+      Seq("band", "band_hash", "keeper_id"))
+    val version = StateTable.upsert(spark, s"$stateRoot/sigs", accSigs,
+      Seq("keeper_id"))
+    (accepted, version)
+  }
 }

@@ -37,6 +37,35 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(a3.isEmpty)
   }
 
+  test("near-dedup ingest: in-batch, cross-batch via LSH state, distinct kept") {
+    val root = java.nio.file.Files.createTempDirectory("graft-incnear").toString
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearA = ((1 to 39).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    val distinct1 = (1 to 40).map(i => s"other$i").mkString(" ")
+    // batch 1: base, an in-batch near-dup of it, and a distinct doc
+    val (a1, v1) = IncrementalDedup.ingestNear(spark, root,
+      docs(1L -> base, 2L -> nearA, 3L -> distinct1))
+    val kept1 = a1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept1 == Seq(1L, 3L), s"in-batch near-dup not dropped: $kept1")
+    assert(v1 == 0L)
+    // batch 2: a near-dup of batch-1's base (caught via STATE, the text
+    // itself is long gone) plus a genuinely new doc
+    val nearB = ("FIRST" +: (2 to 40).map(i => s"tok$i")).mkString(" ")
+    val distinct2 = (1 to 40).map(i => s"fresh$i").mkString(" ")
+    val (a2, v2) = IncrementalDedup.ingestNear(spark, root,
+      docs(10L -> nearB, 11L -> distinct2))
+    val kept2 = a2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept2 == Seq(11L), s"cross-batch near-dup not dropped: $kept2")
+    assert(v2 == 1L)
+    // state carries one signature per ACCEPTED doc only
+    val keepers = StateTable.read(spark, s"$root/sigs").get
+      .select("keeper_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keepers == Seq(1L, 3L, 11L))
+    // batch 3: exact re-ingest of an accepted doc → dropped
+    val (a3, _) = IncrementalDedup.ingestNear(spark, root, docs(20L -> distinct2))
+    assert(a3.isEmpty)
+  }
+
   test("null-text rows each pass through; null never enters the hash state") {
     val root = java.nio.file.Files.createTempDirectory("graft-incdedup-null").toString
     val (a1, _) = IncrementalDedup.ingest(spark, root,
