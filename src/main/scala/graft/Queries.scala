@@ -573,6 +573,31 @@ object Queries {
         |    AS redacted_len
         |FROM inj ORDER BY doc_id""".stripMargin)),
 
+    // ---- Q48: weekly retention cohorts. Both aggregations and the
+    // join cluster on user_id, so the cohort assignment reuses one
+    // exchange; the final rollup is a small (cohort, offset) grid. ----
+    QDef("q48_retention",
+      (s, d) => {
+        val e = events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        val firstW = e.groupBy("user_id").agg(min("w").as("cohort"))
+        e.distinct().join(firstW, "user_id")
+          .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+            ((unix_timestamp(col("w")) - unix_timestamp(col("cohort"))) / 604800)
+              .cast("long").as("week_offset"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH e AS (SELECT user_id, date_trunc('week', ts) AS w FROM events),
+        |f AS (SELECT user_id, MIN(w) AS cohort FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, w FROM e)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+        |  CAST((epoch(w) - epoch(cohort)) / 604800 AS BIGINT) AS week_offset,
+        |  COUNT(*) AS n_active
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)),
+
     // ---- Q47: per-user EWMA of event values — sequential fold per key
     // after one clustering shuffle (ops/TimeSeries.scala). The oracle
     // writes (1 - 0.3), not 0.7: both engines must derive 1−α by the

@@ -42,6 +42,38 @@ object Layout {
       .sortWithinPartitions(keys.map(col): _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ≈`targetFileBytes`. The output file count derives from the MEASURED
+    * input bytes, not a guessed repartition number — the small-file
+    * storm every long-running ingest loop produces (one file per
+    * micro-batch per bucket) is a layout bug this repairs on a schedule.
+    * An optional sort re-clusters while compacting (row-group stats stay
+    * selective). The rewrite lands in a sibling temp dir and swaps in
+    * via two renames, so a crash leaves either the old or the new
+    * layout, never a half-written mix. Returns the output file count. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Nil): Int = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val bytes = Files.walk(Paths.get(path)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(Files.size).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(path)
+    val out =
+      if (sortCols.isEmpty) df.repartition(nFiles)
+      else df.repartition(nFiles).sortWithinPartitions(sortCols.map(col): _*)
+    val tmp = path.stripSuffix("/") + ".__graft_compact"
+    val old = path.stripSuffix("/") + ".__graft_old"
+    out.write.mode("overwrite").parquet(tmp)
+    Files.move(Paths.get(path), Paths.get(old))
+    Files.move(Paths.get(tmp), Paths.get(path))
+    Files.walk(Paths.get(old)).iterator().asScala.toSeq.reverse
+      .foreach(Files.deleteIfExists(_))
+    nFiles
+  }
+
   /** 2-D Z-order (Morton) key: interleaves the low `bitsPerDim` bits of
     * two non-negative long columns — bit i of `a` lands at 2i, bit i of
     * `b` at 2i+1. Pure shift/or expression tree, codegen-friendly.

@@ -48,6 +48,31 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compact: small-file storm collapses, data identical, dir swapped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .resolve("t").toString
+    // 64 tiny files — the micro-batch small-file storm
+    (0L until 2000L).map(i => (i, s"row_$i")).toDF("id", "v")
+      .repartition(64).write.parquet(dir)
+    import scala.jdk.CollectionConverters._
+    def parquetCount() = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    assert(parquetCount() == 64)
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    val n = graft.ops.Layout.compact(spark, dir,
+      targetFileBytes = 1L * 1024 * 1024, sortCols = Seq("id"))
+    assert(n == 1 && parquetCount() == 1, s"got $n files, ${parquetCount()} on disk")
+    val after = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    assert(after == before)
+    // no leftover temp/old dirs
+    val parent = java.nio.file.Paths.get(dir).getParent
+    val siblings = java.nio.file.Files.list(parent).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(siblings == Set("t"), s"leftovers: $siblings")
+  }
+
   test("zorder2 interleaves bits and preserves 2-D locality") {
     import spark.implicits._
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L), (3L, 3L))
