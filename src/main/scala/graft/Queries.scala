@@ -573,6 +573,27 @@ object Queries {
         |    AS redacted_len
         |FROM inj ORDER BY doc_id""".stripMargin)),
 
+    // ---- Q49: correlated LATERAL derived table (top-2 customers per
+    // nation). Catalyst decorrelates the LIMIT-2 subquery into a
+    // window/rank plan — the declarative form of grouped top-k. ----
+    QDef("q49_lateral",
+      (s, d) => {
+        nation(s, d).createOrReplaceTempView("nation_l")
+        customer(s, d).createOrReplaceTempView("customer_l")
+        s.sql("""SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 2) AS bal
+          |FROM nation_l n,
+          |LATERAL (SELECT c_name, c_acctbal FROM customer_l c
+          |  WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+          |ORDER BY n_name, bal DESC, c_name""".stripMargin)
+      },
+      Some("""SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 2) AS bal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        |ORDER BY n_name, bal DESC, c_name""".stripMargin)),
+
     // ---- Q48: weekly retention cohorts. Both aggregations and the
     // join cluster on user_id, so the cohort assignment reuses one
     // exchange; the final rollup is a small (cohort, offset) grid. ----
