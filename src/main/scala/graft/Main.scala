@@ -17,6 +17,8 @@ import graft.sources._
   *           [--mismatch-threshold 0.25]
   *   publish --work-dir D [--dry-run] [--summary run_summary.json]
   *   curate  --input docs.parquet --output D [--min-tokens 20] [--langs en,es]
+  *   ingest  --input docs.parquet --state S --output D [--near]
+  *   compact --path dir [--target-file-mb 128] [--sort c1,c2]
   *   pozos   [--fixture-dir F]
   *   health  [--fixture-dir F]
   */
@@ -213,6 +215,38 @@ object Main {
         println(s"curate $byReason")
         spark.stop()
 
+      case "ingest" =>
+        // continuous-ingest dedup step: check a batch against the hash
+        // state, write accepted rows, commit survivors' hashes
+        val in = arg(rest, "--input").getOrElse(
+          throw new ConfigError("--input is required (documents parquet dir)"))
+        val state = arg(rest, "--state").getOrElse(
+          throw new ConfigError("--state is required (state table root)"))
+        val out = arg(rest, "--output").getOrElse(
+          throw new ConfigError("--output is required"))
+        val near = flag(rest, "--near")
+        val spark = session()
+        val batch = spark.read.parquet(in)
+        val (accepted, version) =
+          if (near) graft.ops.IncrementalDedup.ingestNear(spark, state, batch)
+          else graft.ops.IncrementalDedup.ingest(spark, state, batch)
+        accepted.write.mode("overwrite").parquet(out)
+        println(s"ingest accepted=${accepted.count()} of=${batch.count()} " +
+          s"version=$version mode=${if (near) "near" else "exact"}")
+        spark.stop()
+
+      case "compact" =>
+        val target = arg(rest, "--target-file-mb").map(_.toLong).getOrElse(128L)
+        val path = arg(rest, "--path").getOrElse(
+          throw new ConfigError("--path is required (parquet dir)"))
+        val sortCols = arg(rest, "--sort").map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(Nil)
+        val spark = session()
+        val n = graft.ops.Layout.compact(spark, path,
+          targetFileBytes = target * 1024 * 1024, sortCols = sortCols)
+        println(s"compact files=$n")
+        spark.stop()
+
       case "pozos" =>
         registry().foreach { s =>
           try {
@@ -245,7 +279,8 @@ object Main {
         if (status == "fail") sys.exit(1)
 
       case other =>
-        System.err.println(s"unknown command: $other (expected run|publish|curate|pozos|health)")
+        System.err.println(s"unknown command: $other " +
+          "(expected run|publish|curate|ingest|compact|pozos|health)")
         sys.exit(2)
     }
   }

@@ -1374,6 +1374,35 @@ object Queries {
         |    ' '), 1, 40) AS chunk_head
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // Cross-document CHUNK overlap: doc-level dedup misses partial
+    // duplication (a doc embedding another doc's paragraphs); chunk
+    // fingerprints self-equi-join on the hash — shuffle clusters on
+    // chunk content, no cartesian — and count shared chunks per pair.
+    QDef("text_chunk_overlap",
+      (s, d) => {
+        val ch = TextAnalysis.chunk(documents(s, d).filter(col("doc_id") < 300),
+            window = 32, stride = 32)
+          .select(col("doc_id"), md5(col("chunk_text")).as("ch"))
+        val a = ch.select(col("doc_id").as("doc_a"), col("ch"))
+        val b = ch.select(col("doc_id").as("doc_b"), col("ch"))
+        a.join(b, "ch").filter(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).as("n_shared_chunks"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d),
+        |c AS (SELECT doc_id, n, toks, UNNEST(generate_series(0,
+        |    CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 31) // 32 END)) AS chunk_id
+        |  FROM n),
+        |ch AS (SELECT doc_id, md5(array_to_string(
+        |    toks[(chunk_id*32+1):LEAST(chunk_id*32+32, n)], ' ')) AS ch FROM c)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  COUNT(*) AS n_shared_chunks
+        |FROM ch a JOIN ch b ON a.ch = b.ch AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Entity resolution: fuzzy part-name pairs blocked on
     // (brand, type) — equi-join candidates, edit distance only inside
     // blocks, never an all-pairs cartesian (ops/EntityResolution.scala).

@@ -151,6 +151,26 @@ object EventStreams {
       } finally df.unpersist()
     }
 
+  /** foreachBatch sink running the incremental NEAR-dedup loop per
+    * micro-batch: each batch checks against the persisted LSH band
+    * state ([[graft.ops.IncrementalDedup.ingestNear]]) and accepted
+    * docs flow to `onAccepted`. This is the streaming face of the
+    * reference's cron-batch pattern (scheduled runs + state carried
+    * between them, `update.yml:40-47`): the dedup state lives in the
+    * crash-safe StateTable, NOT in Spark's checkpoint — so it survives
+    * query restarts, is shared with batch ingests, and is unbounded by
+    * watermarks (cross-horizon dedup, which `curateStream` alone can't
+    * give). Micro-batch boundaries are the consistency unit: a batch
+    * that fails re-runs against the pre-batch state version. */
+  def nearDedupSink(stateRoot: String,
+      onAccepted: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      val spark = batch.sparkSession
+      val (accepted, _) =
+        graft.ops.IncrementalDedup.ingestNear(spark, stateRoot, batch)
+      onAccepted(accepted)
+    }
+
   /** The reference's run-over-run change detection as an arbitrary-stateful
     * stream: key = (sorteo, fecha); unchanged (same sha or same amounts) →
     * "skip", else → "publish" and state update

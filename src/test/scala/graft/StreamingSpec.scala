@@ -120,6 +120,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("near-dedup sink: state persists across micro-batches AND query restarts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-near").toString
+    val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+    val sink = EventStreams.nearDedupSink(root,
+      df => accepted ++= df.select("doc_id").collect().map(_.getLong(0)))
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 39).map(i => s"w$i") :+ "DIFF").mkString(" ")
+    val other = (1 to 40).map(i => s"x$i").mkString(" ")
+
+    val in1 = MemoryStream[Doc]
+    val q1 = in1.toDF().select("doc_id", "text").writeStream
+      .foreachBatch(sink).outputMode("append").start()
+    try {
+      in1.addData(Doc(ts(0), 1L, base))
+      q1.processAllAvailable()
+      in1.addData(Doc(ts(1), 2L, near)) // near-dup of batch-1 doc: dropped
+      in1.addData(Doc(ts(1), 3L, other))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(accepted.sorted == Seq(1L, 3L), s"got $accepted")
+
+    // a brand-new query (fresh checkpoint) still sees the dedup state:
+    // it lives in the StateTable, not the streaming checkpoint
+    val in2 = MemoryStream[Doc]
+    val q2 = in2.toDF().select("doc_id", "text").writeStream
+      .foreachBatch(sink).outputMode("append").start()
+    try {
+      in2.addData(Doc(ts(9), 10L, base))   // still known → dropped
+      in2.addData(Doc(ts(9), 11L, (1 to 40).map(i => s"y$i").mkString(" ")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(accepted.sorted == Seq(1L, 3L, 11L), s"restart lost state: $accepted")
+  }
+
   test("pozo change detection stream: publish → skip → publish on change") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
