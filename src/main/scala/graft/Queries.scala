@@ -573,6 +573,23 @@ object Queries {
         |    AS redacted_len
         |FROM inj ORDER BY doc_id""".stripMargin)),
 
+    // ---- Q50: running DISTINCT count over a window. Spark has no
+    // COUNT(DISTINCT) OVER; size(collect_set) over the same frame is
+    // the equivalent (event_id is unique, so RANGE peers ≡ ROWS and
+    // both engines see identical frames). ----
+    QDef("q50_window_distinct",
+      (s, d) => events(s, d)
+        .withColumn("n_types_so_far",
+          size(collect_set(col("event_type")).over(
+            Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+            .cast("long"))
+        .select(col("event_id"), col("user_id"), col("n_types_so_far"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+        |  CAST(COUNT(DISTINCT event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS n_types_so_far
+        |FROM events ORDER BY event_id""".stripMargin)),
+
     // ---- Q49: correlated LATERAL derived table (top-2 customers per
     // nation). Catalyst decorrelates the LIMIT-2 subquery into a
     // window/rank plan — the declarative form of grouped top-k. ----

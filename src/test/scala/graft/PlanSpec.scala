@@ -124,6 +124,23 @@ class PlanSpec extends SparkSpec {
       "funnel must not be join-shaped")
   }
 
+  test("q46 scd2: compaction and interval windows share one key exchange") {
+    val df = Queries.all.find(_.name == "q46_scd2").get.fn(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges")
+  }
+
+  test("chunk overlap: fingerprint equi-join, never a cartesian") {
+    val df = Queries.all.find(_.name == "text_chunk_overlap").get
+      .fn(spark, sf("sf0.001"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoopJoin"),
+      s"chunk overlap must join on the chunk hash:\n${p.take(800)}")
+  }
+
   test("minhash portable mode (the declared-query path) keeps ObjectHashAggregate") {
     // the declared dedup_minhash_lsh query runs portable=true; a silent
     // fall back to SortAggregate (e.g. a non-ObjectHash-capable buffer
