@@ -27,6 +27,9 @@ object Multimodal {
     def features(kind: String, bytes: Array[Byte], meta: MediaMeta): Option[Array[Float]]
     /** How many frames/samples the blob yields for frame-level ops. */
     def frameCount(meta: MediaMeta): Int
+    /** Re-encode the blob at (w, h); None = undecodable. */
+    def resize(kind: String, bytes: Array[Byte], meta: MediaMeta,
+        w: Int, h: Int): Option[(Array[Byte], MediaMeta)]
   }
 
   /** STUB codec — deterministic fake standing in for a real decoder
@@ -46,6 +49,14 @@ object Multimodal {
     }
     def frameCount(meta: MediaMeta): Int =
       if (meta.durationMs <= 0) 1 else (meta.durationMs / 1000L).toInt.max(1)
+    /** Fake resize: deterministic byte resample to w·h "pixels" (truncate
+      * or cycle-pad), meta updated — a real codec re-encodes instead. */
+    def resize(kind: String, bytes: Array[Byte], meta: MediaMeta,
+        w: Int, h: Int): Option[(Array[Byte], MediaMeta)] = {
+      if (bytes == null || bytes.isEmpty) return None
+      val out = Array.tabulate(w * h)(i => bytes(i % bytes.length))
+      Some((out, meta.copy(width = w, height = h)))
+    }
   }
 
   /** Batched feature extraction: repartition for even work distribution,
@@ -62,6 +73,24 @@ object Multimodal {
             codec.frameCount(r.meta))
           case None => MediaFeatures(r.media_id, r.kind, ok = false,
             Array.empty[Float], 0)
+        }
+      }
+    }
+  }
+
+  /** Batched resize: binary → binary with updated meta, same schema out
+    * as in (a media table maps to a media table, so resize stages chain
+    * with any other media op). Undecodable blobs pass through unchanged
+    * rather than erroring the partition — at 100 TB a corrupt blob is
+    * data, not an exception. */
+  def resizeAll(media: Dataset[MediaRow], codec: MediaCodec,
+      w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        codec.resize(r.kind, r.bytes, r.meta, w, h) match {
+          case Some((b2, m2)) => r.copy(bytes = b2, meta = m2)
+          case None => r
         }
       }
     }

@@ -100,4 +100,23 @@ class ObsMultimodalSpec extends SparkSpec {
     val expectedAudio = audioIds.map(id => math.max(1, id % 6)).sum
     assert(byKind("audio")._1 == expectedAudio)
   }
+
+  test("multimodal: resize rewrites bytes+meta in place, schema unchanged") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(10)
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val resized = Multimodal.resizeAll(media, new Multimodal.StubCodec(), w = 4, h = 3)
+    assert(resized.schema == media.schema, "resize must map media → media")
+    val rows = resized.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.bytes.length == 12, s"media ${r.media_id}: ${r.bytes.length} bytes")
+      assert(r.meta.width == 4 && r.meta.height == 3)
+      assert(r.meta.format == (if (r.media_id % 2 == 0) "png" else "wav"))
+    }
+    // deterministic: same input → same bytes on a second run
+    val again = Multimodal.resizeAll(media, new Multimodal.StubCodec(), w = 4, h = 3)
+      .collect().map(r => r.media_id -> r.bytes.toSeq).toMap
+    rows.foreach(r => assert(again(r.media_id) == r.bytes.toSeq))
+  }
 }
