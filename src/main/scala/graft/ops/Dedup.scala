@@ -123,8 +123,16 @@ object Dedup {
 
   def minhashCandidates(documents: DataFrame, perms: Int = 64, bands: Int = 16,
       minEst: Double = 0.0, portable: Boolean = false,
-      maxBucket: Option[Int] = None): DataFrame = {
-    val sigs = minhashSignatures(documents, perms, portable)
+      maxBucket: Option[Int] = None): DataFrame =
+    candidatesFromSigs(minhashSignatures(documents, perms, portable),
+      perms, bands, minEst, maxBucket)
+
+  /** Candidate pairs from ALREADY-COMPUTED signatures — callers that
+    * have signatures in hand (the incremental loop's checkpointed
+    * batch, a persisted signature table) must not pay the shingle+hash
+    * pass twice. */
+  def candidatesFromSigs(sigs: DataFrame, perms: Int = 64, bands: Int = 16,
+      minEst: Double = 0.0, maxBucket: Option[Int] = None): DataFrame = {
     val bandedAll = bandHashes(sigs, perms, bands)
     val banded = maxBucket match {
       case None => bandedAll

@@ -83,7 +83,7 @@ object IncrementalDedup {
     val knownDup = StateTable.read(spark, s"$stateRoot/sigs") match {
       case None => sigs.limit(0).select(col("doc_id"))
       case Some(stateSigs) =>
-        val stateBands = StateTable.read(spark, s"$stateRoot/bands").get
+        val stateBands = healedBands(spark, stateRoot, stateSigs, perms, bands)
         val cands = banded.join(stateBands, Seq("band", "band_hash"))
           .select(col("doc_id"), col("keeper_id")).distinct()
         cands.join(sigs, "doc_id")
@@ -95,7 +95,10 @@ object IncrementalDedup {
           .select("doc_id").distinct()
     }
     val corpusFresh = batch.join(knownDup, Seq("doc_id"), "left_anti")
-    val inBatchDrop = Dedup.minhashCandidates(corpusFresh, perms, bands,
+    // in-batch pass reuses the checkpointed signatures — the
+    // shingle+hash sweep must not run twice per batch
+    val inBatchDrop = Dedup.candidatesFromSigs(
+        sigs.join(corpusFresh.select("doc_id"), "doc_id"), perms, bands,
         minEst = threshold)
       .select(col("doc_b").as("doc_id")).distinct()
     val accepted = corpusFresh.join(inBatchDrop, Seq("doc_id"), "left_anti")
@@ -103,13 +106,36 @@ object IncrementalDedup {
     val accSigs = sigs.join(accepted.select("doc_id"), "doc_id")
       .select(col("doc_id").as("keeper_id"), col("sig"))
       .localCheckpoint()
+    // sigs commit FIRST: they are the source of truth. A crash between
+    // the two commits leaves bands one version behind, which the next
+    // run detects and rebuilds (healedBands) — the reverse order would
+    // leave band rows whose keepers have no signature, silently
+    // accepting their near-dups forever.
+    val version = StateTable.upsert(spark, s"$stateRoot/sigs", accSigs,
+      Seq("keeper_id"))
     StateTable.upsert(spark, s"$stateRoot/bands",
       Dedup.bandHashes(accSigs.select(col("keeper_id").as("doc_id"), col("sig")),
           perms, bands)
         .select(col("band"), col("band_hash"), col("doc_id").as("keeper_id")),
       Seq("band", "band_hash", "keeper_id"))
-    val version = StateTable.upsert(spark, s"$stateRoot/sigs", accSigs,
-      Seq("keeper_id"))
     (accepted, version)
+  }
+
+  /** The band index, rebuilt from the signature table when a past crash
+    * left it behind (bands version ≠ sigs version ⇒ the last sigs
+    * commit's bands never landed — regenerate the whole index once). */
+  private def healedBands(spark: SparkSession, stateRoot: String,
+      stateSigs: DataFrame, perms: Int, bands: Int): DataFrame = {
+    val sigsV = StateTable.latestVersion(s"$stateRoot/sigs")
+    val bandsV = StateTable.latestVersion(s"$stateRoot/bands")
+    if (bandsV == sigsV) StateTable.read(spark, s"$stateRoot/bands").get
+    else {
+      val rebuilt = Dedup.bandHashes(
+          stateSigs.select(col("keeper_id").as("doc_id"), col("sig")), perms, bands)
+        .select(col("band"), col("band_hash"), col("doc_id").as("keeper_id"))
+      StateTable.upsert(spark, s"$stateRoot/bands", rebuilt.localCheckpoint(),
+        Seq("band", "band_hash", "keeper_id"))
+      rebuilt
+    }
   }
 }

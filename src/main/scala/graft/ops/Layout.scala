@@ -54,9 +54,23 @@ object Layout {
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       sortCols: Seq[String] = Nil): Int = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Path, Paths}
     import scala.jdk.CollectionConverters._
-    val bytes = Files.walk(Paths.get(path)).iterator().asScala
+    def walkSeq(p: Path): Seq[Path] = {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    def rmTree(p: Path): Unit =
+      if (Files.exists(p)) walkSeq(p).reverse.foreach(Files.deleteIfExists(_))
+    val tmp = Paths.get(path.stripSuffix("/") + ".__graft_compact")
+    val old = Paths.get(path.stripSuffix("/") + ".__graft_old")
+    val target = Paths.get(path)
+    // crash recovery: a previous run that died between the two renames
+    // left the data under .__graft_old and nothing at `path` — restore
+    // it; any stale tmp/old leftovers are then safe to clear
+    if (!Files.exists(target) && Files.exists(old)) Files.move(old, target)
+    rmTree(tmp); rmTree(old)
+    val bytes = walkSeq(target)
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .map(Files.size).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
@@ -64,13 +78,10 @@ object Layout {
     val out =
       if (sortCols.isEmpty) df.repartition(nFiles)
       else df.repartition(nFiles).sortWithinPartitions(sortCols.map(col): _*)
-    val tmp = path.stripSuffix("/") + ".__graft_compact"
-    val old = path.stripSuffix("/") + ".__graft_old"
-    out.write.mode("overwrite").parquet(tmp)
-    Files.move(Paths.get(path), Paths.get(old))
-    Files.move(Paths.get(tmp), Paths.get(path))
-    Files.walk(Paths.get(old)).iterator().asScala.toSeq.reverse
-      .foreach(Files.deleteIfExists(_))
+    out.write.mode("overwrite").parquet(tmp.toString)
+    Files.move(target, old)
+    Files.move(tmp, target)
+    rmTree(old)
     nFiles
   }
 

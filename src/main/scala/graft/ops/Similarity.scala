@@ -68,10 +68,16 @@ object Similarity {
       }.toSeq
     for (_ <- 0 until iters) {
       val assigned = c.withColumn("cid", assignExpr(col("emb"), centroids))
-      // mean per cluster = elementwise sum / count, via posexplode (codegen)
+      // mean per cluster = elementwise sum / count, via posexplode.
+      // The sum folds over the SORTED member values: avg()'s summation
+      // order is shuffle-arrival-dependent, and last-bit drift in a
+      // centroid can flip an argmin assignment — partition-count- and
+      // engine-dependent results from what should be a pure function.
       val means = assigned
         .select(col("cid"), posexplode(col("emb")).as(Seq("i", "x")))
-        .groupBy("cid", "i").agg(avg("x").as("m"))
+        .groupBy("cid", "i")
+        .agg((aggregate(array_sort(collect_list(col("x"))), lit(0.0),
+          (a, v) => a + v) / count(lit(1))).as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
         .select(col("cid"), transform(col("im"), e => e.getField("m")).as("mean"))
@@ -145,6 +151,10 @@ object Similarity {
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val seedVecs = c.orderBy("vec_id").limit(codes).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("emb").toSeq)
+    require(seedVecs.nonEmpty, "pqCodebooks: empty corpus")
+    require(seedVecs.length >= codes,
+      s"pqCodebooks: corpus has ${seedVecs.length} vectors < codes=$codes — " +
+        "shrink `codes` (a codebook can't have more entries than training vectors)")
     val subDim = seedVecs.head.length / m
     var cb: Map[(Int, Int), Seq[Double]] = (for {
       (v, code) <- seedVecs.zipWithIndex
@@ -156,9 +166,12 @@ object Similarity {
     for (_ <- 0 until iters) {
       val assigned = sub.withColumn("code",
         pqAssignExpr(col("sub"), col("se"), cb, m, codes))
+      // sorted-fold mean — see ivfCentroids for why avg() won't do
       val means = assigned
         .select(col("sub"), col("code"), posexplode(col("se")).as(Seq("i", "x")))
-        .groupBy("sub", "code", "i").agg(avg("x").as("mv"))
+        .groupBy("sub", "code", "i")
+        .agg((aggregate(array_sort(collect_list(col("x"))), lit(0.0),
+          (a, v) => a + v) / count(lit(1))).as("mv"))
         .groupBy("sub", "code")
         .agg(array_sort(collect_list(struct(col("i"), col("mv")))).as("im"))
         .select(col("sub"), col("code"),

@@ -36,6 +36,18 @@ object StateTable {
   private def pointer(root: String) = Paths.get(root, "_VERSION")
   private def bucketsMeta(root: String) = Paths.get(root, "_BUCKETS")
 
+  /** Files.list/walk streams hold an open directory fd until closed; a
+    * long-running streaming driver upserting every micro-batch would
+    * otherwise leak fds until "too many open files". */
+  private def listDir[A](p: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(p)
+    try f(s.iterator().asScala) finally s.close()
+  }
+  private def walkDir[A](p: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.walk(p)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   def latestVersion(root: String): Option[Long] = {
     val p = pointer(root)
     if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
@@ -61,8 +73,20 @@ object StateTable {
     val bucketOf = pmod(hash(keyCols.map(col): _*), lit(nb))
     val updB = updates.withColumn(B, bucketOf)
     val touched = updB.select(B).distinct().collect().map(_.getInt(0)).toSet
+    // a snapshot written by the pre-bucketed layout has parquet files at
+    // the version root instead of bucket dirs; treating it as "no touched
+    // buckets" would silently DROP the whole corpus state — migrate it
+    // by merging the full flat snapshot instead
+    val flatLegacy = cur.exists(v => listDir(Paths.get(root, s"v=$v"))(
+      _.exists(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))))
     val mergedTouched = cur match {
       case None => updB
+      case Some(v) if flatLegacy =>
+        spark.read.parquet(s"$root/v=$v").drop(B)
+          .join(updates.select(keyCols.map(col): _*).dropDuplicates(keyCols),
+            keyCols, "left_anti")
+          .withColumn(B, bucketOf)
+          .unionByName(updB)
       case Some(v) =>
         val touchedPaths = touched.toSeq.sorted
           .map(b => Paths.get(root, s"v=$v", s"$B=$b"))
@@ -79,10 +103,10 @@ object StateTable {
       .write.mode("overwrite").partitionBy(B).parquet(nextDir.toString)
     // untouched buckets: hard-link the previous version's files (no IO)
     cur.foreach { v =>
-      Files.list(Paths.get(root, s"v=$v")).iterator().asScala
+      listDir(Paths.get(root, s"v=$v"))(_
         .filter(p => p.getFileName.toString.startsWith(s"$B="))
         .filter(p => !touched.contains(p.getFileName.toString.drop(B.length + 1).toInt))
-        .foreach(src => linkTree(src, nextDir.resolve(src.getFileName.toString)))
+        .foreach(src => linkTree(src, nextDir.resolve(src.getFileName.toString))))
     }
     if (!Files.exists(bucketsMeta(root))) Files.writeString(bucketsMeta(root), nb.toString)
     // atomic pointer swap, then prune behind the retention window
@@ -97,18 +121,18 @@ object StateTable {
   /** Hard-link every regular file of a bucket dir into the new version. */
   private def linkTree(src: Path, dst: Path): Unit = {
     Files.createDirectories(dst)
-    Files.list(src).iterator().asScala.filter(Files.isRegularFile(_))
-      .foreach(f => Files.createLink(dst.resolve(f.getFileName.toString), f))
+    listDir(src)(_.filter(Files.isRegularFile(_))
+      .foreach(f => Files.createLink(dst.resolve(f.getFileName.toString), f)))
   }
 
   private def prune(root: String, latest: Long, keep: Int): Unit = {
     val dir = Paths.get(root)
     if (!Files.exists(dir)) return
-    Files.list(dir).iterator().asScala
+    listDir(dir)(_
       .filter(p => p.getFileName.toString.startsWith("v="))
       .filter(p => p.getFileName.toString.drop(2).toLong <= latest - keep)
-      .foreach { p =>
-        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      .toSeq).foreach { p =>
+        walkDir(p)(_.toSeq).reverse.foreach(Files.deleteIfExists(_))
       }
   }
 }

@@ -87,6 +87,10 @@ object Dom {
 
   /** Parse to a synthetic root element (tag "#root"). */
   def parse(html: String): Elem = {
+    // one lowercase copy for raw-text close-tag scans — real SPA pages
+    // carry dozens of <script> blocks in MBs of markup, and lowercasing
+    // the whole document per script tag would be quadratic allocation
+    val htmlLower = html.toLowerCase
     val root = new Elem("#root", Map.empty, null)
     var stack = List(root)
     def top = stack.head
@@ -135,7 +139,7 @@ object Dom {
               if (RawTextTags.contains(tag)) {
                 // raw text: consume verbatim until the matching closer
                 val closer = s"</$tag"
-                val idx = html.toLowerCase.indexOf(closer, end + 1)
+                val idx = htmlLower.indexOf(closer, end + 1)
                 val stop = if (idx < 0) n else idx
                 if (stop > end + 1)
                   e.childBuf += new TextNode(html.substring(end + 1, stop), e)

@@ -167,6 +167,8 @@ class PipelineSpec extends SparkSpec {
     assert(onlyOut.contains("openloto:") && !onlyOut.contains("polla:"))
     intercept[ConfigError](Main.main(Array("pozos", "--retries", "0")))
     intercept[ConfigError](Main.main(Array("pozos", "--timeout", "0")))
+    // a typo'd --only must fail loudly, not run zero sources
+    intercept[ConfigError](Main.main(Array("pozos", "--only", "openlotto")))
     val (_, depErr) = runMain("pozos", "--fixture-dir", fixtures, "--no-include-pozos")
     assert(depErr.contains("DEPRECATION WARNING") && depErr.contains("pozos-only"))
   }
