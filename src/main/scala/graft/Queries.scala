@@ -573,6 +573,32 @@ object Queries {
         |    AS redacted_len
         |FROM inj ORDER BY doc_id""".stripMargin)),
 
+    // ---- Q51: recursive CTE (Spark 4's WITH RECURSIVE): each step
+    // folds one nation's customer count into a running total via a
+    // correlated scalar subquery over real tables — recursion +
+    // correlated-subquery decorrelation exercised together. ----
+    QDef("q51_recursive_cte",
+      (s, d) => {
+        nation(s, d).createOrReplaceTempView("nation_r")
+        customer(s, d).createOrReplaceTempView("customer_r")
+        s.sql("""WITH RECURSIVE r(depth, total) AS (
+          |  SELECT 0, CAST(0 AS BIGINT)
+          |  UNION ALL
+          |  SELECT depth + 1, total + (
+          |    SELECT COUNT(*) FROM customer_r c JOIN nation_r n
+          |    ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey = depth)
+          |  FROM r WHERE depth < 24)
+          |SELECT depth, total FROM r ORDER BY depth""".stripMargin)
+      },
+      Some("""WITH RECURSIVE r(depth, total) AS (
+        |  SELECT 0, CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT depth + 1, total + (
+        |    SELECT COUNT(*) FROM customer c JOIN nation n
+        |    ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey = depth)
+        |  FROM r WHERE depth < 24)
+        |SELECT depth, total FROM r ORDER BY depth""".stripMargin)),
+
     // ---- Q50: running DISTINCT count over a window. Spark has no
     // COUNT(DISTINCT) OVER; size(collect_set) over the same frame is
     // the equivalent (event_id is unique, so RANGE peers ≡ ROWS and
