@@ -66,6 +66,30 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(a3.isEmpty)
   }
 
+  test("near-dedup heals a band index left behind by a crash") {
+    val root = java.nio.file.Files.createTempDirectory("graft-incnear-heal").toString
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val (a1, _) = IncrementalDedup.ingestNear(spark, root, docs(1L -> base))
+    assert(a1.count() == 1)
+    // simulate the crash window: sigs committed, the bands commit lost —
+    // roll the bands table back to "nothing"
+    def rmTree(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try s.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
+    rmTree(s"$root/bands")
+    assert(StateTable.read(spark, s"$root/bands").isEmpty)
+    // a near-dup of the committed doc MUST still be caught: the index is
+    // rebuilt from the signature table (the source of truth)
+    val near = ((1 to 39).map(i => s"tok$i") :+ "EDIT").mkString(" ")
+    val (a2, _) = IncrementalDedup.ingestNear(spark, root, docs(2L -> near))
+    assert(a2.isEmpty, "healed index failed to catch a known near-dup")
+    assert(StateTable.read(spark, s"$root/bands").nonEmpty)
+  }
+
   test("null-text rows each pass through; null never enters the hash state") {
     val root = java.nio.file.Files.createTempDirectory("graft-incdedup-null").toString
     val (a1, _) = IncrementalDedup.ingest(spark, root,

@@ -73,6 +73,26 @@ class LayoutSpec extends SparkSpec {
     assert(siblings == Set("t"), s"leftovers: $siblings")
   }
 
+  test("compact: recovers from a crash between the two renames") {
+    import spark.implicits._
+    val parent = java.nio.file.Files.createTempDirectory("graft-compact-crash")
+    val dir = parent.resolve("t").toString
+    (0L until 100L).map(i => (i, s"r$i")).toDF("id", "v")
+      .repartition(4).write.parquet(dir)
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    // simulate the crash window: data moved to .__graft_old, nothing at path
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + ".__graft_old"))
+    val n = graft.ops.Layout.compact(spark, dir, targetFileBytes = 1L << 20)
+    assert(n == 1)
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq == before,
+      "crash recovery must restore and compact the old data")
+    import scala.jdk.CollectionConverters._
+    val siblings = java.nio.file.Files.list(parent).iterator().asScala
+      .map(_.getFileName.toString).toSet
+    assert(siblings == Set("t"), s"leftovers after recovery: $siblings")
+  }
+
   test("zorder2 interleaves bits and preserves 2-D locality") {
     import spark.implicits._
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L), (3L, 3L))

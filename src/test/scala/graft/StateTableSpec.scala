@@ -108,6 +108,24 @@ class StateTableSpec extends SparkSpec {
     out.toMap
   }
 
+  test("pre-bucketed flat snapshot is migrated, not silently dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = tmp()
+    // fabricate a legacy layout: parquet files directly under v=0,
+    // no __graft_bucket= dirs, pointer at 0
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$root/v=0")
+    Files.writeString(Paths.get(root, "_VERSION"), "0")
+    val v1 = StateTable.upsert(spark, root,
+      Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    assert(v1 == 1L)
+    val got = StateTable.read(spark, root).get.orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // legacy row 1 survives, 2 is replaced, 3 is new
+    assert(got == Seq((1L, "a"), (2L, "B2"), (3L, "c")), s"got $got")
+  }
+
   test("duplicate keys inside one update batch do not multiply state") {
     import spark.implicits._
     val root = tmp()
