@@ -818,6 +818,27 @@ object Queries {
           s"COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct FROM orders")
         .mkString("", " UNION ALL ", """ ORDER BY "column""""))),
 
+    // ---- Q38b: the approx profile (Profiler.profileApprox) — the 100 TB
+    // path: HLL++ per column, one pass, no Expand. The HLL estimate is
+    // engine-specific, so (q33 pattern) the declared output carries the
+    // exact row/null counts plus an in-query sanity assertion on the
+    // estimate; the 15% accuracy bound vs the exact profile is pinned by
+    // ProfilerSpec. ----
+    QDef("q38b_column_profile_approx",
+      (s, d) => {
+        val nonnull = col("n_rows") - col("n_nulls")
+        graft.ops.Profiler.profileApprox(orders(s, d))
+          .select(col("column"), col("n_rows"), col("n_nulls"),
+            (col("approx_distinct") >= least(nonnull, lit(1L)) &&
+              col("approx_distinct") <= nonnull * 1.5 + 16).as("approx_sane"))
+          .orderBy("column")
+      },
+      Some(Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .map(c => s"""SELECT '$c' AS "column", COUNT(*) AS n_rows, """ +
+          s"COUNT(*) - COUNT($c) AS n_nulls, true AS approx_sane FROM orders")
+        .mkString("", " UNION ALL ", """ ORDER BY "column""""))),
+
     // ================= north-star: dedup =================
     QDef("dedup_exact",
       (s, d) => Dedup.exact(documents(s, d)).orderBy("keep_id"),

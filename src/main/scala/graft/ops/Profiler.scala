@@ -20,9 +20,11 @@ object Profiler {
         .select(lit(c).as("column"), col("n_rows"), col("n_nulls"), col("n_distinct"))
     }.reduce(_ unionAll _)
 
-  /** Single-scan variant: all columns profiled in ONE aggregate pass
-    * (count_if + approx or exact distinct per column in the same job) —
-    * the shape to prefer on very wide, very large tables. */
+  /** Single-scan EXACT variant: all columns profiled in ONE aggregate
+    * pass. NOTE: N exact `countDistinct`s in one aggregate still multiply
+    * every input row ×2N through an Expand node — correct, but the wrong
+    * default at 100 TB. Use for oracle checks and small/medium tables;
+    * [[profileApprox]] is the scale path. */
   def profileSingleScan(df: DataFrame): DataFrame = {
     val aggs = df.columns.toSeq.flatMap { c =>
       Seq(count_if(col(c).isNull).as(s"${c}__nulls"),
@@ -36,5 +38,27 @@ object Profiler {
     }
     df.sparkSession.createDataFrame(rows)
       .toDF("column", "n_rows", "n_nulls", "n_distinct")
+  }
+
+  /** Approximate single-scan profile — THE 100 TB path. HLL++ sketches
+    * (`approx_count_distinct`, default rsd 0.05) replace exact distincts:
+    * one pass, NO Expand — the sketches are plain partial-aggregable
+    * buffers, so the whole profile of an arbitrarily wide table is a
+    * single map-side-combined scan. Estimates are within ~15% of exact at
+    * 3σ (ProfilerSpec pins this against [[profileSingleScan]]). */
+  def profileApprox(df: DataFrame): DataFrame = {
+    val aggs = df.columns.toSeq.flatMap { c =>
+      Seq(count_if(col(c).isNull).as(s"${c}__nulls"),
+        approx_count_distinct(col(c)).as(s"${c}__distinct"))
+    }
+    val totals = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    // pivot the 1-row aggregate into one row per column with stack() —
+    // no collect/driver round-trip, the whole profile is ONE job
+    val stackArgs = df.columns
+      .map(c => s"'$c', `${c}__nulls`, `${c}__distinct`").mkString(", ")
+    totals.selectExpr(
+        s"stack(${df.columns.length}, $stackArgs) AS (column, n_nulls, approx_distinct)",
+        "__rows AS n_rows")
+      .select(col("column"), col("n_rows"), col("n_nulls"), col("approx_distinct"))
   }
 }
