@@ -11,7 +11,20 @@ import org.apache.spark.sql.SparkSession
   *    complex plan still absorbs one-time janino compilation that would
   *    otherwise be charged to whichever query sorts first;
   *  - the host 1-minute load average is stamped into the JSON (`load_avg`)
-  *    so a contention-polluted run is identifiable after the fact.
+  *    so a contention-polluted run is identifiable after the fact;
+  *  - a quiet-host GATE: if the 1-minute load exceeds
+  *    `SPARK_GRAFT_MAX_LOAD` (default 4.0) the bench WAITS (up to
+  *    `SPARK_GRAFT_LOAD_WAIT_SEC`, default 600 s) for the host to go
+  *    quiet before timing anything — r3/r4 driver benches recorded 3–5×
+  *    phantom regressions purely from host contention. The gate outcome
+  *    (`load_gate`: initial/at_start load, seconds waited, passed) is
+  *    stamped so a reader can reject a run that timed out still-loaded.
+  *
+  * If `scripts/oracle_times_<sf>.json` exists (recorded by
+  * `scripts/oracle_bench.py`), per-query DuckDB seconds and the
+  * Spark/DuckDB ratio are emitted (`oracle_total`, `vs_oracle`,
+  * per-query `oracle` map) so a perf regression is visible in the bench
+  * artifact itself.
   *
   * `SPARK_GRAFT_ONLY=name1,name2` restricts the run (local iteration);
   * `SPARK_GRAFT_RUNS=n` overrides the per-query run count (default 2).
@@ -23,8 +36,20 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val loadAvg = java.lang.management.ManagementFactory
+    def load(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // quiet-host gate: refuse to time on a loaded host; wait (bounded)
+    // for the 1-minute load to drop below the threshold first
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "4.0").toDouble
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "600").toInt
+    val initialLoad = load()
+    var waitedSec = 0
+    while (load() > maxLoad && waitedSec < maxWaitSec) {
+      System.err.println(f"[bench] load ${load()}%.2f > $maxLoad%.1f — waiting for quiet host ($waitedSec/$maxWaitSec s)")
+      Thread.sleep(15000); waitedSec += 15
+    }
+    val loadAvg = load()
+    val gatePassed = loadAvg <= maxLoad
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,7 +86,38 @@ object Bench {
     // summing the sentinel would report a phantom speedup exactly when
     // queries break; they remain visible as -1 in the per-query map
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$loadAvg,"runs_per_query":$runs}""")
+    val gateJson = f""","load_gate":{"threshold":$maxLoad%.1f,"initial":$initialLoad%.2f,"at_start":$loadAvg%.2f,"waited_sec":$waitedSec,"passed":$gatePassed}"""
+    val oracleJson = oracleTimes(sfDir) match {
+      case Some(times) =>
+        val matched = results.filter { case (k, v) => v >= 0 && times.contains(k) }
+        val oq = matched.map { case (k, _) => s"\"" + k + "\":" + times(k) }
+          .mkString("{", ",", "}")
+        val oTotal = matched.map { case (k, _) => times(k) }.sum
+        val mTotal = matched.map(_._2).sum
+        val ratio = if (oTotal > 0) mTotal / oTotal else -1.0
+        f""","oracle":$oq,"oracle_total":$oTotal%.3f,"vs_oracle":$ratio%.2f"""
+      case None => ""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$loadAvg,"runs_per_query":$runs$gateJson$oracleJson}""")
     spark.stop()
+  }
+
+  /** Per-query DuckDB seconds recorded by scripts/oracle_bench.py, if a
+    * times file for this SF is committed. Flat hand-rolled parse — the
+    * file is machine-written `"name": 1.23` pairs; no JSON lib needed. */
+  private def oracleTimes(sfDir: String): Option[Map[String, Double]] = {
+    val sfName = new java.io.File(sfDir).getName
+    val f = new java.io.File(s"scripts/oracle_times_$sfName.json")
+    if (!f.isFile) return None
+    val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    val entry = """"([A-Za-z0-9_]+)":\s*([0-9]+\.?[0-9]*)""".r
+    // the _meta block carries no query-shaped keys except numeric fields
+    // (recorded_unix, load_avg, threads); exclude them by name
+    val meta = Set("recorded_unix", "load_avg", "threads")
+    val m = entry.findAllMatchIn(text)
+      .map(x => x.group(1) -> x.group(2).toDouble)
+      .filterNot { case (k, _) => meta.contains(k) }
+      .toMap
+    if (m.isEmpty) None else Some(m)
   }
 }
