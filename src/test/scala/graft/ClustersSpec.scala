@@ -28,6 +28,21 @@ class ClustersSpec extends SparkSpec {
     assert(rounds <= 10, s"chain-256 took $rounds rounds — pointer doubling broken")
   }
 
+  test("reliable checkpoint-dir path: same labels, checkpoints on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("u", "v")
+    val got = Dedup.connectedComponents(edges, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // reliable (not local) checkpointing actually wrote RDD blocks there
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try assert(wrote.filter(_.getFileName.toString.startsWith("part-"))
+      .findFirst.isPresent, "no checkpoint blocks written to the dir")
+    finally wrote.close()
+  }
+
   test("non-convergence within maxIter throws instead of mislabeling") {
     val edges = (1 until 64).map(i => (i.toLong, (i + 1).toLong)).toDF("u", "v")
     intercept[IllegalStateException] {
