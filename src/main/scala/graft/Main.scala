@@ -19,8 +19,8 @@ import graft.sources._
   *   curate  --input docs.parquet --output D [--min-tokens 20] [--langs en,es]
   *   ingest  --input docs.parquet --state S --output D [--near]
   *   compact --path dir [--target-file-mb 128] [--sort c1,c2]
-  *   pozos   [--fixture-dir F]
-  *   health  [--fixture-dir F]
+  *   pozos   [--fixture-dir F | --live]
+  *   health  [--fixture-dir F | --live]
   */
 object Main {
 
@@ -79,7 +79,7 @@ object Main {
   private def sources(fixtureDir: Option[String],
       overrides: Map[String, String] = Map.empty,
       retries: Int = 3, timeoutSec: Int = 30,
-      only: Option[Set[String]] = None): Seq[PozoSource] = {
+      only: Option[Set[String]] = None, live: Boolean = false): Seq[PozoSource] = {
     val transport: HttpTransport = fixtureDir match {
       case Some(dir) =>
         val load = (n: String) => {
@@ -89,9 +89,15 @@ object Main {
         new FixtureTransport(Map(
           OpenlotoUrl -> load("openloto").getOrElse(""),
           PollaUrl -> load("polla").getOrElse("")).filter(_._2.nonEmpty))
+      case None if live =>
+        // --live: real JDK HttpClient transport. Sandbox-inert in this
+        // build environment (zero egress ⇒ fails fast with NetworkError);
+        // never taken by CI, which always passes --fixture-dir.
+        new JdkHttpTransport()
       case None =>
         (url: String, ua: String, t: Int) =>
-          throw new NetworkError("offline build: no live transport; use --fixture-dir",
+          throw new NetworkError(
+            "no live transport selected; use --fixture-dir or --live",
             Map("url" -> url))
     }
     val fetcher = new Fetcher(transport, retries = retries,
@@ -148,7 +154,11 @@ object Main {
     if (flag(rest, "--no-include-pozos"))
       System.err.println("DEPRECATION WARNING: --no-include-pozos is deprecated and " +
         "will be removed. This tool is now pozos-only by design.")
-    def registry() = sources(fixtureDir, overrides, retries, timeoutSec, only)
+    // --live selects the real JDK HttpClient transport (sandbox-inert
+    // here: zero egress makes live fetches fail fast; CI always replays
+    // fixtures). --fixture-dir wins if both are given.
+    val live = flag(rest, "--live")
+    def registry() = sources(fixtureDir, overrides, retries, timeoutSec, only, live)
     cmd match {
       case "run" =>
         val threshold = arg(rest, "--mismatch-threshold").map(_.toDouble).getOrElse(0.25)

@@ -109,6 +109,59 @@ trait HttpTransport extends Serializable {
   def robots(host: String, ua: String): Option[String] = None
 }
 
+/** Live HTTP transport over the JDK's `java.net.http.HttpClient` — the
+  * real-network implementation of [[HttpTransport]] (reference
+  * `net.py:135-169` uses `requests` the same way: one GET, UA header,
+  * wall-clock timeout, transport errors surfaced as network errors).
+  *
+  * Deliberately kept OUT of every CI/test path, exactly as the reference
+  * never fetches in its own CI (`tests/test_smoke_sources.py:42-52`):
+  * specs exercise it only against loopback addresses. Selected at the CLI
+  * with `--live` (sandbox-inert here: this build environment has no
+  * egress, so a live run fails fast with a NetworkError — the wiring is
+  * what this class provides).
+  *
+  * One instance per fetch-task partition (it is built executor-side
+  * inside `mapPartitions` in [[graft.sources.DistributedFetch]]-style
+  * flows); HttpClient keeps a small connection pool per instance, which
+  * co-located per-host partitions reuse across a partition's URLs. */
+final class JdkHttpTransport(followRedirects: Boolean = true)
+    extends HttpTransport {
+  @transient private lazy val client = {
+    val b = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10))
+    (if (followRedirects)
+      b.followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+    else b).build()
+  }
+
+  override def get(url: String, ua: String, timeoutMs: Int): (Int, String) =
+    try {
+      val req = java.net.http.HttpRequest.newBuilder(URI.create(url))
+        .header("User-Agent", ua)
+        .timeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+        .GET().build()
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    } catch {
+      case e: java.io.IOException =>
+        throw new NetworkError(s"transport error fetching $url: ${e.getMessage}",
+          Map("url" -> url, "cause" -> e.getClass.getSimpleName))
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        throw new NetworkError(s"interrupted fetching $url", Map("url" -> url))
+    }
+
+  /** robots.txt for the host; any failure ⇒ None ⇒ permissive, matching
+    * the reference's robots semantics (`net.py:56-72`). */
+  override def robots(host: String, ua: String): Option[String] =
+    try {
+      val (status, body) = get(s"https://$host/robots.txt", ua, 10000)
+      if (status == 200) Some(body) else None
+    } catch { case _: NetworkError => None }
+}
+
 /** Retrying fetcher with robots gate + per-host rate limit.
   * All side-effects injected; pure-deterministic under test. */
 final class Fetcher(

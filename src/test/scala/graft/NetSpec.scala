@@ -88,4 +88,62 @@ class NetSpec extends AnyFunSuite {
     assert(f.fetch("https://x.cl/", "UA").sha256 ==
       "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
   }
+
+  // ---- JdkHttpTransport: the real java.net.http transport, exercised
+  // ONLY against loopback (JDK's own HttpServer) — no egress, CI-safe ----
+
+  test("JdkHttpTransport: GET returns status+body, sends the UA header") {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var seenUa: String = null
+    srv.createContext("/page", { ex =>
+      seenUa = ex.getRequestHeaders.getFirst("User-Agent")
+      val body = "<html>pozo</html>".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length); ex.getResponseBody.write(body)
+      ex.close()
+    })
+    srv.createContext("/missing", { ex =>
+      ex.sendResponseHeaders(404, -1); ex.close()
+    })
+    srv.start()
+    try {
+      val base = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      val t = new JdkHttpTransport()
+      assert(t.get(s"$base/page", "TestBot/1.0", 5000) ==
+        (200, "<html>pozo</html>"))
+      assert(seenUa == "TestBot/1.0")
+      assert(t.get(s"$base/missing", "TestBot/1.0", 5000)._1 == 404)
+    } finally srv.stop(0)
+  }
+
+  test("JdkHttpTransport: connect failure → NetworkError; robots → permissive None") {
+    // port 1 on loopback: nothing listens there, refused instantly
+    val t = new JdkHttpTransport()
+    intercept[NetworkError] { t.get("http://127.0.0.1:1/x", "UA", 2000) }
+    assert(t.robots("127.0.0.1:1", "UA").isEmpty)
+  }
+
+  test("Fetcher over JdkHttpTransport: 429,429,200 retry loop end-to-end") {
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    srv.createContext("/flaky", { ex =>
+      val n = hits.incrementAndGet()
+      if (n < 3) { ex.sendResponseHeaders(429, -1); ex.close() }
+      else {
+        val body = "ok".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, body.length); ex.getResponseBody.write(body)
+        ex.close()
+      }
+    })
+    srv.start()
+    try {
+      val url = s"http://127.0.0.1:${srv.getAddress.getPort}/flaky"
+      val sleeps = scala.collection.mutable.ListBuffer[Long]()
+      val f = new Fetcher(new JdkHttpTransport(), retries = 3,
+        backoffFactor = 0.001, random = () => 0.0, sleeper = sleeps += _)
+      assert(f.fetch(url, "UA").html == "ok")
+      assert(hits.get == 3 && sleeps.size == 2)
+    } finally srv.stop(0)
+  }
 }
