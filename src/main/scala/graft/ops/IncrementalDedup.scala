@@ -26,16 +26,31 @@ object IncrementalDedup {
     * Accepted = first-seen content, lowest doc_id wins within the batch. */
   def ingest(spark: SparkSession, stateRoot: String, batch: DataFrame,
       expectedCorpus: Long = 1000000L): (DataFrame, Long) = {
-    val known = StateTable.read(spark, stateRoot) match {
+    val stateOpt = StateTable.read(spark, stateRoot)
+    val known = stateOpt match {
       case None => batch.withColumn("is_known", lit(false))
       case Some(state) =>
         // bloom over the compact state hashes, then exact verify
         Dedup.bloomPrefilterHashes(batch, state.select("h"), expectedCorpus)
     }
+    // a known row whose state keeper is ITSELF is this batch replaying
+    // after a crash between the state commit and the downstream effect —
+    // re-accept it (idempotent replay), don't swallow it as a dup. Only
+    // the (normally tiny) known subset pays the keeper-lookup join.
+    val replaySelf = stateOpt match {
+      case None => known.limit(0)
+      case Some(state) =>
+        known.filter(col("is_known"))
+          .withColumn("h", md5(trim(lower(col("text")))))
+          .join(state.select(col("h"), col("keeper_id")), Seq("h"))
+          .filter(col("keeper_id") === col("doc_id"))
+          .drop("keeper_id", "h")
+          .withColumn("is_known", lit(false))
+    }
     // materialize ONCE before committing: the caller must see exactly the
     // rows whose hashes were written, not a lazy plan that re-reads the
     // batch source after the commit
-    val hashed = known.filter(!col("is_known"))
+    val hashed = known.filter(!col("is_known")).unionByName(replaySelf)
       .withColumn("h", md5(trim(lower(col("text")))))
     // null text hashes to null: those rows carry no content to be a
     // duplicate OF, so each passes through as its own keeper instead of
@@ -84,7 +99,13 @@ object IncrementalDedup {
       case None => sigs.limit(0).select(col("doc_id"))
       case Some(stateSigs) =>
         val stateBands = healedBands(spark, stateRoot, stateSigs, perms, bands)
+        // keeper_id == doc_id is a SELF-match: this doc's own commit from
+        // a crashed attempt whose downstream effect never landed (the
+        // foreachBatch replay window). Counting it as a known dup would
+        // swallow the whole replayed batch — silent data loss. Filtering
+        // it makes replay idempotent: same batch in ⇒ same accepted out.
         val cands = banded.join(stateBands, Seq("band", "band_hash"))
+          .filter(col("doc_id") =!= col("keeper_id"))
           .select(col("doc_id"), col("keeper_id")).distinct()
         cands.join(sigs, "doc_id")
           .join(stateSigs.select(col("keeper_id"), col("sig").as("k_sig")), "keeper_id")

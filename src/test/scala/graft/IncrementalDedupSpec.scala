@@ -37,6 +37,37 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(a3.isEmpty)
   }
 
+  test("replaying a committed batch re-accepts identically (exact + near)") {
+    // the foreachBatch replay window: state committed, downstream effect
+    // lost, same batch re-runs. Accepted set must be IDENTICAL — a doc
+    // matching its own crashed-attempt commit is replay, not a dup.
+    val rootE = java.nio.file.Files.createTempDirectory("graft-replay-e").toString
+    val batchE = docs(1L -> "alpha text", 2L -> "alpha text", 3L -> "beta text")
+    val (e1, _) = IncrementalDedup.ingest(spark, rootE, batchE)
+    val (e2, _) = IncrementalDedup.ingest(spark, rootE, batchE)
+    assert(e1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    assert(e2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // a true cross-batch dup (different id, same text) still drops
+    val (e3, _) = IncrementalDedup.ingest(spark, rootE, docs(9L -> "alpha text"))
+    assert(e3.isEmpty)
+    // state stayed clean: one row per unique content, original keepers
+    assert(StateTable.read(spark, rootE).get
+      .select("keeper_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+
+    val rootN = java.nio.file.Files.createTempDirectory("graft-replay-n").toString
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"oth$i").mkString(" ")
+    val batchN = docs(1L -> base, 2L -> other)
+    val (n1, _) = IncrementalDedup.ingestNear(spark, rootN, batchN)
+    val (n2, _) = IncrementalDedup.ingestNear(spark, rootN, batchN)
+    assert(n1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(n2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // a genuine near-dup under a different id still drops
+    val near = ((1 to 39).map(i => s"tok$i") :+ "CHANGED").mkString(" ")
+    val (n3, _) = IncrementalDedup.ingestNear(spark, rootN, docs(9L -> near))
+    assert(n3.isEmpty)
+  }
+
   test("near-dedup ingest: in-batch, cross-batch via LSH state, distinct kept") {
     val root = java.nio.file.Files.createTempDirectory("graft-incnear").toString
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")

@@ -156,6 +156,48 @@ class StreamingSpec extends SparkSpec {
     assert(accepted.sorted == Seq(1L, 3L, 11L), s"restart lost state: $accepted")
   }
 
+  test("near-dedup sink: crashed batch replays exactly-once (no loss, no dup)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-crash").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+    @volatile var failNext = false
+    val sink = EventStreams.nearDedupSink(root, df => {
+      val ids = df.select("doc_id").collect().map(_.getLong(0))
+      // crash AFTER ingestNear committed the batch's signatures to the
+      // StateTable but BEFORE the downstream effect lands — the worst
+      // replay window
+      if (failNext) { failNext = false; throw new RuntimeException("downstream crash") }
+      accepted ++= ids
+    })
+    val in = MemoryStream[Doc]
+    def start() = in.toDF().select("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(sink).outputMode("append").start()
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = ((1 to 39).map(i => s"w$i") :+ "DIFF").mkString(" ")
+    val fresh = (1 to 40).map(i => s"x$i").mkString(" ")
+
+    val q1 = start()
+    try {
+      in.addData(Doc(ts(0), 1L, base))
+      q1.processAllAvailable()
+      assert(accepted.toSeq == Seq(1L))
+      failNext = true
+      in.addData(Doc(ts(1), 2L, near), Doc(ts(1), 3L, fresh))
+      intercept[Exception] { q1.processAllAvailable() }
+    } finally q1.stop()
+
+    // restart from the SAME checkpoint: the uncommitted batch replays.
+    // Its accepted docs' signatures are already in the state from the
+    // crashed attempt — they must be re-accepted (self-match is replay,
+    // not duplication), and the near-dup must still drop.
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(accepted.toSeq == Seq(1L, 3L), s"replay lost or duplicated docs: $accepted")
+  }
+
   test("pozo change detection stream: publish → skip → publish on change") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
