@@ -1246,6 +1246,74 @@ object Queries {
         |FROM tf JOIN df USING (term) CROSS JOIN n
         |ORDER BY doc_id, term""".stripMargin)),
 
+    // ---- Benchmark decontamination: train docs sharing any word 5-gram
+    // with the eval split (doc_id % 50 == 0 stands in for a held-out
+    // benchmark). Eval grams broadcast; the corpus is scanned once. ----
+    QDef("decon_ngram_overlap",
+      (s, d) => {
+        val docs = documents(s, d)
+        TextAnalysis.decontaminate(
+            docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0), n = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 5 THEN list_distinct(
+        |      [array_to_string(t[i:i+4], ' ') FOR i IN generate_series(1, len(t)-4)])
+        |    ELSE []::VARCHAR[] END AS grams
+        |  FROM (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)),
+        |e AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, grams FROM g WHERE doc_id % 50 <> 0),
+        |u AS (SELECT doc_id, unnest(grams) AS g FROM tr),
+        |sh AS (SELECT u.doc_id, COUNT(*) AS n_shared FROM u JOIN e USING (g)
+        |  GROUP BY u.doc_id)
+        |SELECT tr.doc_id, CAST(len(tr.grams) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+        |  COALESCE(sh.n_shared, 0) > 0 AS contaminated
+        |FROM tr LEFT JOIN sh USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ---- Gopher-class repetition signals: unique-word fraction + top
+    // 2-gram share per doc. ----
+    QDef("text_repetition",
+      (s, d) => TextAnalysis.repetitionSignals(documents(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |w AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CASE WHEN len(t) > 0
+        |    THEN ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)
+        |    ELSE 0.0 END AS uniq_word_frac FROM toks),
+        |g AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+        |    [array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, len(t)-1)]
+        |  ELSE []::VARCHAR[] END) AS g FROM toks),
+        |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+        |ga AS (SELECT doc_id, SUM(c) AS n_2grams, MAX(c) AS top2_count
+        |  FROM gc GROUP BY doc_id)
+        |SELECT w.doc_id, w.n_tokens, w.uniq_word_frac,
+        |  CAST(COALESCE(ga.n_2grams, 0) AS BIGINT) AS n_2grams,
+        |  CAST(COALESCE(ga.top2_count, 0) AS BIGINT) AS top2_count,
+        |  CASE WHEN COALESCE(ga.n_2grams, 0) > 0
+        |    THEN ROUND(CAST(ga.top2_count AS DOUBLE) / ga.n_2grams, 4)
+        |    ELSE 0.0 END AS top2_frac
+        |FROM w LEFT JOIN ga USING (doc_id) ORDER BY w.doc_id""".stripMargin)),
+
+    // ---- Data-mixing weights: cap each source's token contribution at a
+    // fixed budget; weight rounded first so the plan is reproducible from
+    // the published weights. ----
+    QDef("mix_domain_weights",
+      (s, d) => Sampling.domainMixWeights(documents(s, d), budgetPerSource = 1500L)
+        .orderBy("source"),
+      Some("""WITH s AS (SELECT source, COUNT(*) AS n_docs,
+        |  SUM(len(string_split_regex(trim(text), '\s+'))) AS n_tokens
+        |  FROM documents GROUP BY source)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  ROUND(LEAST(CAST(1 AS DOUBLE), CAST(1500 AS DOUBLE) / n_tokens), 4) AS weight,
+        |  CAST(FLOOR(n_tokens * ROUND(LEAST(CAST(1 AS DOUBLE),
+        |    CAST(1500 AS DOUBLE) / n_tokens), 4)) AS BIGINT) AS sampled_tokens
+        |FROM s ORDER BY source""".stripMargin)),
+
     QDef("text_lang_id",
       (s, d) => TextAnalysis.langId(documents(s, d))
         .select("doc_id", "lang", "pred_lang")

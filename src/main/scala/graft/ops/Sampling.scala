@@ -66,4 +66,27 @@ object Sampling {
         floor((col("cum") - col("n_tokens")).cast("double") / budgetTokens)
           .cast("long").as("seq_id"))
   }
+
+  /** Data-mixing weights per source/domain for a per-source token budget:
+    * the downsampling plan a pre-training mix is built from (cap each
+    * domain's contribution; small domains keep weight 1.0).
+    *
+    * One partial-aggregated scan — token counts reduce map-side, the
+    * shuffle carries one row per domain. `weight` is rounded to 4 places
+    * FIRST and `sampled_tokens = floor(n_tokens · weight)` is derived
+    * from the rounded value, so the plan is reproducible bit-for-bit by
+    * any engine from the published weights alone. */
+  def domainMixWeights(documents: DataFrame, budgetPerSource: Long,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame =
+    documents
+      .select(col(sourceCol).as("source"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .withColumn("weight",
+        round(least(lit(1.0), lit(budgetPerSource.toDouble) /
+          when(col("n_tokens") > 0, col("n_tokens"))), 4))
+      .withColumn("weight", coalesce(col("weight"), lit(1.0)))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        floor(col("n_tokens") * col("weight")).cast("long").as("sampled_tokens"))
 }

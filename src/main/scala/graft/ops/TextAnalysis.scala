@@ -155,6 +155,84 @@ object TextAnalysis {
   def fingerprintPortable(c: Column): Column =
     Dedup.md5Long(concat_ws(" ", toks(lower(c))))
 
+  /** Word n-grams over an ALREADY-MATERIALIZED token-array column
+    * (distinct by default; `distinct = false` keeps the multiset for
+    * frequency analysis); empty array below n tokens.
+    *
+    * Takes tokens, not raw text, on purpose: expressions inside a
+    * `transform` lambda don't CSE with the outer plan, so tokenizing
+    * inline would re-run split() once PER GRAM INDEX — measured ~10× on
+    * the document corpus. Project `toks(lower(text))` into its own
+    * column first; an attribute reference inside the lambda is free. */
+  def wordNgrams(t: Column, n: Int, distinct: Boolean = true): Column = {
+    val grams = transform(sequence(lit(1), size(t) - (n - 1)),
+      i => concat_ws(" ", slice(t, i, lit(n))))
+    when(size(t) >= n, if (distinct) array_distinct(grams) else grams)
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination: flag training docs sharing any word
+    * `n`-gram with the eval/held-out set — the standard pre-training
+    * hygiene pass (eval answers leaking into the corpus inflate scores).
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands of docs),
+    * so its distinct n-gram set BROADCASTS; the train side is one narrow
+    * scan → explode → broadcast-hash left join → partial-agg count. The
+    * 100 TB corpus is touched once, shuffles only the per-doc counts, and
+    * never sees a shuffle join. Output per train doc: n_grams, n_shared
+    * (distinct grams also in eval), contaminated. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, n: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    val evalGrams = evalSet
+      .select(toks(lower(col(textCol))).as("__t"))
+      .select(explode(wordNgrams(col("__t"), n)).as("g")).distinct()
+    train
+      .select(col("doc_id"), toks(lower(col(textCol))).as("__t"))
+      .select(col("doc_id"), wordNgrams(col("__t"), n).as("grams"))
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+        explode_outer(col("grams")).as("g"))
+      .join(broadcast(evalGrams.withColumn("__hit", lit(1L))), Seq("g"), "left")
+      .groupBy("doc_id", "n_grams")
+      .agg(coalesce(sum("__hit"), lit(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        (col("n_shared") > 0).as("contaminated"))
+  }
+
+  /** Gopher-class repetition signals per doc: unique-word fraction and
+    * the share of the most frequent word 2-gram. High top-2-gram share /
+    * low unique fraction = boilerplate or degenerate repetition — the
+    * cheap structural complement of [[qualityFeatures]].
+    *
+    * ONE text scan: word stats are native array expressions computed in
+    * the same projection that explodes the 2-grams, then ride the two
+    * partial-agg shuffles (per (doc, gram), then per doc) as first()
+    * passengers — no second scan, no extra join exchange. Never an
+    * interpreted per-doc frequency loop, which is the 10× HOF trap. */
+  def repetitionSignals(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col("__t")
+    documents.select(col("doc_id"), toks(lower(col(textCol))).as("__t"))
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        when(size(t) > 0, round(size(array_distinct(t)).cast("double") / size(t), 4))
+          .otherwise(lit(0.0)).as("uniq_word_frac"),
+        explode_outer(wordNgrams(t, 2, distinct = false)).as("g"))
+      .groupBy("doc_id", "g").agg(
+        first("n_tokens").as("n_tokens"),
+        first("uniq_word_frac").as("uniq_word_frac"),
+        count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        first("n_tokens").as("n_tokens"),
+        first("uniq_word_frac").as("uniq_word_frac"),
+        sum(when(col("g").isNotNull, col("c")).otherwise(0L)).as("n_2grams"),
+        max(when(col("g").isNotNull, col("c"))).as("top2_count"))
+      .select(col("doc_id"), col("n_tokens"), col("uniq_word_frac"),
+        col("n_2grams"),
+        coalesce(col("top2_count"), lit(0L)).as("top2_count"),
+        when(col("n_2grams") > 0,
+          round(coalesce(col("top2_count"), lit(0L)).cast("double") / col("n_2grams"), 4))
+          .otherwise(lit(0.0)).as("top2_frac"))
+  }
+
   /** TF-IDF per (doc, term): tf = term count in doc, df = docs containing
     * term, idf = ln(N / df), weight = tf · idf.
     *

@@ -96,6 +96,58 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a("o_orderkey")._3 == a("o_orderkey")._1) // key is unique
   }
 
+  test("decontaminate: shared n-grams flagged, clean docs pass, eval broadcast") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),  // shares 5-grams
+      (2L, "completely unrelated words nothing in common here"),
+      (3L, "tiny")).toDF("doc_id", "text")                  // < n tokens
+    val eval = Seq((100L, "we saw the quick brown fox jumps over a fence"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(train, eval, n = 5)
+    val byId = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // "the quick brown fox jumps" and "quick brown fox jumps over"
+    assert(byId(1L) == (5L, 2L, true))
+    assert(byId(2L) == (3L, 0L, false))
+    assert(byId(3L) == (0L, 0L, false)) // sub-n doc: zero grams, not dropped
+    // the eval side must broadcast: the corpus-side join is never a shuffle
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "eval gram set not broadcast")
+  }
+
+  test("repetition signals: degenerate text scores high, varied text low") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"),
+      (2L, "all words here are fully distinct tokens"),
+      (3L, "x")).toDF("doc_id", "text")  // single token: no 2-grams
+    val m = TextAnalysis.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Double]("uniq_word_frac") == 0.1667)
+    assert(m(1L).getAs[Double]("top2_frac") == 1.0)   // every 2-gram identical
+    assert(m(2L).getAs[Double]("uniq_word_frac") == 1.0)
+    assert(m(2L).getAs[Long]("top2_count") == 1L)
+    assert(m(3L).getAs[Long]("n_2grams") == 0L)
+    assert(m(3L).getAs[Double]("top2_frac") == 0.0)
+  }
+
+  test("domain mix weights: big sources capped at budget, small keep 1.0") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val docs = Seq.tabulate(30)(i =>
+        (i.toLong, ("tok " * 10).trim, s"big")) ++      // 300 tokens total
+      Seq((100L, "just a few words", "small"))          // 4 tokens
+    val out = Sampling.domainMixWeights(
+      docs.toDF("doc_id", "text", "source"), budgetPerSource = 100L)
+    val m = out.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(m("big") == (30L, 300L, 0.3333, 99L))  // floor(300·0.3333)
+    assert(m("small") == (1L, 4L, 1.0, 4L))
+  }
+
   test("approx profiler: no Expand in the plan, estimates within 15% of exact") {
     import graft.ops.Profiler
     val df = Tables.orders(spark, sf("sf0.001"))
