@@ -994,6 +994,85 @@ object Queries {
       Some("""SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
         |true AS approx_within_15pct FROM lineitem""".stripMargin)),
 
+    // ---- KMV sketch set-ops: distinct users per event type plus
+    // union/intersection of two types via sketch algebra. Unlike the HLL
+    // in q33, KMV under the portable md5 hash is a deterministic function
+    // of the value set, so every ESTIMATE is value-checked against the
+    // oracle replaying the same sketch — and merged sketches equal the
+    // sketch of the union, which the oracle verifies by building its
+    // union sketch from the raw rows. ----
+    QDef("sketch_kmv_setops",
+      (s, d) => {
+        import graft.ops.Sketches
+        val k = 64
+        val kmvAgg = udaf(graft.ops.SketchAggregators.kmv(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val ev = events(s, d)
+        // 5 rows; checkpointed because the per-type branch and the
+        // set-op branch both reuse it (a union of an un-materialized
+        // plan recomputes it per branch)
+        val typed = ev.groupBy(col("event_type").as("set_name"))
+          .agg(kmvAgg(Sketches.kmvHash(col("user_id"))).as("kmv"),
+            countDistinct(col("user_id")).as("exact_users"))
+          .localCheckpoint()
+        val perType = typed.select(col("set_name"), col("exact_users"),
+          Sketches.kmvEstimate(col("kmv"), k).as("kmv_est"))
+        // click/view sketches extracted by conditional agg over 5 rows —
+        // no per-branch filter jobs; exact |A∩B| needs NO intersect
+        // operator: |A|+|B|−|A∪B| is exact inclusion–exclusion
+        val cv = typed.agg(
+          first(when(col("set_name") === "click", col("kmv")), ignoreNulls = true).as("ka"),
+          first(when(col("set_name") === "view", col("kmv")), ignoreNulls = true).as("kb"),
+          first(when(col("set_name") === "click", col("exact_users")), ignoreNulls = true).as("ea"),
+          first(when(col("set_name") === "view", col("exact_users")), ignoreNulls = true).as("eb"))
+        val exU = ev.filter(col("event_type").isin("click", "view"))
+          .agg(countDistinct("user_id").as("exact_u"))
+        val both = cv.crossJoin(exU)
+        val merged = Sketches.kmvMerge(col("ka"), col("kb"), k)
+        val uniRow = both.select(lit("union:click+view").as("set_name"),
+          col("exact_u").as("exact_users"),
+          Sketches.kmvEstimate(merged, k).as("kmv_est"))
+        val intRow = both.select(lit("intersect:click+view").as("set_name"),
+          (col("ea") + col("eb") - col("exact_u")).as("exact_users"),
+          round(Sketches.kmvEstimate(col("ka"), k) + Sketches.kmvEstimate(col("kb"), k)
+            - Sketches.kmvEstimate(merged, k), 4).as("kmv_est"))
+        perType.unionByName(uniRow).unionByName(intRow).orderBy("set_name")
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+        |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd FROM h),
+        |te AS (SELECT event_type AS set_name,
+        |    CASE WHEN MAX(nd) < 64 THEN ROUND(CAST(MAX(nd) AS DOUBLE), 4)
+        |      ELSE ROUND(63 * power(2.0, 60) / MAX(CASE WHEN rn = 64 THEN h END), 4)
+        |    END AS kmv_est
+        |  FROM r GROUP BY event_type),
+        |tx AS (SELECT event_type AS set_name, COUNT(DISTINCT user_id) AS exact_users
+        |  FROM events GROUP BY event_type),
+        |hu AS (SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |ru AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn, COUNT(*) OVER () AS nd FROM hu),
+        |ue AS (SELECT CASE WHEN MAX(nd) < 64 THEN ROUND(CAST(MAX(nd) AS DOUBLE), 4)
+        |    ELSE ROUND(63 * power(2.0, 60) / MAX(CASE WHEN rn = 64 THEN h END), 4)
+        |  END AS kmv_est FROM ru),
+        |ux AS (SELECT COUNT(DISTINCT user_id) AS exact_users FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |ix AS (SELECT COUNT(*) AS exact_users FROM
+        |  (SELECT user_id FROM events WHERE event_type = 'click'
+        |   INTERSECT SELECT user_id FROM events WHERE event_type = 'view')),
+        |ce AS (SELECT kmv_est FROM te WHERE set_name = 'click'),
+        |ve AS (SELECT kmv_est FROM te WHERE set_name = 'view')
+        |SELECT set_name, CAST(exact_users AS BIGINT) AS exact_users, kmv_est
+        |FROM (
+        |  SELECT tx.set_name, tx.exact_users, te.kmv_est FROM tx JOIN te USING (set_name)
+        |  UNION ALL
+        |  SELECT 'union:click+view', ux.exact_users, ue.kmv_est FROM ux CROSS JOIN ue
+        |  UNION ALL
+        |  SELECT 'intersect:click+view', ix.exact_users,
+        |    ROUND(ce.kmv_est + ve.kmv_est - ue.kmv_est, 4) FROM ix, ce, ve, ue)
+        |ORDER BY set_name""".stripMargin)),
+
     // ---- Q34: native unpivot (melt) ----
     QDef("q34_unpivot_native",
       (s, d) => orders(s, d)

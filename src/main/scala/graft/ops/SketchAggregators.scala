@@ -92,4 +92,57 @@ object SketchAggregators {
       def bufferEncoder: Encoder[LongBuf] = longBufEnc
       def outputEncoder: Encoder[Long] = Encoders.scalaLong
     }
+
+  /** KMV (k-minimum-values) distinct sketch: the k smallest DISTINCT
+    * hash values seen. Buffer is a sorted ascending array of ≤ k longs —
+    * a full buffer rejects most inputs with one comparison against the
+    * current max; insertion is binary-search + arraycopy (O(log k + k),
+    * k is small). Merge = sorted-merge, distinct, truncate to k — the
+    * k smallest of A ∪ B all lie inside kmin(A) ∪ kmin(B), so merged
+    * sketches equal the sketch of the union (what makes KMV mergeable
+    * across partitions, partial aggregation included).
+    *
+    * Unlike HLL the result is a deterministic FUNCTION of the value set
+    * under a fixed hash — with the portable 60-bit md5 hash
+    * ([[Dedup.md5Long]]) any engine replays the sketch bit-for-bit,
+    * so KMV estimates can be value-checked cross-engine, not just
+    * bound-checked (the q33 compromise HLL forces). */
+  def kmv(k: Int): Aggregator[Long, LongBuf, Seq[Long]] =
+    new Aggregator[Long, LongBuf, Seq[Long]] {
+      def zero: LongBuf = LongBuf(Array.empty[Long])
+      def reduce(b: LongBuf, h: Long): LongBuf = {
+        val v = b.m
+        val n = v.length
+        if (n == k && h >= v(n - 1)) return b // common case: one compare
+        val i = java.util.Arrays.binarySearch(v, h)
+        if (i >= 0) return b // already present
+        val ins = -i - 1
+        val grown = if (n < k) new Array[Long](n + 1) else new Array[Long](k)
+        System.arraycopy(v, 0, grown, 0, ins)
+        grown(ins) = h
+        System.arraycopy(v, ins, grown, ins + 1,
+          math.min(n, grown.length - 1) - ins)
+        b.m = grown
+        b
+      }
+      def merge(a: LongBuf, b: LongBuf): LongBuf = {
+        val out = new Array[Long](math.min(k, a.m.length + b.m.length))
+        var i = 0; var j = 0; var n = 0
+        var last = Long.MinValue
+        var first = true
+        while (n < out.length && (i < a.m.length || j < b.m.length)) {
+          val next =
+            if (j >= b.m.length || (i < a.m.length && a.m(i) <= b.m(j))) {
+              val x = a.m(i); i += 1; x
+            } else { val x = b.m(j); j += 1; x }
+          if (first || next != last) { out(n) = next; n = n + 1; first = false }
+          last = next
+        }
+        a.m = if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+        a
+      }
+      def finish(b: LongBuf): Seq[Long] = b.m.toSeq
+      def bufferEncoder: Encoder[LongBuf] = longBufEnc
+      def outputEncoder: Encoder[Seq[Long]] = sigEnc
+    }
 }

@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches and their set algebra
+  * (SURVEY §2.4 sketch row, beyond the HLL in q33).
+  *
+  * KMV (k-minimum-values): keep the k smallest distinct hash values of a
+  * set; with the hash uniform on [0, 2⁶⁰), the k-th smallest value h₍ₖ₎
+  * estimates the distinct count as (k−1)·2⁶⁰ / h₍ₖ₎, and below k values
+  * the sketch IS the exact distinct set. Sketches merge losslessly
+  * (k-min of A ∪ B ⊆ kmin(A) ∪ kmin(B)), which gives union estimates for
+  * free and intersections by inclusion–exclusion — the set-operation
+  * algebra HLL only supports via union.
+  *
+  * Scale shape: one partial-aggregated pass ([[SketchAggregators.kmv]] —
+  * the shuffle carries ≤ k longs per group, not the value set), and all
+  * set algebra afterwards runs on k-length arrays with native array
+  * expressions. Deterministic: the portable 60-bit md5 hash makes every
+  * estimate an exact cross-engine value, not a bound check.
+  */
+object Sketches {
+
+  /** Portable hash a value into KMV space: 60-bit md5 ([[Dedup.md5Long]]
+    * of the string form — any engine with md5 reproduces it). */
+  def kmvHash(c: Column): Column = Dedup.md5Long(c.cast("string"))
+
+  /** KMV sketches per group: `groupCols` → sketch of distinct
+    * `valueCol`s (sorted ascending array of ≤ k hash longs). */
+  def kmvPerGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int): DataFrame = {
+    val agg = udaf(SketchAggregators.kmv(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg(kmvHash(col(valueCol))).as("kmv"))
+  }
+
+  /** Merged sketch of two sketches ≡ the sketch of the union of the
+    * underlying sets (native array ops on ≤ 2k elements). */
+  def kmvMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** Distinct-count estimate from a sketch: exact size below k (the
+    * sketch holds the whole set), else (k−1)·2⁶⁰ / h₍ₖ₎, rounded to 4
+    * places so downstream inclusion–exclusion is reproducible from the
+    * published estimates alone. */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    when(size(sketch) < k, round(size(sketch).cast("double"), 4))
+      .otherwise(round(
+        lit((k - 1).toDouble) * pow(lit(2.0), lit(60)) / element_at(sketch, k), 4))
+}
