@@ -1284,6 +1284,59 @@ object Queries {
            |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
       }),
 
+    // ---- The RAG ingestion pipeline end-to-end: chunk documents →
+    // embed each chunk → cosine top-5 chunks per query. The embedder is
+    // Similarity.hashEmbed — the deterministic in-sandbox stand-in for a
+    // model encoder (swap for a real encoder UDF; everything else is
+    // unchanged) — which keeps the WHOLE pipeline value-checkable: the
+    // oracle replays chunking, embedding, and ranking identically.
+    // Scale shape: chunking+embedding are map-only over one corpus scan;
+    // the 2-row query side broadcasts; ranking is one window per query
+    // partition. ----
+    QDef("rag_chunk_ann",
+      (s, d) => {
+        val emb = TextAnalysis.chunk(documents(s, d), window = 32, stride = 24)
+          .select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+          .withColumn("emb", Similarity.hashEmbed(col("chunk_text"), dim = 8))
+        val qs = emb.filter(col("doc_id").isin(3L, 7L) && col("chunk_id") === 0L)
+          .select(col("doc_id").as("query_doc"), col("emb").as("q_emb"))
+        val w = Window.partitionBy("query_doc")
+          .orderBy(col("cos").desc, col("doc_id"), col("chunk_id"))
+        emb.crossJoin(broadcast(qs))
+          .filter(!(col("doc_id") === col("query_doc") && col("chunk_id") === 0L))
+          .select(col("query_doc"), col("doc_id"), col("chunk_id"),
+            round(Similarity.cosine(col("emb"), col("q_emb")), 4).as("cos"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select("query_doc", "rank", "doc_id", "chunk_id", "cos")
+          .orderBy("query_doc", "rank")
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d),
+        |c AS (SELECT doc_id, n, toks, UNNEST(generate_series(0,
+        |    CASE WHEN n <= 32 THEN 0 ELSE (n - 32 + 23) // 24 END)) AS chunk_id
+        |  FROM n),
+        |ch AS (SELECT doc_id, chunk_id,
+        |    array_to_string(toks[(chunk_id*24+1):LEAST(chunk_id*24+32, n)], ' ')
+        |      AS chunk_text FROM c),
+        |em AS (SELECT doc_id, chunk_id,
+        |    [CAST(CAST('0x' || substr(md5(chunk_text || '#' || CAST(j AS VARCHAR)), 1, 15)
+        |       AS BIGINT) % 2001 AS DOUBLE) / 1000.0 - 1.0
+        |     FOR j IN generate_series(0, 7)] AS emb FROM ch),
+        |q AS (SELECT doc_id AS query_doc, emb AS q_emb FROM em
+        |  WHERE doc_id IN (3, 7) AND chunk_id = 0),
+        |s AS (SELECT q.query_doc, em.doc_id, em.chunk_id,
+        |    ROUND(list_dot_product(em.emb, q.q_emb) /
+        |      (sqrt(list_dot_product(em.emb, em.emb)) *
+        |       sqrt(list_dot_product(q.q_emb, q.q_emb))), 4) AS cos
+        |  FROM em CROSS JOIN q
+        |  WHERE NOT (em.doc_id = q.query_doc AND em.chunk_id = 0)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_doc
+        |    ORDER BY cos DESC, doc_id, chunk_id) AS rank FROM s)
+        |SELECT query_doc, CAST(rank AS BIGINT) AS rank, doc_id, chunk_id, cos
+        |FROM r WHERE rank <= 5 ORDER BY query_doc, rank""".stripMargin)),
+
     // ================= north-star: text analysis =================
     QDef("text_tokens",
       (s, d) => documents(s, d)

@@ -35,6 +35,21 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Deterministic hash embedding — the in-sandbox STAND-IN for a model
+    * encoder (no inference runtime here; swap for a real encoder UDF in
+    * production, the downstream chunk→embed→ANN plumbing is unchanged).
+    * Dim j = scaled 60-bit md5 of `text # j`, uniform in [-1, 1] —
+    * map-only, reproducible by any engine with md5, so the full RAG
+    * pipeline stays oracle-checkable.
+    *
+    * `text` must be a MATERIALIZED column (attribute), not an inline
+    * expression: lambda bodies don't CSE with the outer plan, so an
+    * inline expression would recompute once per dimension. */
+  def hashEmbed(text: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), j =>
+      pmod(Dedup.md5Long(concat(text, lit("#"), j.cast("string"))), lit(2001L))
+        .cast("double") / 1000.0 - 1.0)
+
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Brute-force cosine top-k: every query vector against the whole corpus.

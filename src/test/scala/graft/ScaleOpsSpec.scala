@@ -148,6 +148,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(m("small") == (1L, 4L, 1.0, 4L))
   }
 
+  test("hashEmbed: deterministic, dim-sized, values in [-1, 1]") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val df = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma"))
+      .toDF("id", "t")
+    val out = df.select(col("id"), Similarity.hashEmbed(col("t"), 8).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L) == out(2L))            // same text, same vector
+    assert(out(1L) != out(3L))
+    assert(out.values.forall(v => v.size == 8 && v.forall(x => x >= -1 && x <= 1)))
+  }
+
   test("approx profiler: no Expand in the plan, estimates within 15% of exact") {
     import graft.ops.Profiler
     val df = Tables.orders(spark, sf("sf0.001"))
