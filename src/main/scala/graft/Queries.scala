@@ -38,6 +38,12 @@ object Queries {
   private def tsFmtMicro(c: Column): Column =
     date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
+  /** Non-NFC injection for `text_normalize`: decomposed accents
+    * (e+U+0301, n+U+0303), a BEL control char, doubled spaces. Escape
+    * sequences (not composed glyphs) so the Spark literal and the DuckDB
+    * SQL literal are byte-identical and genuinely non-NFC. */
+  private val nonNfcSuffix = "  cafe\u0301 nin\u0303o\u0007 spaced  out."
+
   import Tables._
 
   val all: Seq[QDef] = Seq(
@@ -1445,6 +1451,124 @@ object Queries {
         |  CAST(FLOOR(n_tokens * ROUND(LEAST(CAST(1 AS DOUBLE),
         |    CAST(1500 AS DOUBLE) / n_tokens), 4)) AS BIGINT) AS sampled_tokens
         |FROM s ORDER BY source""".stripMargin)),
+
+    // ---- Unicode NFC normalization + cleanup (strip control chars,
+    // collapse whitespace). Spark has no nfc function; ours is a native
+    // codegen'd expression (NfcNormalizeExpr) matching DuckDB's built-in
+    // nfc_normalize. Non-NFC text injected on doc_id % 4 == 0: decomposed
+    // accents (e+U+0301, n+U+0303), a BEL control char, double spaces. ----
+    QDef("text_normalize",
+      (s, d) => {
+        val injected = when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(nonNfcSuffix)))
+          .otherwise(col("text"))
+        TextAnalysis.normalize(
+            documents(s, d).withColumn("text", injected))
+          .select(col("doc_id"), col("raw_len"), col("clean_len"),
+            col("was_nfc"), substring(col("clean_text"), 1, 40).as("clean_head"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH inj AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN text || '$nonNfcSuffix'
+        |      ELSE text END AS text FROM documents),
+        |n AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS raw_len,
+        |    trim(regexp_replace(nfc_normalize(
+        |      regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')),
+        |      '\\s+', ' ', 'g')) AS clean_text,
+        |    nfc_normalize(text) = text AS was_nfc FROM inj)
+        |SELECT doc_id, raw_len, CAST(length(clean_text) AS BIGINT) AS clean_len,
+        |  was_nfc, substring(clean_text, 1, 40) AS clean_head
+        |FROM n ORDER BY doc_id""".stripMargin)),
+
+    // ---- C4-class boilerplate line filter: keep lines with >= 5 words
+    // AND terminal punctuation. The corpus text is single-line prose
+    // without punctuation, so lines are injected: the raw text (no
+    // terminal punct -> dropped), a proper sentence (kept), a short
+    // fragment (dropped), and a second sentence on doc_id % 3 == 0. ----
+    QDef("text_boilerplate",
+      (s, d) => {
+        val injected = concat(col("text"),
+          lit("\nProper sentence number "), col("doc_id"),
+          lit(" has enough words."), lit("\nshort."),
+          when(col("doc_id") % 3 === 0,
+            lit("\nAnother proper sentence with plenty of words here."))
+            .otherwise(lit("")))
+        TextAnalysis.boilerplateFilter(
+            documents(s, d).withColumn("text", injected), minWords = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH inj AS (SELECT doc_id, text || chr(10)
+        |      || 'Proper sentence number ' || CAST(doc_id AS VARCHAR)
+        |      || ' has enough words.' || chr(10) || 'short.'
+        |      || CASE WHEN doc_id % 3 = 0 THEN chr(10)
+        |        || 'Another proper sentence with plenty of words here.'
+        |        ELSE '' END AS text FROM documents),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM inj),
+        |k AS (SELECT doc_id, lines, list_filter(lines, x ->
+        |    len(string_split_regex(trim(x), '\s+')) >= 5
+        |    AND regexp_matches(x, '[.!?]$')) AS kept FROM l)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  array_to_string(kept, chr(10)) AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin)),
+
+    // ---- Corpus-level top-k frequent word 2-grams: the "what
+    // boilerplate dominates this crawl" sweep. Explode is map-side, the
+    // count partial-aggregates before its one shuffle (gram cardinality
+    // crosses the wire, not corpus size), top-k is
+    // TakeOrderedAndProject — never a global sort. ----
+    QDef("corpus_ngram_topk",
+      (s, d) => TextAnalysis.ngramTopK(documents(s, d), n = 2, k = 50),
+      Some("""WITH toks AS (SELECT
+        |    string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |g AS (SELECT unnest(CASE WHEN len(t) >= 2 THEN
+        |    [array_to_string(t[i:i+1], ' ') FOR i IN generate_series(1, len(t)-1)]
+        |  ELSE []::VARCHAR[] END) AS gram FROM toks)
+        |SELECT gram, COUNT(*) AS freq FROM g GROUP BY gram
+        |ORDER BY freq DESC, gram LIMIT 50""".stripMargin)),
+
+    // ---- Training-export shard manifest: shard by portable md5 hash
+    // (never a partition-dependent id), per-shard doc/token/char stats.
+    // The same shard column drives the physical export
+    // (repartition + partitionBy), so manifest and data agree by
+    // construction. ----
+    QDef("export_shards",
+      (s, d) => Sampling.shardManifest(documents(s, d), nShards = 16)
+        .orderBy("shard"),
+      Some("""WITH d AS (SELECT *,
+        |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 16 AS shard FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM d GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // ---- Model-based quality gate: hand-distilled linear scorer over
+    // the quality features through a sigmoid — the fastText-classifier
+    // shape (broadcast weights, map-side dot product, zero shuffles).
+    // Scores rounded to 4 BEFORE thresholding so published scores
+    // exactly reproduce keep/drop. ----
+    QDef("quality_score",
+      (s, d) => TextAnalysis.qualityScore(documents(s, d), threshold = 0.5)
+        .orderBy("doc_id"),
+      Some("""WITH f AS (SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) /
+        |    GREATEST(len(string_split_regex(trim(text), '\s+')), 1), 4) AS stop_ratio,
+        |  ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) /
+        |    GREATEST(length(text), 1), 4) AS punct_ratio,
+        |  ROUND(CAST(length(text) - (len(string_split_regex(trim(text), '\s+')) - 1) AS DOUBLE) /
+        |    GREATEST(len(string_split_regex(trim(text), '\s+')), 1), 4) AS avg_token_len
+        |  FROM documents),
+        |z AS (SELECT *, -1.0 + 0.55 * ln(1.0 + n_tokens) + 2.0 * stop_ratio
+        |    - 3.0 * punct_ratio - 0.05 * avg_token_len AS zv FROM f)
+        |SELECT doc_id, n_tokens, stop_ratio, punct_ratio, avg_token_len,
+        |  ROUND(1.0 / (1.0 + exp(-zv)), 4) AS q_score,
+        |  ROUND(1.0 / (1.0 + exp(-zv)), 4) >= 0.5 AS keep
+        |FROM z ORDER BY doc_id""".stripMargin)),
 
     QDef("text_lang_id",
       (s, d) => TextAnalysis.langId(documents(s, d))

@@ -89,4 +89,28 @@ object Sampling {
       .withColumn("weight", coalesce(col("weight"), lit(1.0)))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
         floor(col("n_tokens") * col("weight")).cast("long").as("sampled_tokens"))
+
+  /** Training-export shard manifest: assign every doc a shard by portable
+    * key hash and aggregate per-shard stats (docs, tokens, chars, id
+    * range). The manifest is what a trainer's data loader consumes — it
+    * must be derivable by any engine from the published sharding rule, so
+    * the shard id is the same md5 arithmetic as [[hashBucket]], never a
+    * partition-dependent function like `spark_partition_id`.
+    *
+    * Scale: the hash is map-side; one partial-aggregated shuffle carries
+    * `nShards` rows. The same `shard` column feeds
+    * `df.repartition(nShards, col("shard")).write.partitionBy("shard")`
+    * for the actual export, so manifest and data are consistent by
+    * construction. */
+  def shardManifest(documents: DataFrame, nShards: Int = 16,
+      key: String = "doc_id", textCol: String = "text"): DataFrame =
+    documents
+      .withColumn("shard",
+        pmod(Dedup.md5Long(concat(lit("shard:"), col(key).cast("string"))),
+          lit(nShards.toLong)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        min(col(key)).as("min_id"), max(col(key)).as("max_id"))
 }

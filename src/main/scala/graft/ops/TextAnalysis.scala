@@ -252,4 +252,104 @@ object TextAnalysis {
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
   }
+
+  /** Canonical text cleanup: strip C0/DEL control characters (EXCEPT
+    * tab/newline/CR — those are whitespace and belong to the collapse
+    * step; deleting them would weld adjacent words together), Unicode NFC
+    * (composed forms — see [[graft.functions.NfcNormalizeExpr]]), collapse
+    * whitespace runs to single spaces, trim. This exact order matters and
+    * is pinned by the `text_normalize` oracle: control chars must go
+    * before whitespace collapsing (a stripped control char can join two
+    * spaces into one run), and NFC before anything that counts characters.
+    *
+    * Pure map-side expression chain — composes with every downstream op
+    * (dedup hashing, shingles, token counts) without a shuffle. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      graft.functions.NfcNormalizeExpr(
+        regexp_replace(c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")),
+      "\\s+", " "))
+
+  /** Normalization surface per doc: cleaned text plus the before/after
+    * character counts and an `was_nfc` flag (true when the raw text was
+    * already NFC — on a clean corpus the normalize pass is ~free, and the
+    * flag measures exactly how much of the corpus pays the slow path). */
+  def normalize(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    documents.select(col("doc_id"),
+      length(t).cast("long").as("raw_len"),
+      normalizeText(t).as("clean_text"),
+      (graft.functions.NfcNormalizeExpr(t) === t).as("was_nfc"))
+      .withColumn("clean_len", length(col("clean_text")).cast("long"))
+  }
+
+  /** C4-class boilerplate line filter: keep only lines with at least
+    * `minWords` words AND terminal punctuation (`.`, `!`, `?`). Menus,
+    * nav crumbs, cookie banners, and list fragments — the bulk of web
+    * boilerplate — fail one of the two tests; prose passes both.
+    *
+    * Per-row array expressions only (split → filter → array_join): no
+    * shuffle, no UDF, whole-stage codegen end to end. The doc survives
+    * with `clean_text` = kept lines rejoined; `n_lines`/`n_kept` feed a
+    * downstream drop-if-empty or kept-ratio quality gate. */
+  def boilerplateFilter(documents: DataFrame, textCol: String = "text",
+      minWords: Int = 5): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      (size(split(trim(l), "\\s+")) >= minWords) && l.rlike("[.!?]$"))
+    documents.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("clean_text"))
+  }
+
+  /** Corpus-level most-frequent word n-grams: the standard "what
+    * boilerplate dominates this crawl" diagnostic (and the source of
+    * stop-gram lists for [[repetitionSignals]]-style filters).
+    *
+    * Shape at scale: explode is map-side; the count is partial-aggregated
+    * before its single shuffle (gram cardinality, not corpus size, crosses
+    * the wire); the top-k is TakeOrderedAndProject — per-partition heaps
+    * of k rows to the driver, never a global sort. Ties broken by gram
+    * text for determinism. */
+  def ngramTopK(documents: DataFrame, n: Int = 2, k: Int = 50,
+      textCol: String = "text"): DataFrame =
+    documents
+      // tokens materialized in their OWN projection: transform() lambda
+      // bodies don't CSE with outer expressions, so inlining toks() here
+      // would re-split the document once per n-gram element (measured
+      // 12× on the bench before this split; same trap as decontaminate)
+      .select(toks(lower(col(textCol))).as("__t"))
+      .select(explode(wordNgrams(col("__t"), n, distinct = false)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("gram"))
+      .limit(k)
+
+  /** Model-based quality gate: a hand-distilled linear scorer over the
+    * [[qualityFeatures]] signals, squashed through a sigmoid. Stands in
+    * for the fastText-class quality classifier every production curation
+    * stack runs (the real model is just this shape with learned weights
+    * over more features — swap the constants, the plan is identical:
+    * broadcast weights, map-side dot product, zero shuffles).
+    *
+    * Scores are rounded to 4 places BEFORE thresholding so published
+    * scores exactly reproduce the keep/drop decision. */
+  val qualityWeights: Map[String, Double] = Map(
+    "bias" -> -1.0, "log_tokens" -> 0.55,
+    "stop_ratio" -> 2.0, "punct_ratio" -> -3.0, "avg_token_len" -> -0.05)
+
+  def qualityScore(documents: DataFrame, threshold: Double = 0.5,
+      textCol: String = "text"): DataFrame = {
+    val w = qualityWeights
+    qualityFeatures(documents, textCol)
+      .withColumn("q_score", round(
+        lit(1.0) / (lit(1.0) + exp(-(lit(w("bias"))
+          + lit(w("log_tokens")) * log(lit(1.0) + col("n_tokens"))
+          + lit(w("stop_ratio")) * col("stop_ratio")
+          + lit(w("punct_ratio")) * col("punct_ratio")
+          + lit(w("avg_token_len")) * col("avg_token_len")))), 4))
+      .withColumn("keep", col("q_score") >= threshold)
+      .select("doc_id", "n_tokens", "stop_ratio", "punct_ratio",
+        "avg_token_len", "q_score", "keep")
+  }
 }
