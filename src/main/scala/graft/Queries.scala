@@ -1212,6 +1212,49 @@ object Queries {
         |  FROM scored)
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
+    // ---- SemDeDup-class semantic dedup (arXiv:2303.09540): cluster the
+    // embeddings (same deterministic Lloyd as sim_ivf_ann), then prune
+    // near-duplicates WITHIN each cluster only — the k-means cell is the
+    // blocking structure, never all-pairs. Drop policy: a vector with a
+    // lower-id cell-mate at cosine >= 0.25 is a duplicate of the
+    // smallest such id (keep-lowest-id, as dedup_exact). ----
+    QDef("semantic_dedup",
+      (s, d) => Similarity.semanticDedup(embeddings(s, d), tau = 0.25,
+          nCells = 16, iters = 1)
+        .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, emb
+        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+        |d0 AS (SELECT e.vec_id, e.emb, s.cid,
+        |    list_reduce([(e.emb[i]-s.emb[i])*(e.emb[i]-s.emb[i])
+        |      FOR i IN generate_series(1,64)], (x,y) -> x+y) AS dist
+        |  FROM e CROSS JOIN seeds s),
+        |a0 AS (SELECT vec_id, emb, cid FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |m AS (SELECT cid, i,
+        |    list_reduce(list(emb[i] ORDER BY emb[i]), (x,y) -> x+y) / COUNT(*) AS mv
+        |  FROM a0 CROSS JOIN generate_series(1,64) g(i) GROUP BY cid, i),
+        |mm AS (SELECT cid, list(mv ORDER BY i) AS emb FROM m GROUP BY cid),
+        |cent AS (SELECT s.cid, COALESCE(mm.emb, s.emb) AS emb
+        |  FROM seeds s LEFT JOIN mm ON s.cid = mm.cid),
+        |dc AS (SELECT e.vec_id, e.emb, c.cid,
+        |    list_reduce([(e.emb[i]-c.emb[i])*(e.emb[i]-c.emb[i])
+        |      FOR i IN generate_series(1,64)], (x,y) -> x+y) AS dist
+        |  FROM e CROSS JOIN cent c),
+        |ca AS (SELECT vec_id, emb, cid AS cell FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM dc) WHERE rn = 1),
+        |p AS (SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+        |  FROM ca a JOIN ca b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |    AND ROUND(list_dot_product(a.emb, b.emb) /
+        |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+        |      4) >= 0.25
+        |  GROUP BY a.vec_id)
+        |SELECT ca.vec_id, CAST(ca.cell AS BIGINT) AS cell, p.dup_of,
+        |  p.dup_of IS NULL AS kept
+        |FROM ca LEFT JOIN p USING (vec_id) ORDER BY ca.vec_id""".stripMargin)),
+
     // ---- PQ/ADC ANN: 4 subspaces × 16 codes, deterministic seeding,
     // one Lloyd step; oracle replays codebook training, encoding, and
     // the ADC scan (subspace-ordered distance fold = Spark's) ----

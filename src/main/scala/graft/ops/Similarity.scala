@@ -105,14 +105,18 @@ object Similarity {
     centroids
   }
 
-  /** argmin over centroid squared distances, as a single expression. */
-  private def assignExpr(emb: Column, centroids: Seq[(Int, Seq[Double])]): Column = {
-    val scored = centroids.map { case (cid, cvec) =>
-      val d = graft.functions.VectorExprs.sqDist(emb, typedlit(cvec))
-      struct(d.as("d"), lit(cid).as("c"))
+  /** argmin over centroid squared distances, as a single expression.
+    * (`least` needs two args — a degenerate 1-centroid index is a
+    * constant assignment.) */
+  private def assignExpr(emb: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    if (centroids.size == 1) lit(centroids.head._1)
+    else {
+      val scored = centroids.map { case (cid, cvec) =>
+        val d = graft.functions.VectorExprs.sqDist(emb, typedlit(cvec))
+        struct(d.as("d"), lit(cid).as("c"))
+      }
+      least(scored: _*).getField("c")
     }
-    least(scored: _*).getField("c")
-  }
 
   /** IVF ANN: assign corpus to centroids once, probe the query's `nprobe`
     * nearest cells. The probe join is an equi-join on cell id — at 100 TB
@@ -267,5 +271,38 @@ object Similarity {
         round(cosine(col("q_emb"), col("c_emb")), 4).as("sim"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** SemDeDup-class semantic dedup (cluster-then-prune, after Abbas et
+    * al. 2023, arXiv:2303.09540): embeddings are clustered with the same
+    * deterministic Lloyd refinement as [[ivfCentroids]], and near-
+    * duplicate PAIRS are only sought WITHIN a cluster — the k-means cell
+    * is the candidate-blocking structure, so the corpus never sees an
+    * all-pairs comparison. A vector is dropped when a LOWER-id vector in
+    * its cell has cosine ≥ `tau` (keep-lowest-id, the same policy as
+    * [[Dedup.exact]]); `dup_of` records the smallest such id for audit.
+    *
+    * Scale shape: centroids are k×dim on the driver (tiny); assignment is
+    * one map-side argmin column; the pair search is a self-equi-join ON
+    * THE CELL ID — shuffle partitions by cell, work per cell is quadratic
+    * only in cell size, which nCells controls. The cosine threshold is
+    * applied to the ROUNDED similarity so the keep/drop decision is
+    * engine-reproducible.
+    *
+    * Output per corpus vector: vec_id, cell, dup_of (nullable), kept. */
+  def semanticDedup(corpus: DataFrame, tau: Double = 0.25,
+      nCells: Int = 16, iters: Int = 1): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCells, iters)
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("cell", assignExpr(col("emb"), centroids))
+    val nb = c.select(col("cell"), col("vec_id").as("nb_id"),
+      col("emb").as("nb_emb"))
+    val dups = c.join(nb, Seq("cell"))
+      .filter(col("nb_id") < col("vec_id"))
+      .filter(round(cosine(col("emb"), col("nb_emb")), 4) >= tau)
+      .groupBy("vec_id").agg(min("nb_id").as("dup_of"))
+    c.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("dup_of"), col("dup_of").isNull.as("kept"))
   }
 }

@@ -160,6 +160,53 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out.values.forall(v => v.size == 8 && v.forall(x => x >= -1 && x <= 1)))
   }
 
+
+  test("semanticDedup: lower-id near-dup wins; far vectors and cross-cell pairs kept") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // nCells = 1 disables blocking: pure pairwise semantics.
+    // cos(v1,v2) ~ 1 (near-dup), cos(v1,v3) = 0, cos(v1,v4) = -1.
+    val e = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.99, 0.01, 0.0, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (4L, Seq(-1.0, 0.0, 0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(e, tau = 0.9, nCells = 1, iters = 0)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getAs[Boolean]("kept")).toSeq ==
+      Seq(true, false, true, true))
+    assert(out(1).getAs[Long]("dup_of") == 1L) // 2 is a dup OF 1, not vice versa
+    // invariant: dropped rows always point at a lower id; kept <=> no dup_of
+    for (r <- out) {
+      val kept = r.getAs[Boolean]("kept")
+      assert(kept == r.isNullAt(r.fieldIndex("dup_of")))
+      if (!kept) assert(r.getAs[Long]("dup_of") < r.getAs[Long]("vec_id"))
+    }
+  }
+
+  test("semanticDedup blocking: near-dups in DIFFERENT cells are not compared") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    // Two tight groups on opposite axes; seeds (first 2 by vec_id) land
+    // one in each group, so Lloyd separates them. The cross-group pair
+    // (1,3) has cosine 1 ONLY via sign flip - actually use identical
+    // vectors in both groups to prove cell-blocking bounds the search.
+    val e = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.98, 0.02)),   // cell A
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.02, 0.98))    // cell B
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(e, tau = 0.9, nCells = 2, iters = 1)
+      .orderBy("vec_id").collect()
+    val cells = out.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    assert(cells(1L) == cells(2L) && cells(3L) == cells(4L))
+    assert(cells(1L) != cells(3L))
+    // in-cell near-dups pruned, one survivor per cell
+    assert(out.count(_.getAs[Boolean]("kept")) == 2)
+    assert(out(1).getAs[Long]("dup_of") == 1L)
+    assert(out(3).getAs[Long]("dup_of") == 3L)
+  }
+
   test("approx profiler: no Expand in the plan, estimates within 15% of exact") {
     import graft.ops.Profiler
     val df = Tables.orders(spark, sf("sf0.001"))
