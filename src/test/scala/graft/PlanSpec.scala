@@ -141,6 +141,28 @@ class PlanSpec extends SparkSpec {
       s"chunk overlap must join on the chunk hash:\n${p.take(800)}")
   }
 
+  test("normalize + boilerplate: pure map stages, zero exchanges") {
+    for (q <- Seq("text_normalize", "text_boilerplate")) {
+      val p = planOf(q)
+      val body = p.substring(p.indexOf("Sort")) // final ORDER BY's exchange is presentation
+      assert(!body.replaceFirst("Exchange rangepartitioning[^\n]*", "")
+        .contains("Exchange"), s"$q shuffles:\n$p")
+    }
+  }
+
+  test("shard manifest: map-side hash, ONE partial-aggregated exchange") {
+    val p = planOf("export_shards")
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+  }
+
+  test("semantic dedup: cell equi-join, never a cartesian or NL join") {
+    val p = planOf("semantic_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("minhash portable mode (the declared-query path) keeps ObjectHashAggregate") {
     // the declared dedup_minhash_lsh query runs portable=true; a silent
     // fall back to SortAggregate (e.g. a non-ObjectHash-capable buffer
