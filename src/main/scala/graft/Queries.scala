@@ -44,6 +44,14 @@ object Queries {
     * SQL literal are byte-identical and genuinely non-NFC. */
   private val nonNfcSuffix = "  cafe\u0301 nin\u0303o\u0007 spaced  out."
 
+  /** curation_funnel injected sentences. A passes the quality gate and
+    * carries a DECOMPOSED accent so the normalize stage does real work;
+    * B survives the boilerplate stage (>= 5 words, terminal punct) but
+    * is punctuation-heavy enough to fail the quality gate. */
+  private val funnelSentA =
+    "This is one of the proper sentences in the cafe\u0301 set and it has enough words here."
+  private val funnelSentB = "x. y... z!!! w, v, u, t?"
+
   import Tables._
 
   val all: Seq[QDef] = Seq(
@@ -1612,6 +1620,75 @@ object Queries {
         |  ROUND(1.0 / (1.0 + exp(-zv)), 4) AS q_score,
         |  ROUND(1.0 / (1.0 + exp(-zv)), 4) >= 0.5 AS keep
         |FROM z ORDER BY doc_id""".stripMargin)),
+
+    // ---- End-to-end curation funnel over the round-5 ops: per-stage
+    // survivor counts (the report every curation pipeline publishes).
+    // boilerplate line-filter FIRST (it needs line structure; normalize
+    // collapses newlines), then NFC normalize, then the model-based
+    // quality gate, then exact dedup on the normalized text. Half the
+    // docs get a proper sentence appended (survive boilerplate); of
+    // those, doc_id % 8 == 0 get a punct-heavy variant that fails the
+    // quality gate; all surviving texts are identical after cleanup, so
+    // the dedup stage collapses them to one representative. ----
+    QDef("curation_funnel",
+      (s, d) => {
+        val base = documents(s, d).withColumn("text",
+          when(col("doc_id") % 2 === 0, concat(col("text"), lit("\n"),
+            when(col("doc_id") % 8 === 0, lit(funnelSentB))
+              .otherwise(lit(funnelSentA))))
+          .otherwise(col("text")))
+        // ONE corpus scan: per-doc survival flags ride a single
+        // aggregate (a naive union-of-counts would re-execute the whole
+        // chain once per stage — 5 scans at 100 TB).
+        val flags = TextAnalysis.boilerplateFilter(base, minWords = 5)
+          .withColumn("ntext", TextAnalysis.normalizeText(col("clean_text")))
+          .withColumn("b_ok", col("n_kept") >= 1)
+          .withColumn("q_ok", col("b_ok") &&
+            (TextAnalysis.qualityScoreExpr(col("ntext")) >= 0.3))
+        flags.agg(
+            count(lit(1)).as("n0"),
+            count(when(col("b_ok"), 1)).as("n1"),
+            count(when(col("b_ok"), 1)).as("n2"),
+            count(when(col("q_ok"), 1)).as("n3"),
+            countDistinct(when(col("q_ok"), col("ntext"))).as("n4"))
+          .selectExpr("""stack(5,
+            '0_ingested', n0, '1_boilerplate', n1, '2_normalized', n2,
+            '3_quality', n3, '4_unique', n4) AS (stage, n_docs)""")
+          .orderBy("stage")
+      },
+      Some(s"""WITH inj AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+        |    THEN text || chr(10) || CASE WHEN doc_id % 8 = 0
+        |      THEN '$funnelSentB' ELSE '$funnelSentA' END
+        |    ELSE text END AS text FROM documents),
+        |b AS (SELECT doc_id, list_filter(string_split(text, chr(10)), x ->
+        |    len(string_split_regex(trim(x), '\\s+')) >= 5
+        |    AND regexp_matches(x, '[.!?]$$')) AS kept FROM inj),
+        |s2 AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text
+        |  FROM b WHERE len(kept) >= 1),
+        |n AS (SELECT doc_id, trim(regexp_replace(nfc_normalize(
+        |    regexp_replace(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')),
+        |    '\\s+', ' ', 'g')) AS text FROM s2),
+        |f AS (SELECT doc_id, text,
+        |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        |    x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) /
+        |    GREATEST(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS stop_ratio,
+        |  ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) /
+        |    GREATEST(length(text), 1), 4) AS punct_ratio,
+        |  ROUND(CAST(length(text) - (len(string_split_regex(trim(text), '\\s+')) - 1) AS DOUBLE) /
+        |    GREATEST(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS avg_token_len
+        |  FROM n),
+        |q AS (SELECT doc_id, text FROM f
+        |  WHERE ROUND(1.0 / (1.0 + exp(-(-1.0 + 0.55 * ln(1.0 + n_tokens)
+        |    + 2.0 * stop_ratio - 3.0 * punct_ratio - 0.05 * avg_token_len))), 4) >= 0.3),
+        |u AS (SELECT text, MIN(doc_id) AS keep_id FROM q GROUP BY text)
+        |SELECT stage, n_docs FROM (
+        |  SELECT '0_ingested' AS stage, COUNT(*) AS n_docs FROM inj
+        |  UNION ALL SELECT '1_boilerplate', COUNT(*) FROM s2
+        |  UNION ALL SELECT '2_normalized', COUNT(*) FROM n
+        |  UNION ALL SELECT '3_quality', COUNT(*) FROM q
+        |  UNION ALL SELECT '4_unique', COUNT(*) FROM u)
+        |ORDER BY stage""".stripMargin)),
 
     QDef("text_lang_id",
       (s, d) => TextAnalysis.langId(documents(s, d))

@@ -338,6 +338,24 @@ object TextAnalysis {
     "bias" -> -1.0, "log_tokens" -> 0.55,
     "stop_ratio" -> 2.0, "punct_ratio" -> -3.0, "avg_token_len" -> -0.05)
 
+  /** The score as a single self-contained column over a text column —
+    * for pipelines that need the gate inline (one scan, no join back).
+    * Features are rounded to 4 exactly as [[qualityFeatures]] does;
+    * ScaleOpsSpec pins that this and [[qualityScore]] agree. */
+  def qualityScoreExpr(t: Column): Column = {
+    val w = qualityWeights
+    val nT = tokenCount(t)
+    val stop = round(stopwordCount(t) / greatest(nT, lit(1)).cast("double"), 4)
+    val punct = round(punctCount(t) / greatest(length(t), lit(1)).cast("double"), 4)
+    val avgLen = round((length(t) - (nT - 1)) /
+      greatest(nT, lit(1)).cast("double"), 4)
+    round(lit(1.0) / (lit(1.0) + exp(-(lit(w("bias"))
+      + lit(w("log_tokens")) * log(lit(1.0) + nT)
+      + lit(w("stop_ratio")) * stop
+      + lit(w("punct_ratio")) * punct
+      + lit(w("avg_token_len")) * avgLen))), 4)
+  }
+
   def qualityScore(documents: DataFrame, threshold: Double = 0.5,
       textCol: String = "text"): DataFrame = {
     val w = qualityWeights

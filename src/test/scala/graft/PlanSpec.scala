@@ -163,6 +163,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("curation funnel: the whole chain rides ONE corpus scan") {
+    val p = planOf("curation_funnel")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$p")
+  }
+
   test("minhash portable mode (the declared-query path) keeps ObjectHashAggregate") {
     // the declared dedup_minhash_lsh query runs portable=true; a silent
     // fall back to SortAggregate (e.g. a non-ObjectHash-capable buffer

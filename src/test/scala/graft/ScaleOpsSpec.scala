@@ -207,6 +207,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(out(3).getAs[Long]("dup_of") == 3L)
   }
 
+  test("qualityScoreExpr agrees with qualityScore on the corpus") {
+    import graft.ops.Similarity // (import parity with sibling tests)
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val viaDf = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("q_score"))
+    val viaExpr = docs.select(col("doc_id"),
+      TextAnalysis.qualityScoreExpr(col("text")).as("q2"))
+    val joined = viaDf.join(viaExpr, "doc_id")
+      .filter(col("q_score") =!= col("q2")).count()
+    assert(joined == 0L)
+  }
+
   test("approx profiler: no Expand in the plan, estimates within 15% of exact") {
     import graft.ops.Profiler
     val df = Tables.orders(spark, sf("sf0.001"))
