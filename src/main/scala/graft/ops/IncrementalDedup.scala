@@ -159,4 +159,75 @@ object IncrementalDedup {
       rebuilt
     }
   }
+
+  /** Continuous-ingest SEMANTIC dedup: the [[Similarity.semanticDedup]]
+    * analog of [[ingest]]/[[ingestNear]], for embedding streams. State
+    * under `stateRoot`:
+    *   `centroids/` — (cid, emb): the cell structure, trained ONCE on the
+    *     first batch and frozen — cells must mean the same thing across
+    *     batches or the stored corpus silently changes cells under later
+    *     arrivals (re-clustering is an offline index rebuild, not an
+    *     ingest-path concern; same policy as a production IVF index);
+    *   `kept/` — (keeper_id, cell, emb): every accepted vector, the
+    *     corpus-so-far, bucketed by the state table's key shuffle.
+    *
+    *   1. Assign the batch to cells under the FROZEN centroids.
+    *   2. Corpus check: equi-join on cell against `kept` — the batch only
+    *      meets same-cell corpus vectors, never the whole store — and a
+    *      rounded cosine ≥ `tau` marks a known near-dup. keeper_id ==
+    *      vec_id is this batch replaying after a crash between the state
+    *      commit and the downstream effect: re-accept (idempotent
+    *      replay), exactly as [[ingest]] and [[ingestNear]] do.
+    *   3. In-batch: within a cell the lowest id among mutual near-dups
+    *      survives (keep-lowest-id, as [[Similarity.semanticDedup]]).
+    *   4. Accepted vectors upsert into `kept/` atomically; a crash
+    *      before the commit leaves the previous corpus intact and the
+    *      batch reruns.
+    *
+    * Centroids commit BEFORE the first kept-commit: a crash between the
+    * two leaves a trained-but-empty index, and the rerun just re-ingests
+    * the batch under the same cells. Returns (accepted rows, version). */
+  def ingestSemantic(spark: SparkSession, stateRoot: String, batch: DataFrame,
+      tau: Double = 0.25, nCells: Int = 16, iters: Int = 1): (DataFrame, Long) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val centroids: Seq[(Int, Seq[Double])] =
+      StateTable.read(spark, s"$stateRoot/centroids") match {
+        case Some(st) => st.collect().map(r =>
+          r.getAs[Int]("cid") -> r.getAs[scala.collection.Seq[Double]]("emb").toSeq).toSeq
+        case None =>
+          val trained = Similarity.ivfCentroids(batch, nCells, iters)
+          val schema = StructType(Seq(StructField("cid", IntegerType, false),
+            StructField("emb", ArrayType(DoubleType, false), false)))
+          StateTable.upsert(spark, s"$stateRoot/centroids",
+            spark.createDataFrame(
+              java.util.Arrays.asList(trained.map { case (cid, e) =>
+                Row(cid, e) }: _*), schema),
+            Seq("cid"))
+          trained
+      }
+    val assigned = Similarity.assignCells(batch, centroids).localCheckpoint()
+    val knownDup = StateTable.read(spark, s"$stateRoot/kept") match {
+      case None => assigned.limit(0).select(col("vec_id"))
+      case Some(kept) =>
+        assigned.join(kept.select(col("cell"), col("keeper_id"),
+            col("emb").as("k_emb")), Seq("cell"))
+          .filter(col("keeper_id") =!= col("vec_id"))
+          .filter(round(Similarity.cosine(col("emb"), col("k_emb")), 4) >= tau)
+          .select("vec_id").distinct()
+    }
+    val corpusFresh = assigned.join(knownDup, Seq("vec_id"), "left_anti")
+    val nb = corpusFresh.select(col("cell"), col("vec_id").as("nb_id"),
+      col("emb").as("nb_emb"))
+    val inBatchDrop = corpusFresh.join(nb, Seq("cell"))
+      .filter(col("nb_id") < col("vec_id"))
+      .filter(round(Similarity.cosine(col("emb"), col("nb_emb")), 4) >= tau)
+      .select("vec_id").distinct()
+    val accepted = corpusFresh.join(inBatchDrop, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val version = StateTable.upsert(spark, s"$stateRoot/kept",
+      accepted.select(col("vec_id").as("keeper_id"), col("cell"), col("emb")),
+      Seq("keeper_id"))
+    (accepted.select(col("vec_id"), col("cell")), version)
+  }
 }

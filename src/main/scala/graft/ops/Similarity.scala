@@ -290,11 +290,18 @@ object Similarity {
     * engine-reproducible.
     *
     * Output per corpus vector: vec_id, cell, dup_of (nullable), kept. */
+  /** (vec_id, emb, cell) for a corpus under a fixed centroid set — the
+    * shared assignment step of [[semanticDedup]] and the incremental
+    * ingest loop ([[IncrementalDedup.ingestSemantic]]). */
+  def assignCells(corpus: DataFrame,
+      centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("cell", assignExpr(col("emb"), centroids))
+
   def semanticDedup(corpus: DataFrame, tau: Double = 0.25,
       nCells: Int = 16, iters: Int = 1): DataFrame = {
     val centroids = ivfCentroids(corpus, nCells, iters)
-    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .withColumn("cell", assignExpr(col("emb"), centroids))
+    val c = assignCells(corpus, centroids)
     val nb = c.select(col("cell"), col("vec_id").as("nb_id"),
       col("emb").as("nb_emb"))
     val dups = c.join(nb, Seq("cell"))

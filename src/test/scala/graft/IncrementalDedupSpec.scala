@@ -137,4 +137,51 @@ class IncrementalDedupSpec extends SparkSpec {
       docs(10L -> null, 11L -> "real text"))
     assert(a2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(10L))
   }
+
+  private def vecs(rows: (Long, Seq[Double])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("semantic ingest: cross-batch and in-batch near-dups drop under frozen cells") {
+    val root = java.nio.file.Files.createTempDirectory("graft-semdedup").toString
+    // batch 1: 2 is a near-copy of 1; 3 orthogonal. nCells=1 => pure
+    // pairwise within the single cell.
+    val (a1, v1) = IncrementalDedup.ingestSemantic(spark, root,
+      vecs(1L -> Seq(1.0, 0.0, 0.0), 2L -> Seq(0.99, 0.01, 0.0),
+        3L -> Seq(0.0, 1.0, 0.0)),
+      tau = 0.9, nCells = 1, iters = 0)
+    assert(a1.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+    assert(v1 == 0L)
+
+    // batch 2: 10 near-dups corpus vector 1 (dropped); 11 novel axis
+    val (a2, v2) = IncrementalDedup.ingestSemantic(spark, root,
+      vecs(10L -> Seq(0.98, 0.02, 0.0), 11L -> Seq(0.0, 0.0, 1.0)),
+      tau = 0.9, nCells = 1, iters = 0)
+    assert(a2.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(11L))
+    assert(v2 == 1L)
+
+    // the kept store is exactly the three survivors
+    val kept = StateTable.read(spark, s"$root/kept").get
+      .select("keeper_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L, 11L))
+
+    // centroids are FROZEN: trained once at version 0, never rewritten
+    assert(StateTable.latestVersion(s"$root/centroids").contains(0L))
+  }
+
+  test("semantic ingest replay: a committed batch re-accepts identically") {
+    val root = java.nio.file.Files.createTempDirectory("graft-semreplay").toString
+    val batch = vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0))
+    val (a1, _) = IncrementalDedup.ingestSemantic(spark, root, batch,
+      tau = 0.9, nCells = 1, iters = 0)
+    // crash window: state committed, downstream effect lost, same batch
+    // re-runs. Self-matches in the kept store are replay, not dups.
+    val (a2, _) = IncrementalDedup.ingestSemantic(spark, root, batch,
+      tau = 0.9, nCells = 1, iters = 0)
+    assert(a1.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      a2.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // and the store did not grow
+    assert(StateTable.read(spark, s"$root/kept").get.count() == 2L)
+  }
 }
