@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{PollaFunctions, PollaParsers}
-import graft.ops.{Consensus, Dedup, Multimodal, Sampling, Similarity, StatePipeline, TextAnalysis}
+import graft.ops.{Consensus, Dedup, Drift, Multimodal, Sampling, Similarity, StatePipeline, TextAnalysis}
 
 /** The declared-query surface (SURVEY.md §2.12 + north-star extensions).
   *
@@ -1689,6 +1689,44 @@ object Queries {
         |  UNION ALL SELECT '3_quality', COUNT(*) FROM q
         |  UNION ALL SELECT '4_unique', COUNT(*) FROM u)
         |ORDER BY stage""".stripMargin)),
+
+    // ---- Distribution-drift gate (PSI over fixed bins): reference =
+    // first half of the corpus by doc_id, current = second half, over
+    // doc length. Bin edges are declared, never data-derived, so the
+    // report is comparable across runs and engines; empty bins appear
+    // with zero counts. Two scans, O(bins) rows shuffled. ----
+    QDef("drift_psi",
+      (s, d) => {
+        val docs = documents(s, d)
+        Drift.psi(docs.filter(col("doc_id") < 250),
+            docs.filter(col("doc_id") >= 250),
+            "n_chars", lo = 0.0, hi = 1000.0, bins = 10)
+          .orderBy("bin")
+      },
+      Some("""WITH r AS (SELECT LEAST(9, GREATEST(0,
+        |    CAST(FLOOR(CAST(n_chars AS DOUBLE) / 1000 * 10) AS BIGINT))) AS bin
+        |  FROM documents WHERE doc_id < 250),
+        |c AS (SELECT LEAST(9, GREATEST(0,
+        |    CAST(FLOOR(CAST(n_chars AS DOUBLE) / 1000 * 10) AS BIGINT))) AS bin
+        |  FROM documents WHERE doc_id >= 250),
+        |hr AS (SELECT bin, COUNT(*) AS n_ref FROM r GROUP BY bin),
+        |hc AS (SELECT bin, COUNT(*) AS n_cur FROM c GROUP BY bin),
+        |sp AS (SELECT unnest(generate_series(0, 9)) AS bin),
+        |j AS (SELECT sp.bin, COALESCE(hr.n_ref, 0) AS n_ref,
+        |    COALESCE(hc.n_cur, 0) AS n_cur
+        |  FROM sp LEFT JOIN hr USING (bin) LEFT JOIN hc USING (bin)),
+        |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM j),
+        |p AS (SELECT bin, n_ref, n_cur,
+        |    GREATEST(n_ref / CAST(t_ref AS DOUBLE), 1e-6) AS p_ref,
+        |    GREATEST(n_cur / CAST(t_cur AS DOUBLE), 1e-6) AS p_cur
+        |  FROM j CROSS JOIN t),
+        |w AS (SELECT *, ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS contrib
+        |  FROM p)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cur AS BIGINT) AS n_cur, ROUND(p_ref, 6) AS p_ref,
+        |  ROUND(p_cur, 6) AS p_cur, contrib,
+        |  ROUND(SUM(contrib) OVER (), 6) AS psi
+        |FROM w ORDER BY bin""".stripMargin)),
 
     QDef("text_lang_id",
       (s, d) => TextAnalysis.langId(documents(s, d))

@@ -171,6 +171,21 @@ object EventStreams {
       onAccepted(accepted)
     }
 
+  /** Streaming SEMANTIC near-dedup over an embedding stream: foreachBatch
+    * sink around [[graft.ops.IncrementalDedup.ingestSemantic]] — same
+    * replay-idempotence contract as [[nearDedupSink]] (a batch re-run
+    * after a crash between state commit and downstream effect re-accepts
+    * identically; cells are frozen after first-batch training). */
+  def semanticDedupSink(stateRoot: String, tau: Double = 0.25,
+      nCells: Int = 16,
+      onAccepted: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      val spark = batch.sparkSession
+      val (accepted, _) = graft.ops.IncrementalDedup.ingestSemantic(
+        spark, stateRoot, batch, tau, nCells)
+      onAccepted(accepted)
+    }
+
   /** The reference's run-over-run change detection as an arbitrary-stateful
     * stream: key = (sorteo, fecha); unchanged (same sha or same amounts) →
     * "skip", else → "publish" and state update

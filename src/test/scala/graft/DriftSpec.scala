@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Drift
+
+/** PSI drift monitoring: bin clamping, empty-bin spine, and the headline
+  * number against a hand-computed value. */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vals(xs: Double*) = xs.zipWithIndex
+    .map { case (x, i) => (i.toLong, x) }.toDF("id", "x")
+
+  test("identical distributions score ~zero PSI; all bins present") {
+    val ref = vals(5, 15, 25, 35, 45, 55, 65, 75, 85, 95)
+    val out = Drift.psi(ref, ref, "x", lo = 0, hi = 100, bins = 10)
+      .orderBy("bin").collect()
+    assert(out.length == 10) // spine: every bin reported
+    assert(out.forall(_.getAs[Double]("psi") == 0.0))
+    assert(out.forall(r => r.getAs[Long]("n_ref") == r.getAs[Long]("n_cur")))
+  }
+
+  test("outliers clamp into the edge bins instead of vanishing") {
+    val ref = vals(-50, 20, 999)    // below lo and above hi
+    val out = Drift.psi(ref, ref, "x", lo = 0, hi = 100, bins = 10)
+      .orderBy("bin").collect()
+    val counts = out.map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_ref")).toMap
+    assert(counts(0L) == 1L) // -50 clamped up
+    assert(counts(9L) == 1L) // 999 clamped down
+    assert(counts(2L) == 1L)
+    assert(counts.values.sum == 3L) // nothing lost
+  }
+
+  test("PSI matches the hand formula on a shifted distribution") {
+    // ref: 8 low + 2 high; cur: 2 low + 8 high over 2 bins
+    val ref = vals(Seq.fill(8)(10.0) ++ Seq.fill(2)(60.0): _*)
+    val cur = vals(Seq.fill(2)(10.0) ++ Seq.fill(8)(60.0): _*)
+    val out = Drift.psi(ref, cur, "x", lo = 0, hi = 100, bins = 2)
+      .orderBy("bin").collect()
+    def contrib(pr: Double, pc: Double) =
+      BigDecimal((pc - pr) * math.log(pc / pr))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = BigDecimal(contrib(0.8, 0.2) + contrib(0.2, 0.8))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out.head.getAs[Double]("psi") - expected) < 1e-9)
+    assert(out.head.getAs[Double]("psi") > 0.25) // "investigate" band
+  }
+}

@@ -10,6 +10,7 @@ import graft.streaming.EventStreams.{PozoDecision, PozoUpdate}
   * (MemoryStream → query → memory sink), not batch shortcuts. */
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
 case class Doc(ts: Timestamp, doc_id: Long, text: String)
+case class Vec(vec_id: Long, embedding: Seq[Double])
 
 class StreamingSpec extends SparkSpec {
 
@@ -288,5 +289,38 @@ class StreamingSpec extends SparkSpec {
       assert(!rows.exists(_._1 == 2L)) // outside the interval
       assert(!rows.exists(_._1 == 3L)) // unmatched right
     } finally q.stop()
+  }
+
+  test("semantic dedup sink: cell state survives micro-batches and restarts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-sem").toString
+    val accepted = scala.collection.mutable.ArrayBuffer[Long]()
+    val sink = EventStreams.semanticDedupSink(root, tau = 0.9, nCells = 1,
+      onAccepted = df => accepted ++= df.select("vec_id").collect().map(_.getLong(0)))
+
+    val in1 = MemoryStream[Vec]
+    val q1 = in1.toDF().select("vec_id", "embedding").writeStream
+      .foreachBatch(sink).outputMode("append").start()
+    try {
+      in1.addData(Vec(1L, Seq(1.0, 0.0, 0.0)), Vec(2L, Seq(0.0, 1.0, 0.0)))
+      q1.processAllAvailable()
+      // near-copy of vector 1 → dropped; novel axis → accepted
+      in1.addData(Vec(3L, Seq(0.99, 0.01, 0.0)), Vec(4L, Seq(0.0, 0.0, 1.0)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(accepted.sorted == Seq(1L, 2L, 4L), s"got $accepted")
+
+    // fresh query, fresh checkpoint: the kept store + frozen centroids
+    // live in the StateTable, not the streaming checkpoint
+    val in2 = MemoryStream[Vec]
+    val q2 = in2.toDF().select("vec_id", "embedding").writeStream
+      .foreachBatch(sink).outputMode("append").start()
+    try {
+      in2.addData(Vec(10L, Seq(0.98, 0.02, 0.0))) // still known → dropped
+      in2.addData(Vec(11L, Seq(0.5, 0.5, 0.70)))  // novel direction
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(accepted.sorted == Seq(1L, 2L, 4L, 11L), s"restart lost state: $accepted")
   }
 }
