@@ -665,12 +665,18 @@ object Queries {
     // ---- Q48: weekly retention cohorts. Both aggregations and the
     // join cluster on user_id, so the cohort assignment reuses one
     // exchange; the final rollup is a small (cohort, offset) grid. ----
+    // Plan: ONE shuffle on user_id (collect_set partial-aggregates
+    // map-side; per-user state is bounded by the number of distinct
+    // weeks, not events), cohort = array_min of the same set — no
+    // second pass, no distinct, no join — then a second tiny shuffle
+    // over the (cohort, offset) domain. The previous form paid three
+    // wide shuffles plus a join for the same answer.
     QDef("q48_retention",
       (s, d) => {
         val e = events(s, d)
           .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
-        val firstW = e.groupBy("user_id").agg(min("w").as("cohort"))
-        e.distinct().join(firstW, "user_id")
+        e.groupBy("user_id").agg(collect_set("w").as("ws"))
+          .select(array_min(col("ws")).as("cohort"), explode(col("ws")).as("w"))
           .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
             ((unix_timestamp(col("w")) - unix_timestamp(col("cohort"))) / 604800)
               .cast("long").as("week_offset"))

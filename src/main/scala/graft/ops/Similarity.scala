@@ -111,11 +111,15 @@ object Similarity {
   private def assignExpr(emb: Column, centroids: Seq[(Int, Seq[Double])]): Column =
     if (centroids.size == 1) lit(centroids.head._1)
     else {
-      val scored = centroids.map { case (cid, cvec) =>
-        val d = graft.functions.VectorExprs.sqDist(emb, typedlit(cvec))
-        struct(d.as("d"), lit(cid).as("c"))
-      }
-      least(scored: _*).getField("c")
+      // cids are 0..k-1 by construction, so the positional argmin of
+      // [[graft.functions.PqEncode]] (m=1 ⇒ plain argmin; ties → lowest
+      // index) IS the cid — one codegen'd loop instead of a
+      // least(struct…) comparison chain
+      val sorted = centroids.sortBy(_._1)
+      require(sorted.map(_._1) == sorted.indices.toSeq,
+        "assignExpr: centroid ids must be 0..k-1")
+      element_at(graft.functions.PqEncode.encode(
+        emb, sorted.map(_._2), 1, sorted.size), 1)
     }
 
   /** IVF ANN: assign corpus to centroids once, probe the query's `nprobe`
@@ -179,12 +183,17 @@ object Similarity {
       (v, code) <- seedVecs.zipWithIndex
       sub <- 0 until m
     } yield (sub, code) -> v.slice(sub * subDim, (sub + 1) * subDim)).toMap
-    val sub = c.select(col("vec_id"),
-        explode(subVectors(col("emb"), m, subDim)).as("sp"))
-      .select(col("vec_id"), col("sp.sub").as("sub"), col("sp.se").as("se"))
     for (_ <- 0 until iters) {
-      val assigned = sub.withColumn("code",
-        pqAssignExpr(col("sub"), col("se"), cb, m, codes))
+      // encode whole vectors once per row (codegen'd argmin), then
+      // explode to (sub, se, code) rows for the per-cell mean
+      val cbFlat = (0 until m).flatMap(s => (0 until codes).map(code => cb((s, code))))
+      val assigned = c
+        .withColumn("cds",
+          graft.functions.PqEncode.encode(col("emb"), cbFlat, m, codes))
+        .select(col("vec_id"),
+          explode(subVectors(col("emb"), m, subDim)).as("sp"), col("cds"))
+        .select(col("vec_id"), col("sp.sub").as("sub"), col("sp.se").as("se"),
+          element_at(col("cds"), col("sp.sub") + 1).as("code"))
       // sorted-fold mean — see ivfCentroids for why avg() won't do
       val means = assigned
         .select(col("sub"), col("code"), posexplode(col("se")).as(Seq("i", "x")))
@@ -209,51 +218,72 @@ object Similarity {
     array((0 until m).map(s =>
       struct(lit(s).as("sub"), slice(emb, s * subDim + 1, subDim).as("se"))): _*)
 
-  /** Per-subspace argmin over the codebook, as one when-chain expression
-    * (ties → lowest code, same as the oracle's ORDER BY dist, code). */
-  private def pqAssignExpr(subCol: Column, se: Column,
-      cb: Map[(Int, Int), Seq[Double]], m: Int, codes: Int): Column =
-    (0 until m).foldRight(lit(-1): Column) { (s, acc) =>
-      val scored = (0 until codes).map { code =>
-        val d = graft.functions.VectorExprs.sqDist(se, typedlit(cb((s, code))))
-        struct(d.as("d"), lit(code).as("c"))
-      }
-      when(subCol === s, least(scored: _*).getField("c")).otherwise(acc)
-    }
-
   /** PQ/ADC top-k: smallest approximate distance first. Output:
     * q_id, c_id, adc (rounded 4), rank — ranked on the rounded distance
-    * with c_id tiebreak so near-ties resolve identically everywhere. */
+    * with c_id tiebreak so near-ties resolve identically everywhere.
+    *
+    * Scan shape (the 100 TB path): corpus vectors are encoded to an
+    * m-entry code array in ONE map-only projection (argmin against the
+    * broadcast codebook literal — nothing exploded, nothing shuffled);
+    * the per-query LUT (q-to-centroid distance per subspace×code,
+    * m×codes doubles/query) is computed on the driver from the collected
+    * query vectors — queries are broadcast-sized by module contract, so
+    * this is the same O(Q×dim) driver footprint every other `Similarity`
+    * entry point already accepts. The ADC pass is then a broadcast
+    * nested-loop of the Q-row LUT frame against the code table with the
+    * distance as pure array indexing (`element_at(lut, sub*codes+code)`
+    * summed in fixed subspace order — deterministic under any
+    * partitioning), and per-query top-k runs through [[graft.plans.GroupedTopK]]
+    * so only k rows per query survive each partition before the final
+    * shuffle. No (q,c)-pair aggregation state anywhere. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
       m: Int = 4, codes: Int = 16, iters: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cb = pqCodebooks(corpus, m, codes, iters)
+    val cbMap = cb.toMap
     val subDim = cb.head._2.length
-    val corpusCodes = corpus
-      .select(col("vec_id").as("c_id"),
-        explode(subVectors(asDouble(col("embedding")), m, subDim)).as("sp"))
-      .select(col("c_id"), col("sp.sub").as("sub"), col("sp.se").as("se"))
-      .withColumn("code", pqAssignExpr(col("sub"), col("se"), cb.toMap, m, codes))
-      .drop("se")
-    val cbDf = cb.map { case ((s, c), v) => (s, c, v) }.toDF("sub", "code", "cvec")
-    val lut = queries
-      .select(col("vec_id").as("q_id"),
-        explode(subVectors(asDouble(col("embedding")), m, subDim)).as("sp"))
-      .select(col("q_id"), col("sp.sub").as("sub"), col("sp.se").as("qse"))
-      .join(cbDf, Seq("sub"))
-      .select(col("q_id"), col("sub"), col("code"),
-        graft.functions.VectorExprs.sqDist(col("qse"), col("cvec")).as("d"))
-    val adc = corpusCodes.join(broadcast(lut), Seq("sub", "code"))
-      .groupBy("q_id", "c_id")
-      .agg(aggregate(
-        transform(array_sort(collect_list(struct(col("sub"), col("d")))),
-          e => e.getField("d")),
-        lit(0.0), (a, v) => a + v).as("adc0"))
+    val cbFlat = cb.map(_._2) // already sorted (sub, code)
+    // Index build: one codegen'd map-only encode pass ([[graft.functions.PqEncode]]),
+    // materialized eagerly — the code table IS the PQ index artifact (at
+    // cluster scale it would be written once and reused per query batch);
+    // materializing also stops projection collapse from inlining the
+    // encode above the join, which would re-encode once per (q, c) pair.
+    val corpusCodes = corpus.select(col("vec_id").as("c_id"),
+      graft.functions.PqEncode.encode(asDouble(col("embedding")), cbFlat, m, codes)
+        .as("codes"))
+      .localCheckpoint()
+    // driver-built LUT: same element-order summation as VecSqDist, over
+    // the same float→double-cast values the distributed path sees
+    val lutRows = queries
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("emb"))
+      .collect()
+      .map { r =>
+        val emb = r.getAs[scala.collection.Seq[Double]]("emb")
+        val lut = new Array[Double](m * codes)
+        for (s <- 0 until m; code <- 0 until codes) {
+          val cv = cbMap((s, code))
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val t = emb(s * subDim + i) - cv(i); d += t * t; i += 1
+          }
+          lut(s * codes + code) = d
+        }
+        (r.getAs[Number]("q_id").longValue(), lut.toSeq)
+      }.toSeq.sortBy(_._1)
+    val lutDf = lutRows.toDF("q_id", "lut")
+    val adcExpr = (0 until m).map { s =>
+      element_at(col("lut"),
+        (element_at(col("codes"), s + 1) + lit(s * codes) + 1).cast("int"))
+    }.reduce(_ + _)
+    val adc = corpusCodes.crossJoin(broadcast(lutDf))
       .filter(col("q_id") =!= col("c_id"))
-      .select(col("q_id"), col("c_id"), round(col("adc0"), 4).as("adc"))
+      .select(col("q_id"), col("c_id"), round(adcExpr, 4).as("adc"))
+    val top = graft.plans.GroupedTopK.perKey(adc, "q_id",
+      Seq("adc" -> true, "c_id" -> true), k)
     val w = Window.partitionBy("q_id").orderBy(col("adc").asc, col("c_id").asc)
-    adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    top.withColumn("rank", row_number().over(w))
   }
 
   /** IVF/LSH-bucketed ANN: probe only the query's sign bucket. */

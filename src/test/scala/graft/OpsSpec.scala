@@ -133,8 +133,11 @@ class OpsSpec extends SparkSpec {
       assert(q % 4 == c % 4, s"query $q matched cross-cluster neighbor $c")
     }
     // ADC scan never shuffles raw vectors: the LUT side is broadcast
+    // (keyless → nested-loop) and top-k runs through GroupedTopK, so no
+    // (q,c)-pair aggregation state exists anywhere in the plan
     val plan = pq.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    assert(plan.contains("PartialTopK"), plan.take(600))
     // ranks are 1..k per query, distances non-decreasing
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
     byQ.values.foreach { rs =>
