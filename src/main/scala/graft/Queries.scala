@@ -1734,6 +1734,73 @@ object Queries {
         |  ROUND(SUM(contrib) OVER (), 6) AS psi
         |FROM w ORDER BY bin""".stripMargin)),
 
+    // ---- Q52: exact quantile profile (Profiler.quantileProfile) — one
+    // scan, quantile_cont interpolation in both engines. q52b is the
+    // bounded-memory approx_percentile form (q38b sanity pattern). ----
+    QDef("q52_quantile_profile",
+      (s, d) => graft.ops.Profiler.quantileProfile(lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("column"),
+      Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(c => s"""SELECT '$c' AS "column", """ +
+          s"ROUND(MIN(CAST($c AS DOUBLE)), 4) AS minv, " +
+          s"ROUND(quantile_cont(CAST($c AS DOUBLE), 0.25), 4) AS p25, " +
+          s"ROUND(quantile_cont(CAST($c AS DOUBLE), 0.50), 4) AS p50, " +
+          s"ROUND(quantile_cont(CAST($c AS DOUBLE), 0.75), 4) AS p75, " +
+          s"ROUND(quantile_cont(CAST($c AS DOUBLE), 0.95), 4) AS p95, " +
+          s"ROUND(MAX(CAST($c AS DOUBLE)), 4) AS maxv FROM lineitem")
+        .mkString("", " UNION ALL ", """ ORDER BY "column""""))),
+
+    QDef("q52b_quantile_profile_approx",
+      (s, d) => {
+        val qs = Seq("p25", "p50", "p75", "p95").map(col)
+        val ordered = qs.zip(qs.tail).map { case (a, b) => a <= b }
+          .reduce(_ && _)
+        val bracketed = col("minv") <= col("p25") && col("p95") <= col("maxv")
+        graft.ops.Profiler.quantileProfileApprox(lineitem(s, d),
+            Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .select(col("column"), col("minv"), col("maxv"),
+            (ordered && bracketed).as("approx_sane"))
+          .orderBy("column")
+      },
+      Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(c => s"""SELECT '$c' AS "column", """ +
+          s"ROUND(MIN(CAST($c AS DOUBLE)), 4) AS minv, " +
+          s"ROUND(MAX(CAST($c AS DOUBLE)), 4) AS maxv, " +
+          s"true AS approx_sane FROM lineitem")
+        .mkString("", " UNION ALL ", """ ORDER BY "column""""))),
+
+    // ---- Exact two-sample KS statistic over the same ref/cur split as
+    // drift_psi. Value-level aggregation first (one shuffle, map-side
+    // combined), so the cumulative-CDF window sees O(distinct values)
+    // rows — KS is for discrete/bounded-V columns; quantize (drift_psi)
+    // for continuous ones. ----
+    QDef("drift_ks",
+      (s, d) => {
+        val docs = documents(s, d)
+        Drift.ks(docs.filter(col("doc_id") < 250),
+          docs.filter(col("doc_id") >= 250), "n_chars")
+      },
+      Some("""WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id < 250),
+        |c AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id >= 250),
+        |cnt AS (SELECT v, SUM(nr) AS n_r, SUM(nc) AS n_c FROM (
+        |    SELECT v, COUNT(*) AS nr, 0 AS nc FROM r GROUP BY v
+        |    UNION ALL SELECT v, 0, COUNT(*) FROM c GROUP BY v)
+        |  GROUP BY v),
+        |cdf AS (SELECT v,
+        |    SUM(n_r) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum_r,
+        |    SUM(n_c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum_c
+        |  FROM cnt),
+        |t AS (SELECT SUM(n_r) AS t_r, SUM(n_c) AS t_c FROM cnt)
+        |SELECT ROUND(MAX(ABS(cum_r / CAST(t_r AS DOUBLE)
+        |    - cum_c / CAST(t_c AS DOUBLE))), 6) AS d_stat,
+        |  CAST(MAX(t_r) AS BIGINT) AS n_ref, CAST(MAX(t_c) AS BIGINT) AS n_cur
+        |FROM cdf CROSS JOIN t""".stripMargin)),
+
     QDef("text_lang_id",
       (s, d) => TextAnalysis.langId(documents(s, d))
         .select("doc_id", "lang", "pred_lang")

@@ -32,16 +32,28 @@ object Drift {
     * (sum of ROUNDED contributions, so the published per-bin report
     * reproduces the headline number exactly). Empty bins are present
     * with zero counts — the report's shape never depends on the data. */
+  /** Clamped fixed-bin histogram: (bin, `n`) counts. */
+  def hist(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      bins: Int, n: String): DataFrame =
+    df.select(binOf(col(valueCol), lo, hi, bins).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as(n))
+
   def psi(ref: DataFrame, cur: DataFrame, valueCol: String,
       lo: Double, hi: Double, bins: Int = 10,
+      eps: Double = 1e-6): DataFrame =
+    psiFromHists(hist(ref, valueCol, lo, hi, bins, "n_ref"),
+      hist(cur, valueCol, lo, hi, bins, "n_cur"), bins, eps)
+
+  /** PSI from precomputed (bin, n_ref) / (bin, n_cur) histograms — the
+    * form a STREAMING monitor uses: the reference histogram is computed
+    * once and frozen, each micro-batch contributes only its own O(bins)
+    * counts. */
+  def psiFromHists(refHist: DataFrame, curHist: DataFrame, bins: Int,
       eps: Double = 1e-6): DataFrame = {
-    def hist(df: DataFrame, n: String) =
-      df.select(binOf(col(valueCol), lo, hi, bins).as("bin"))
-        .groupBy("bin").agg(count(lit(1)).as(n))
-    val spine = ref.sparkSession.range(bins).select(col("id").as("bin"))
+    val spine = refHist.sparkSession.range(bins).select(col("id").as("bin"))
     val joined = spine
-      .join(hist(ref, "n_ref"), Seq("bin"), "left")
-      .join(hist(cur, "n_cur"), Seq("bin"), "left")
+      .join(refHist, Seq("bin"), "left")
+      .join(curHist, Seq("bin"), "left")
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
@@ -58,5 +70,39 @@ object Drift {
       .select(col("bin"), col("n_ref"), col("n_cur"),
         round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
         col("contrib"), round(col("psi"), 6).as("psi"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic:
+    * D = max over observed values of |F_ref(x) − F_cur(x)|, with the
+    * empirical CDFs evaluated at every distinct value of either side.
+    * Output is one row: (d_stat, n_ref, n_cur) — d_stat rounded 6.
+    *
+    * Scale shape: each side collapses to per-VALUE counts before any
+    * wide operation (one shuffle keyed on the value, partial-aggregated
+    * map-side), so the ordered scan that takes running sums sees O(V)
+    * rows — V = distinct values, not row count. For genuinely continuous
+    * data V approaches N and the right move is to quantize first (the
+    * declared-bin [[psi]] is exactly that); KS earns its keep on
+    * discrete/integer-valued columns where V is bounded — there the
+    * single-partition cumulative window over V aggregated rows is noise,
+    * same class as the O(bins) PSI spine. */
+  def ks(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double").as("v")
+    val counted = ref.select(v).groupBy("v")
+      .agg(count(lit(1)).as("r"), lit(0L).as("c"))
+      .unionAll(cur.select(v).groupBy("v")
+        .agg(lit(0L).as("r"), count(lit(1)).as("c")))
+      .groupBy("v").agg(sum("r").as("n_r"), sum("c").as("n_c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cdf = counted.select(col("v"),
+      sum("n_r").over(w).as("cum_r"), sum("n_c").over(w).as("cum_c"))
+    val tot = counted.agg(sum("n_r").as("t_r"), sum("n_c").as("t_c"))
+    cdf.crossJoin(broadcast(tot))
+      .agg(
+        round(max(abs(col("cum_r") / col("t_r").cast("double")
+          - col("cum_c") / col("t_c").cast("double"))), 6).as("d_stat"),
+        max(col("t_r")).as("n_ref"), max(col("t_c")).as("n_cur"))
   }
 }

@@ -61,4 +61,55 @@ object Profiler {
         "__rows AS n_rows")
       .select(col("column"), col("n_rows"), col("n_nulls"), col("approx_distinct"))
   }
+
+  /** EXACT quantile profile: min, interpolated percentiles (same
+    * definition as SQL `quantile_cont`: rank (n−1)·p, linear between
+    * neighbors), max — all columns in ONE scan, one row per column.
+    * Sort-free and deterministic under any partitioning (the percentile
+    * aggregate buffers per-value counts), but that buffer is O(distinct
+    * values) per column — fine for bounded-domain columns; for
+    * high-cardinality continuous data at 100 TB use [[quantileProfileApprox]].
+    * Output: (column, minv, p&lt;nn&gt;…, maxv), values rounded 4. */
+  def quantileProfile(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c).cast("double")).as(s"${c}__min"),
+        percentile(col(c).cast("double"), typedlit(ps)).as(s"${c}__q"),
+        max(col(c).cast("double")).as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', `${c}__min`, `${c}__q`, `${c}__max`")
+      .mkString(", ")
+    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS (column, minv, q, maxv)")
+      .select(Seq(col("column"), round(col("minv"), 4).as("minv")) ++
+        ps.zipWithIndex.map { case (p, i) =>
+          round(element_at(col("q"), i + 1), 4)
+            .as(s"p${math.round(p * 100)}")
+        } ++ Seq(round(col("maxv"), 4).as("maxv")): _*)
+  }
+
+  /** Approximate quantile profile — THE 100 TB path: `approx_percentile`
+    * (Greenwald–Khanna summaries, bounded memory per column regardless of
+    * cardinality) in the same single-scan stack shape. Estimates are
+    * engine-specific; pin sanity (ordering, min/max bracketing) rather
+    * than values — the q38b pattern. */
+  def quantileProfileApprox(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      accuracy: Int = 10000): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c).cast("double")).as(s"${c}__min"),
+        approx_percentile(col(c).cast("double"), typedlit(ps), lit(accuracy))
+          .as(s"${c}__q"),
+        max(col(c).cast("double")).as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', `${c}__min`, `${c}__q`, `${c}__max`")
+      .mkString(", ")
+    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS (column, minv, q, maxv)")
+      .select(Seq(col("column"), round(col("minv"), 4).as("minv")) ++
+        ps.zipWithIndex.map { case (p, i) =>
+          round(element_at(col("q"), i + 1), 4)
+            .as(s"p${math.round(p * 100)}")
+        } ++ Seq(round(col("maxv"), 4).as("maxv")): _*)
+  }
 }

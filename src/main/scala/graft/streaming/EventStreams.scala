@@ -186,6 +186,35 @@ object EventStreams {
       onAccepted(accepted)
     }
 
+  /** Streaming distribution-drift monitor: PSI of each micro-batch
+    * against a FROZEN reference histogram ([[graft.ops.Drift]] — the
+    * batch-side gate, streamed). The reference collapses to O(bins)
+    * counts ONCE at sink construction; per batch only the batch's own
+    * histogram is computed (one map-side-combined aggregation), so the
+    * monitor's cost is independent of reference size. The report row
+    * carries (batch_id, psi, alarm, n_cur); `onReport` receives it even
+    * when quiet — an absent report and a quiet report must be
+    * distinguishable downstream. */
+  def driftMonitorSink(ref: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int = 10, threshold: Double = 0.25,
+      onReport: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    val refHist = graft.ops.Drift
+      .hist(ref, valueCol, lo, hi, bins, "n_ref")
+      .collect().map(r => (r.getAs[Long]("bin"), r.getAs[Long]("n_ref")))
+      .toSeq
+    (batch, id) => {
+      val spark = batch.sparkSession
+      import spark.implicits._
+      val refDf = refHist.toDF("bin", "n_ref")
+      val curHist = graft.ops.Drift.hist(batch, valueCol, lo, hi, bins, "n_cur")
+      val report = graft.ops.Drift.psiFromHists(refDf, curHist, bins)
+        .agg(first("psi").as("psi"), sum("n_cur").as("n_cur"))
+        .select(lit(id).as("batch_id"), col("psi"),
+          (col("psi") > threshold).as("alarm"), col("n_cur"))
+      onReport(report)
+    }
+  }
+
   /** The reference's run-over-run change detection as an arbitrary-stateful
     * stream: key = (sorteo, fecha); unchanged (same sha or same amounts) →
     * "skip", else → "publish" and state update

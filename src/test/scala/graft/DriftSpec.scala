@@ -31,6 +31,21 @@ class DriftSpec extends SparkSpec {
     assert(counts.values.sum == 3L) // nothing lost
   }
 
+  test("KS: identical samples score 0; disjoint samples score 1") {
+    val a = vals(1, 2, 3, 4, 5)
+    assert(Drift.ks(a, a, "x").collect().head.getAs[Double]("d_stat") == 0.0)
+    val b = vals(10, 11, 12)
+    val r = Drift.ks(a, b, "x").collect().head
+    assert(r.getAs[Double]("d_stat") == 1.0)
+    assert(r.getAs[Long]("n_ref") == 5L && r.getAs[Long]("n_cur") == 3L)
+  }
+
+  test("KS matches the hand formula on a partial shift") {
+    // ref: {1,2,3,4}, cur: {3,4,5,6} → max gap at v=2: |2/4 - 0/4| = 0.5
+    val r = Drift.ks(vals(1, 2, 3, 4), vals(3, 4, 5, 6), "x").collect().head
+    assert(r.getAs[Double]("d_stat") == 0.5)
+  }
+
   test("PSI matches the hand formula on a shifted distribution") {
     // ref: 8 low + 2 high; cur: 2 low + 8 high over 2 bins
     val ref = vals(Seq.fill(8)(10.0) ++ Seq.fill(2)(60.0): _*)

@@ -96,6 +96,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a("o_orderkey")._3 == a("o_orderkey")._1) // key is unique
   }
 
+  test("quantile profile: hand-checked interpolation; approx sane and one-scan") {
+    import spark.implicits._
+    import graft.ops.Profiler
+    // {1..5}: p25 = 1 + 0.25*4 = 2, p50 = 3, p75 = 4, p95 = 4.8
+    val df = (1 to 5).map(_.toDouble).toDF("x")
+    val r = Profiler.quantileProfile(df, Seq("x")).collect().head
+    assert(r.getAs[Double]("minv") == 1.0 && r.getAs[Double]("maxv") == 5.0)
+    assert(r.getAs[Double]("p25") == 2.0)
+    assert(r.getAs[Double]("p50") == 3.0)
+    assert(r.getAs[Double]("p75") == 4.0)
+    assert(r.getAs[Double]("p95") == 4.8)
+    val a = Profiler.quantileProfileApprox(df, Seq("x")).collect().head
+    assert(a.getAs[Double]("p25") <= a.getAs[Double]("p50") &&
+      a.getAs[Double]("p50") <= a.getAs[Double]("p75"))
+    assert(a.getAs[Double]("minv") <= a.getAs[Double]("p25") &&
+      a.getAs[Double]("p95") <= a.getAs[Double]("maxv"))
+    // both forms: ONE aggregate over the input — no per-column scans
+    val plan = Profiler.quantileProfile(df, Seq("x")).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Union"), plan.take(400))
+  }
+
   test("decontaminate: shared n-grams flagged, clean docs pass, eval broadcast") {
     import spark.implicits._
     import graft.ops.TextAnalysis

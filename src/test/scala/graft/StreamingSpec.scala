@@ -291,6 +291,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift monitor sink: quiet batch stays quiet, shifted batch alarms") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val reports = scala.collection.mutable.ArrayBuffer[(Long, Double, Boolean, Long)]()
+    val sink = EventStreams.driftMonitorSink(ref, "v", lo = 0, hi = 100,
+      bins = 10, threshold = 0.25,
+      onReport = df => reports ++= df.collect().map(r => (r.getLong(0),
+        r.getAs[Double]("psi"), r.getAs[Boolean]("alarm"), r.getAs[Long]("n_cur"))))
+    val in = MemoryStream[(Long, Double)]
+    val q = in.toDF().toDF("id", "v").writeStream
+      .foreachBatch(sink).outputMode("append").start()
+    try {
+      in.addData((0 until 100).map(i => (1000L + i, i.toDouble)): _*) // same shape
+      q.processAllAvailable()
+      in.addData((0 until 100).map(i => (2000L + i, 5.0)): _*) // all in bin 0
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(reports.length == 2, s"got $reports")
+    val (_, psi1, alarm1, n1) = reports(0)
+    val (_, psi2, alarm2, n2) = reports(1)
+    assert(n1 == 100L && n2 == 100L)
+    assert(psi1 == 0.0 && !alarm1, s"uniform batch drifted: $psi1")
+    assert(alarm2 && psi2 > 1.0, s"collapsed batch must alarm hard: $psi2")
+  }
+
   test("semantic dedup sink: cell state survives micro-batches and restarts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
