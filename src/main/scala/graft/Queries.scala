@@ -1734,6 +1734,27 @@ object Queries {
         |  ROUND(SUM(contrib) OVER (), 6) AS psi
         |FROM w ORDER BY bin""".stripMargin)),
 
+    // ---- Vocabulary build + dictionary encode (TextAnalysis.vocabEncode):
+    // top-500 vocab by (freq DESC, token ASC), ids 1..500, OOV → 0,
+    // per-doc token-id sequence reassembled in position order. ----
+    QDef("text_vocab_encode",
+      (s, d) => TextAnalysis.vocabEncode(documents(s, d), v = 500)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS tok,
+        |    unnest([i FOR i IN generate_series(1, len(t))]) AS pos FROM toks),
+        |vf AS (SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok),
+        |vocab AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC,
+        |    tok ASC) AS INT) AS tok_id
+        |  FROM vf ORDER BY freq DESC, tok ASC LIMIT 500),
+        |enc AS (SELECT t.doc_id, t.pos, COALESCE(v.tok_id, 0) AS id
+        |  FROM tok t LEFT JOIN vocab v USING (tok))
+        |SELECT doc_id, COUNT(*) AS n_toks,
+        |  CAST(COUNT(*) FILTER (id = 0) AS BIGINT) AS n_oov,
+        |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ' ') AS ids_str
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- Q52: exact quantile profile (Profiler.quantileProfile) — one
     // scan, quantile_cont interpolation in both engines. q52b is the
     // bounded-memory approx_percentile form (q38b sanity pattern). ----

@@ -370,4 +370,40 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "stop_ratio", "punct_ratio",
         "avg_token_len", "q_score", "keep")
   }
+
+  /** Vocabulary build + dictionary encoding — the token-id export step
+    * of a training pipeline. Vocab = top `v` tokens by (freq DESC, token
+    * ASC), ids 1..v in that order; out-of-vocabulary tokens encode to 0.
+    *
+    * Scale shape: token frequencies partial-aggregate before one shuffle;
+    * the top-v cut is TakeOrderedAndProject (per-partition heaps, only
+    * v rows survive each partition); the id-assignment window runs over
+    * the v-row result — O(vocab), never O(corpus). Encoding is a
+    * broadcast left join of the exploded tokens against the vocab and a
+    * per-doc fold back into position order (collect_list of (pos, id)
+    * sorted — partition-order independent).
+    *
+    * Output: (doc_id, n_toks, n_oov, ids_str) — ids space-joined as a
+    * string so the row is engine-comparable. */
+  def vocabEncode(documents: DataFrame, v: Int = 500,
+      textCol: String = "text"): DataFrame = {
+    val docs = documents.select(col("doc_id"),
+      toks(lower(col(textCol))).as("t")) // materialized: HOF no-CSE trap
+    val tok = docs.select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc).limit(v)
+      .withColumn("tok_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("freq").desc, col("tok").asc)))
+      .select("tok", "tok_id")
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("tok_id"), lit(0)).as("id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        count_if(col("id") === 0).as("n_oov"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          e => e.getField("id").cast("string")), " ").as("ids_str"))
+  }
 }

@@ -96,6 +96,20 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a("o_orderkey")._3 == a("o_orderkey")._1) // key is unique
   }
 
+  test("vocab encode: frequency-ranked ids, OOV to 0, position order kept") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Seq(
+      (1L, "b a b c b a"), // b×3 a×2 c×1
+      (2L, "a z b")        // z is OOV at v=3? no — z freq 1 ties c
+    ).toDF("doc_id", "text")
+    // v=2: vocab = b(1), a(2); c and z are OOV
+    val out = TextAnalysis.vocabEncode(docs, v = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((6L, 1L, "1 2 1 0 1 2")), out(1L))
+    assert(out(2L) == ((3L, 1L, "2 0 1")), out(2L))
+  }
+
   test("quantile profile: hand-checked interpolation; approx sane and one-scan") {
     import spark.implicits._
     import graft.ops.Profiler
