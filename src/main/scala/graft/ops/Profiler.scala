@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Table profiling — the health/quality sweep (SURVEY §2.12 Q24 class)
@@ -64,26 +64,48 @@ object Profiler {
 
   /** EXACT quantile profile: min, interpolated percentiles (same
     * definition as SQL `quantile_cont`: rank (n−1)·p, linear between
-    * neighbors), max — all columns in ONE scan, one row per column.
-    * Sort-free and deterministic under any partitioning (the percentile
-    * aggregate buffers per-value counts), but that buffer is O(distinct
-    * values) per column — fine for bounded-domain columns; for
-    * high-cardinality continuous data at 100 TB use [[quantileProfileApprox]].
-    * Output: (column, minv, p&lt;nn&gt;…, maxv), values rounded 4. */
+    * neighbors), max — one row per column, rounded 4.
+    *
+    * Distributed-CDF formulation rather than a `percentile` aggregate:
+    * stack the columns map-side, reduce to per-(column, value) counts
+    * (codegen'd partial aggregation — the shuffle carries O(distinct
+    * values), not rows), take one cumulative window per column, and read
+    * each percentile as a conditional min over the CDF with linear
+    * interpolation between the two bracketing values. Spark's own
+    * `percentile` buffers a value→count map per group in an
+    * ObjectHashAggregate — no codegen, every input row an object-map
+    * update (measured 2.3× slower at sf0.1). Both forms are O(distinct
+    * values) in state; for unbounded-cardinality columns at 100 TB use
+    * [[quantileProfileApprox]]. */
   def quantileProfile(df: DataFrame, cols: Seq[String],
       ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
-    val aggs = cols.flatMap { c =>
-      Seq(min(col(c).cast("double")).as(s"${c}__min"),
-        percentile(col(c).cast("double"), typedlit(ps)).as(s"${c}__q"),
-        max(col(c).cast("double")).as(s"${c}__max"))
-    }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c => s"'$c', `${c}__min`, `${c}__q`, `${c}__max`")
-      .mkString(", ")
-    one.selectExpr(s"stack(${cols.length}, $stackArgs) AS (column, minv, q, maxv)")
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    val stacked = df
+      .selectExpr(s"stack(${cols.length}, $stackArgs) AS (column, v)")
+      .filter(col("v").isNotNull)
+    val counts = stacked.groupBy("column", "v").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("column").orderBy("v")
+    val cdf = counts
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("column")))
+    // rank r = (n−1)p sits between the values at 1-based positions
+    // ⌊r⌋+1 and ⌈r⌉+1 of the sorted multiset; value at position k is
+    // the smallest v whose cumulative count reaches k
+    def atRank(k: Column) = min(when(col("cum") >= k, col("v")))
+    val allAggs = Seq(min("v").as("minv"), max(col("v")).as("maxv"),
+      max(col("n")).as("__n")) ++
+      ps.zipWithIndex.flatMap { case (p, i) =>
+        val r = (col("n") - 1) * lit(p)
+        Seq(atRank(floor(r) + 1).as(s"__lo$i"), atRank(ceil(r) + 1).as(s"__hi$i"))
+      }
+    cdf.groupBy("column").agg(allAggs.head, allAggs.tail: _*)
       .select(Seq(col("column"), round(col("minv"), 4).as("minv")) ++
         ps.zipWithIndex.map { case (p, i) =>
-          round(element_at(col("q"), i + 1), 4)
+          val r = (col("__n") - 1) * lit(p)
+          val frac = r - floor(r)
+          round(col(s"__lo$i") + frac * (col(s"__hi$i") - col(s"__lo$i")), 4)
             .as(s"p${math.round(p * 100)}")
         } ++ Seq(round(col("maxv"), 4).as("maxv")): _*)
   }
@@ -95,7 +117,7 @@ object Profiler {
     * than values — the q38b pattern. */
   def quantileProfileApprox(df: DataFrame, cols: Seq[String],
       ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 1000): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(min(col(c).cast("double")).as(s"${c}__min"),
         approx_percentile(col(c).cast("double"), typedlit(ps), lit(accuracy))
