@@ -1468,6 +1468,62 @@ object Queries {
         |  COALESCE(sh.n_shared, 0) > 0 AS contaminated
         |FROM tr LEFT JOIN sh USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // ---- Perplexity-proxy scoring: add-1 bigram LM trained on the
+    // corpus, mean ln p per doc folded in position order (both engines
+    // fold the same sequence; a plain AVG would be partition-order
+    // dependent in the last bits). ----
+    QDef("text_bigram_lm",
+      (s, d) => TextAnalysis.bigramLmScore(documents(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |big AS (SELECT doc_id,
+        |    unnest([i FOR i IN generate_series(1, len(t)-1)]) AS pos,
+        |    unnest([t[i] FOR i IN generate_series(1, len(t)-1)]) AS w1,
+        |    unnest([t[i+1] FOR i IN generate_series(1, len(t)-1)]) AS w2
+        |  FROM toks WHERE len(t) >= 2),
+        |bg AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY w1, w2),
+        |cx AS (SELECT w1, SUM(cb) AS cw FROM bg GROUP BY w1),
+        |vv AS (SELECT COUNT(DISTINCT w) AS v FROM
+        |  (SELECT unnest(t) AS w FROM toks)),
+        |sc AS (SELECT b.doc_id, b.pos,
+        |    ln((bg.cb + 1.0) / (cx.cw + 1.0 * vv.v)) AS lnp
+        |  FROM big b JOIN bg USING (w1, w2) JOIN cx USING (w1) CROSS JOIN vv)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(list_reduce(list(lnp ORDER BY pos), (acc, x) -> acc + x)
+        |    / COUNT(*), 4) AS avg_lnp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- Semantic decontamination (Similarity.semanticDecon): the
+    // embedding-space leakage gate — eval split broadcast, train scanned
+    // once, exact max-cosine per train vector (a contamination gate must
+    // not have false negatives). ----
+    QDef("decon_semantic",
+      (s, d) => {
+        val e = embeddings(s, d)
+        Similarity.semanticDecon(
+            e.filter(col("vec_id") % 20 =!= 0),
+            e.filter(col("vec_id") % 20 === 0), tau = 0.5)
+          .orderBy("vec_id")
+      },
+      Some("""WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |t AS (SELECT * FROM a WHERE vec_id % 20 <> 0),
+        |e AS (SELECT vec_id AS e_id, emb AS e_emb FROM a WHERE vec_id % 20 = 0),
+        |s AS (SELECT t.vec_id, e.e_id,
+        |    ROUND(list_dot_product(t.emb, e.e_emb) /
+        |      (sqrt(list_dot_product(t.emb, t.emb))
+        |        * sqrt(list_dot_product(e.e_emb, e.e_emb))), 4) AS sim,
+        |    ROW_NUMBER() OVER (PARTITION BY t.vec_id
+        |      ORDER BY ROUND(list_dot_product(t.emb, e.e_emb) /
+        |        (sqrt(list_dot_product(t.emb, t.emb))
+        |          * sqrt(list_dot_product(e.e_emb, e.e_emb))), 4) DESC,
+        |      e.e_id ASC) AS rn
+        |  FROM t CROSS JOIN e)
+        |SELECT vec_id, e_id AS near_eval_id, sim AS max_sim,
+        |  sim >= 0.5 AS contaminated
+        |FROM s WHERE rn = 1 ORDER BY vec_id""".stripMargin)),
+
     // ---- Gopher-class repetition signals: unique-word fraction + top
     // 2-gram share per doc. ----
     QDef("text_repetition",

@@ -342,4 +342,28 @@ object Similarity {
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("dup_of"), col("dup_of").isNull.as("kept"))
   }
+
+  /** Semantic decontamination: flag every TRAIN vector whose cosine to
+    * any EVAL vector reaches `tau` — the embedding-space form of the
+    * n-gram gate ([[TextAnalysis.decontaminate]]), catching paraphrased
+    * benchmark leakage that shares no 5-gram. EXACT by construction
+    * (brute force against the eval set, no blocking): a contamination
+    * gate must not have false negatives, and eval benchmarks are tiny —
+    * so the scale shape is the right one anyway: eval broadcast, corpus
+    * scanned once map-side, per-train top-1 through [[graft.plans.GroupedTopK]]
+    * (k rows per partition pre-shuffle). Output per train vector:
+    * (vec_id, near_eval_id, max_sim, contaminated). */
+  def semanticDecon(train: DataFrame, evalSet: DataFrame,
+      tau: Double = 0.5): DataFrame = {
+    val t = train.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val e = evalSet.select(col("vec_id").as("e_id"),
+      asDouble(col("embedding")).as("e_emb"))
+    val scored = t.crossJoin(broadcast(e))
+      .select(col("vec_id"), col("e_id"),
+        round(cosine(col("emb"), col("e_emb")), 4).as("sim"))
+    graft.plans.GroupedTopK.perKey(scored, "vec_id",
+        Seq("sim" -> false, "e_id" -> true), 1)
+      .select(col("vec_id"), col("e_id").as("near_eval_id"),
+        col("sim").as("max_sim"), (col("sim") >= tau).as("contaminated"))
+  }
 }

@@ -371,6 +371,55 @@ object TextAnalysis {
         "avg_token_len", "q_score", "keep")
   }
 
+  /** Perplexity-proxy quality scoring with a corpus-trained bigram LM —
+    * the KenLM-filter shape of a training pipeline (score every document
+    * by how "expected" its text is under a reference corpus; outliers at
+    * either end are boilerplate or garbage).
+    *
+    * Model: add-`smooth` smoothed bigram probabilities
+    * p(w₂|w₁) = (c(w₁w₂) + s) / (c(w₁) + s·V), trained on `lmCorpus`
+    * (defaults to the scored corpus itself). Score = mean ln p over the
+    * document's bigrams, folded in POSITION order (collect_list sorted —
+    * the scored bigrams scatter across partitions in the LM join, and a
+    * plain avg() would make the last bits partition-dependent).
+    *
+    * Scale shape: bigram and context counts partial-aggregate before
+    * their shuffles; scoring is one equi-join on the bigram key (both
+    * sides shuffle-partitioned by it) and one per-doc fold bounded by
+    * document length. V (distinct tokens) is the only driver scalar.
+    * Output: (doc_id, n_bigrams, avg_lnp) for docs with ≥ 2 tokens. */
+  def bigramLmScore(documents: DataFrame, smooth: Double = 1.0,
+      textCol: String = "text", lmCorpus: DataFrame = null): DataFrame = {
+    def tokDf(df: DataFrame) = df.select(col("doc_id"),
+      toks(lower(col(textCol))).as("t")) // materialized: HOF no-CSE trap
+    def bigrams(df: DataFrame) = tokDf(df).filter(size(col("t")) >= 2)
+      .select(col("doc_id"), posexplode(
+        zip_with(slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as(Seq("pos", "bg")))
+      .select(col("doc_id"), col("pos"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val train = Option(lmCorpus).getOrElse(documents)
+    val bgCounts = bigrams(train).groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cb"))
+    val ctx = bgCounts.groupBy("w1").agg(sum("cb").as("cw"))
+    val vDf = tokDf(train).select(explode(col("t")).as("w"))
+      .agg(countDistinct("w").as("v"))
+    val lm = bgCounts.join(ctx, "w1")
+    bigrams(documents)
+      .join(lm, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(vDf))
+      .select(col("doc_id"), col("pos"),
+        log((coalesce(col("cb"), lit(0L)) + lit(smooth)) /
+          (coalesce(col("cw"), lit(0L)) + lit(smooth) * col("v"))).as("lnp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("lnp")))),
+            e => e.getField("lnp")),
+          lit(0.0), (a, x) => a + x) / count(lit(1)), 4).as("avg_lnp"))
+  }
+
   /** Vocabulary build + dictionary encoding — the token-id export step
     * of a training pipeline. Vocab = top `v` tokens by (freq DESC, token
     * ASC), ids 1..v in that order; out-of-vocabulary tokens encode to 0.

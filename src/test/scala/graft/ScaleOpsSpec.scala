@@ -96,6 +96,41 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a("o_orderkey")._3 == a("o_orderkey")._1) // key is unique
   }
 
+  test("bigram LM: hand-computed smoothed probabilities; short docs excluded") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    // corpus bigrams: (a,b)×3, (b,a)×1 → c(a)=3, c(b)=1, V=3 (a,b,x)
+    val pba = (3.0 + 1) / (3 + 3) // p(b|a) add-1, V=3
+    val pab = (1.0 + 1) / (1 + 3)
+    val out = TextAnalysis.bigramLmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, r4((0.0 + math.log(pba) + math.log(pab) + math.log(pba)) / 3))))
+    assert(out(2L) == ((1L, r4(math.log(pba)))))
+    assert(!out.contains(3L)) // single-token doc has no bigrams
+  }
+
+  test("semantic decon: exact nearest eval, threshold flag, eval broadcast") {
+    import spark.implicits._
+    import graft.ops.Similarity
+    val train = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(0.7, 0.7))
+    ).toDF("vec_id", "embedding")
+    val ev = Seq((100L, Seq(1.0, 0.05)), (101L, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecon(train, ev, tau = 0.9).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(out(1L)._1 == 100L && out(1L)._3) // near-copy of eval 100
+    assert(out(2L)._1 == 100L && !out(2L)._3) // orthogonal-ish, below tau
+    assert(out(3L)._1 == 100L && !out(3L)._3)
+    val plan = Similarity.semanticDecon(train, ev).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("PartialTopK"),
+      plan.take(500))
+  }
+
   test("vocab encode: frequency-ranked ids, OOV to 0, position order kept") {
     import spark.implicits._
     import graft.ops.TextAnalysis
