@@ -52,6 +52,34 @@ object Queries {
     "This is one of the proper sentences in the cafe\u0301 set and it has enough words here."
   private val funnelSentB = "x. y... z!!! w, v, u, t?"
 
+  /** DuckDB oracle for `graph_pagerank`: the same fixed power iteration
+    * unrolled as chained CTEs, one per step, with the identical
+    * ROUND(…, 6) at every step — see [[graft.ops.Graph.pageRank]]'s
+    * determinism contract. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val head = """WITH e AS (SELECT DISTINCT
+      |    'c' || CAST(o_custkey AS VARCHAR) AS src,
+      |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |und AS (SELECT DISTINCT src, dst FROM (
+      |    SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+      |  WHERE src <> dst),
+      |degs AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src),
+      |tot AS (SELECT COUNT(*) AS nn FROM degs),
+      |r0 AS (SELECT d.node, d.deg, ROUND(1.0 / t.nn, 6) AS rank
+      |  FROM degs d CROSS JOIN tot t)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s""",
+         |r$i AS (SELECT d.node, d.deg,
+         |    ROUND((1.0 - 0.85) / t.nn + 0.85 * COALESCE(s.s, 0.0), 6) AS rank
+         |  FROM degs d CROSS JOIN tot t LEFT JOIN (
+         |    SELECT u.dst AS node, SUM(r.rank / r.deg) AS s
+         |    FROM und u JOIN r${i - 1} r ON u.src = r.node GROUP BY u.dst) s
+         |  ON d.node = s.node)""".stripMargin
+    }.mkString
+    head + steps + s"\nSELECT node, deg, rank FROM r$iters ORDER BY node"
+  }
+
   import Tables._
 
   val all: Seq[QDef] = Seq(
@@ -1467,6 +1495,22 @@ object Queries {
         |  CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
         |  COALESCE(sh.n_shared, 0) > 0 AS contaminated
         |FROM tr LEFT JOIN sh USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
+    // ---- PageRank (ops/Graph): power iteration at fixed depth over the
+    // undirected customer–supplier graph, ranks rounded 6 each iteration
+    // so the shuffle-order float noise (~1e-15) never crosses engines or
+    // partitionings. The oracle unrolls the same 5 iterations as chained
+    // CTEs built by pageRankOracleSql — identical arithmetic per step. ----
+    QDef("graph_pagerank",
+      (s, d) => {
+        val e = lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .distinct()
+        graft.ops.Graph.pageRank(e, "src", "dst", iters = 5).orderBy("node")
+      },
+      Some(pageRankOracleSql(5))),
 
     // ---- Perplexity-proxy scoring: add-1 bigram LM trained on the
     // corpus, mean ln p per doc folded in position order (both engines

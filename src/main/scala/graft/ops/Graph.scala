@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph compute over edge DataFrames — the family next to
+  * [[Dedup.connectedComponents]] (pointer-doubling): PageRank by power
+  * iteration with a FIXED iteration count.
+  *
+  * Determinism contract: every iteration's ranks are rounded to 6
+  * decimals before feeding the next one. The per-node contribution sum
+  * is a shuffle aggregation whose float addition order is
+  * partition-dependent (~1e-15 relative noise); rounding far above the
+  * noise floor resets the drift each iteration, so the fixpoint is
+  * bit-identical across partitionings AND engines — the same
+  * round-before-compare policy the consensus pipeline uses.
+  *
+  * Scale shape: the edge list is symmetrized and deduped once (one
+  * shuffle); each iteration is one join of edges against the previous
+  * O(nodes) rank frame (both sides partitioned by the join key) and one
+  * partial-aggregated shuffle of contributions — nothing iterates on the
+  * driver except the loop counter, and no action runs until the caller
+  * materializes (the q51 lesson: per-iteration driver actions are the
+  * scale-killer, lazy chaining is fine at fixed depth).
+  */
+object Graph {
+
+  /** PageRank over the UNDIRECTED graph induced by `edges` (symmetrized,
+    * self-loops dropped, duplicate edges collapsed). Every node in the
+    * edge list has degree ≥ 1, so there are no dangling nodes and the
+    * simple update rank = (1−d)/n + d·Σ rank(nb)/deg(nb) conserves mass.
+    * Output: (node, deg, rank) with rank rounded 6. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val degs = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+    val n = degs.count() // driver scalar, the only action before the end
+    val base = (lit(1.0) - lit(damping)) / lit(n.toDouble)
+    var ranks = degs.withColumn("rank", round(lit(1.0) / lit(n.toDouble), 6))
+    for (_ <- 1 to iters) {
+      val sums = und
+        .join(ranks, und("src") === ranks("node"))
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy("dst").agg(sum("c").as("s"))
+      ranks = degs
+        .join(sums, degs("node") === sums("dst"), "left")
+        .select(col("node"), col("deg"),
+          round(base + lit(damping) * coalesce(col("s"), lit(0.0)), 6)
+            .as("rank"))
+    }
+    ranks
+  }
+}

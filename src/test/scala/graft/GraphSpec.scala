@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** PageRank: structure sanity on a star graph, mass conservation, and
+  * partitioning-independence of the rounded fixpoint. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("star graph: hub outranks leaves; mass conserved; symmetric leaves tie") {
+    val edges = (1 to 6).map(i => ("hub", s"leaf$i")).toDF("src", "dst")
+    val out = Graph.pageRank(edges, "src", "dst", iters = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("hub")._1 == 6)
+    val leafRanks = (1 to 6).map(i => out(s"leaf$i")._2)
+    assert(leafRanks.distinct.size == 1, "symmetric leaves must tie exactly")
+    assert(out("hub")._2 > 3 * leafRanks.head)
+    val mass = out.values.map(_._2).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"rank mass drifted: $mass")
+  }
+
+  test("rounded fixpoint is identical under different partitionings") {
+    val edges = (0 until 200).map { i =>
+      (s"n${i % 37}", s"n${(i * 7 + 3) % 37}")
+    }.toDF("src", "dst")
+    def run(parts: Int) =
+      Graph.pageRank(edges.repartition(parts), "src", "dst", iters = 5)
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(run(1) == run(13), "ranks must not depend on partitioning")
+  }
+
+  test("duplicate and self edges collapse before degrees are counted") {
+    val edges = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"))
+      .toDF("src", "dst")
+    val out = Graph.pageRank(edges, "src", "dst", iters = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 1L, "b" -> 2L, "c" -> 1L), out)
+  }
+}
