@@ -1496,6 +1496,21 @@ object Queries {
         |  COALESCE(sh.n_shared, 0) > 0 AS contaminated
         |FROM tr LEFT JOIN sh USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // ---- Deterministic k-per-group sample (Sampling.perGroupSample):
+    // reservoir shape, md5 in place of randomness, exact k per group,
+    // GroupedTopK pre-shuffle pruning. ----
+    QDef("sample_per_group",
+      (s, d) => Sampling.perGroupSample(
+          documents(s, d).select("doc_id", "lang"), "lang", "doc_id", k = 5)
+        .select("lang", "doc_id", "h")
+        .orderBy("lang", "h"),
+      Some("""SELECT lang, doc_id, h FROM (
+        |  SELECT lang, doc_id, md5('pg:' || CAST(doc_id AS VARCHAR)) AS h,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5('pg:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY lang, h""".stripMargin)),
+
     // ---- PageRank (ops/Graph): power iteration at fixed depth over the
     // undirected customer–supplier graph, ranks rounded 6 each iteration
     // so the shuffle-order float noise (~1e-15) never crosses engines or

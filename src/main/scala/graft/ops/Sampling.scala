@@ -41,6 +41,23 @@ object Sampling {
       concat_ws("|", col(stratumCol).cast("string"), col(key).cast("string")),
       salt) < pct)
 
+  /** Deterministic k-per-group sample: the reservoir-sample shape with a
+    * hash in place of randomness — rows ranked inside each group by the
+    * md5 of their key (salted), lowest k win. Same replayable-sampling
+    * policy as [[hashSplit]]/[[stratifiedSample]], but with an EXACT
+    * per-group count instead of an expected rate. Runs through
+    * [[graft.plans.GroupedTopK]]: ≤ k rows per group survive each
+    * partition before the one shuffle — never a full sort, never a
+    * global window. Output: original columns + `h` (the rank hash, kept
+    * so the draw is auditable/reproducible). */
+  def perGroupSample(df: DataFrame, groupCol: String, key: String, k: Int,
+      salt: String = "pg"): DataFrame = {
+    val hashed = df.withColumn("h",
+      md5(concat(lit(salt + ":"), col(key).cast("string"))))
+    graft.plans.GroupedTopK.perKey(hashed, groupCol,
+      Seq("h" -> true, key -> true), k)
+  }
+
   /** Pack documents into training sequences by start offset: a doc joins
     * the sequence its running-sum start position falls in, so every
     * sequence holds < `budgetTokens` tokens of complete docs plus at most

@@ -69,4 +69,22 @@ class SamplingSpec extends SparkSpec {
       assert(seqs == (0L until seqs.length.toLong).toList)
     }
   }
+
+  test("per-group sample: exact k, deterministic, partition-invariant, pruned plan") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val df = (0 until 300).map(i => (i.toLong, s"g${i % 3}")).toDF("id", "g")
+    def draw(parts: Int) = Sampling.perGroupSample(
+        df.repartition(parts), "g", "id", k = 7)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val a = draw(2)
+    assert(a == draw(11), "sample must not depend on partitioning")
+    assert(a.groupBy(_._1).forall(_._2.size == 7), "exactly k per group")
+    // small groups yield the whole group, not an error
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("id", "g")
+    assert(Sampling.perGroupSample(tiny, "g", "id", k = 5).count() == 2)
+    val plan = Sampling.perGroupSample(df, "g", "id", k = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartialTopK"), plan.take(400))
+  }
 }
