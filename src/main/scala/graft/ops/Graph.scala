@@ -32,14 +32,20 @@ object Graph {
     * Output: (node, deg, rank) with rank rounded 6. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    // materialized once: every iteration joins against these, and the
+    // lazy lineage would re-derive the upstream edge join per iteration
+    // (the op is already eager — n below is an action — so this adds no
+    // extra job, it just pins the frame the loop reuses)
     val und = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      .localCheckpoint()
     val degs = und.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
-    val n = degs.count() // driver scalar, the only action before the end
+      .localCheckpoint()
+    val n = degs.count() // driver scalar
     val base = (lit(1.0) - lit(damping)) / lit(n.toDouble)
     var ranks = degs.withColumn("rank", round(lit(1.0) / lit(n.toDouble), 6))
     for (_ <- 1 to iters) {
