@@ -21,6 +21,23 @@ from pathlib import Path
 import duckdb
 
 sf_dir, sql_path, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
+
+# Quiet-host gate, same policy as graft.Bench: REFUSE to record times on
+# a loaded host (a load-20 spike once inflated a committed times file by
+# 35% and every downstream vs_oracle ratio with it). Wait bounded, then
+# abort WITHOUT writing rather than record garbage.
+MAX_LOAD = float(os.environ.get("ORACLE_BENCH_MAX_LOAD", "2.5"))
+MAX_WAIT = int(os.environ.get("ORACLE_BENCH_LOAD_WAIT_SEC", "600"))
+waited = 0
+while os.getloadavg()[0] > MAX_LOAD and waited < MAX_WAIT:
+    print(f"[oracle_bench] load {os.getloadavg()[0]:.2f} > {MAX_LOAD} — "
+          f"waiting ({waited}/{MAX_WAIT}s)", file=sys.stderr)
+    time.sleep(15)
+    waited += 15
+if os.getloadavg()[0] > MAX_LOAD:
+    sys.exit(f"[oracle_bench] host still loaded after {MAX_WAIT}s — "
+             "refusing to record a contaminated times file")
+
 con = duckdb.connect()
 con.execute(f"SET threads TO {os.cpu_count()}")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -36,6 +53,11 @@ for name, sql in sorted(oracle.items()):
         con.execute(sql).fetchall()
         runs.append(time.perf_counter() - t0)
     times[name] = round(min(runs), 6)
+
+# a spike can also land MID-run (it did): check again before writing
+if os.getloadavg()[0] > MAX_LOAD:
+    sys.exit(f"[oracle_bench] load rose to {os.getloadavg()[0]:.2f} during "
+             "the run — times are suspect, refusing to write")
 
 out = {
     "_meta": {

@@ -1496,6 +1496,34 @@ object Queries {
         |  COALESCE(sh.n_shared, 0) > 0 AS contaminated
         |FROM tr LEFT JOIN sh USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // ---- Q53: PIVOT — revenue by order year × market segment, one
+    // scan + one agg (Spark pivot with EXPLICIT values so no extra
+    // distinct-discovery job runs; decimal-exact sums → rounded double,
+    // the decSum2 canonicalization). ----
+    QDef("q53_pivot",
+      (s, d) => {
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+          "MACHINERY")
+        orders(s, d)
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .select(year(col("o_orderdate")).cast("long").as("yr"),
+            col("c_mktsegment"), col("o_totalprice"))
+          .groupBy("yr").pivot("c_mktsegment", segs)
+          .agg(round(sum(dec(col("o_totalprice"))), 2).cast("double"))
+          .orderBy("yr")
+      },
+      Some {
+        val segCols = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+          "MACHINERY").map(seg =>
+          s"""CAST(ROUND(SUM(CASE WHEN c_mktsegment = '$seg' THEN
+             |    CAST(o_totalprice AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+             |    AS "$seg"""".stripMargin).mkString(",\n")
+        s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           |$segCols
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY yr ORDER BY yr""".stripMargin
+      }),
+
     // ---- Deterministic k-per-group sample (Sampling.perGroupSample):
     // reservoir shape, md5 in place of randomness, exact k per group,
     // GroupedTopK pre-shuffle pruning. ----

@@ -186,6 +186,32 @@ object EventStreams {
       onAccepted(accepted)
     }
 
+  /** Trending terms over a document stream: tumbling-window token
+    * counts, watermarked so window state closes and drops. Emits one
+    * (w_start, term, n) row per term per CLOSED window (append mode);
+    * rank inside [[trendingSink]] — a second stateful rank in the same
+    * stream would stack aggregations, and closed windows are exactly the
+    * batch granularity foreachBatch hands us anyway. Per-window state is
+    * O(active vocab); at 100 TB cap the explode with a length filter or
+    * swap the exact count for a sketch before the shuffle. */
+  def trendingTerms(docs: DataFrame, textCol: String = "text",
+      window_ : String = "1 hour", lateness: String = "30 minutes"): DataFrame =
+    docs.withWatermark("ts", lateness)
+      .select(col("ts"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+      .groupBy(window(col("ts"), window_), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("term"), col("n"))
+
+  /** Per-window top-k over [[trendingTerms]] output, as a foreachBatch
+    * sink: each closed window's counts arrive complete in one batch;
+    * [[graft.plans.GroupedTopK]] prunes to k per window pre-shuffle. */
+  def trendingSink(k: Int, onTop: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, _) =>
+      if (!batch.isEmpty)
+        onTop(graft.plans.GroupedTopK.perKeys(batch, Seq("w_start"),
+          Seq("n" -> false, "term" -> true), k))
+
   /** Streaming distribution-drift monitor: PSI of each micro-batch
     * against a FROZEN reference histogram ([[graft.ops.Drift]] — the
     * batch-side gate, streamed). The reference collapses to O(bins)

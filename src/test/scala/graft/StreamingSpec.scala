@@ -291,6 +291,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trending terms: per closed window top-k, late state dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tops = scala.collection.mutable.ArrayBuffer[(Timestamp, String, Long)]()
+    val in = MemoryStream[Doc]
+    val q = EventStreams.trendingTerms(in.toDF(), window_ = "1 hour",
+        lateness = "10 minutes")
+      .writeStream.outputMode("append")
+      .foreachBatch(EventStreams.trendingSink(2, df =>
+        tops ++= df.collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2)))))
+      .start()
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    try {
+      in.addData(
+        Doc(ts(10, 5), 1L, "spark spark flink"),
+        Doc(ts(10, 20), 2L, "spark duck duck duck"))
+      q.processAllAvailable()
+      assert(tops.isEmpty, "window must not emit before the watermark passes")
+      // event far past the window closes 10:00–11:00
+      in.addData(Doc(ts(12, 30), 3L, "later later words"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val w10 = tops.filter(_._1 == ts(10, 0)).map(t => (t._2, t._3)).sorted
+    assert(w10 == Seq(("duck", 3L), ("spark", 3L)), s"got $tops")
+  }
+
   test("drift monitor sink: quiet batch stays quiet, shifted batch alarms") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
