@@ -230,4 +230,45 @@ object IncrementalDedup {
       Seq("keeper_id"))
     (accepted.select(col("vec_id"), col("cell")), version)
   }
+
+  /** Right-to-be-forgotten for the EXACT-dedup state ([[ingest]]):
+    * remove the state rows kept by the given doc ids, so re-ingested
+    * identical content is accepted again instead of matching a ghost.
+    * The doomed hashes are resolved with one semi-join over the compact
+    * state (hash + keeper id — never corpus text), then removed
+    * bucket-incrementally ([[StateTable.delete]]). Returns the committed
+    * state version (-1 when there is no state). */
+  def forget(spark: SparkSession, stateRoot: String, ids: DataFrame): Long =
+    StateTable.read(spark, stateRoot) match {
+      case None => -1L
+      case Some(state) =>
+        val doomed = state.join(
+            ids.select(col(ids.columns.head).as("keeper_id")), Seq("keeper_id"))
+          .select("h").localCheckpoint()
+        StateTable.delete(spark, stateRoot, doomed, Seq("h"))
+    }
+
+  /** Right-to-be-forgotten for the NEAR-dedup state ([[ingestNear]]):
+    * drops the ids' signatures AND their LSH band rows. Band rows are
+    * resolved from the (healthy or healed) band index by keeper id; the
+    * sigs table commits first, mirroring ingest's commit order — a crash
+    * between the two leaves orphan band rows whose keepers have no
+    * signature, and the candidate path tolerates those (the sig join
+    * drops them) until the next ingest's heal pass rebuilds the index. */
+  def forgetNear(spark: SparkSession, stateRoot: String, ids: DataFrame,
+      perms: Int = 64, bands: Int = 16): Long =
+    StateTable.read(spark, s"$stateRoot/sigs") match {
+      case None => -1L
+      case Some(stateSigs) =>
+        val doomedIds = ids.select(col(ids.columns.head).as("keeper_id"))
+          .distinct().localCheckpoint()
+        val doomedBands = healedBands(spark, stateRoot, stateSigs, perms, bands)
+          .join(doomedIds, Seq("keeper_id"))
+          .select("band", "band_hash", "keeper_id").localCheckpoint()
+        val v = StateTable.delete(spark, s"$stateRoot/sigs", doomedIds,
+          Seq("keeper_id"))
+        StateTable.delete(spark, s"$stateRoot/bands", doomedBands,
+          Seq("band", "band_hash", "keeper_id"))
+        v
+    }
 }

@@ -118,6 +118,61 @@ object StateTable {
     next
   }
 
+  /** Delete by key — the compliance path (right-to-be-forgotten rows
+    * must leave the STATE, not just the corpus, or re-ingested content
+    * keeps matching ghosts). Bucket-incremental like [[upsert]]: only
+    * buckets containing a doomed key are read, anti-joined, and
+    * rewritten; untouched buckets hard-link. Returns the committed
+    * version, or the current one unchanged when there is no state or no
+    * keys. A bucket whose rows are all deleted simply has no dir in the
+    * new version (readers of a fully-emptied table must expect a
+    * dataless snapshot). */
+  def delete(spark: SparkSession, root: String, keys: DataFrame,
+      keyCols: Seq[String], keepVersions: Int = 3): Long = {
+    val cur = latestVersion(root)
+    if (cur.isEmpty) return -1L
+    val v = cur.get
+    val nb = if (Files.exists(bucketsMeta(root)))
+      Files.readString(bucketsMeta(root)).trim.toInt else 16
+    val bucketOf = pmod(hash(keyCols.map(col): _*), lit(nb))
+    val doomed = keys.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+      .withColumn(B, bucketOf)
+    val touched = doomed.select(B).distinct().collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return v
+    val next = v + 1
+    // same flat-legacy escape as upsert: a pre-bucketed snapshot is
+    // migrated with one full rewrite instead of a bucket-path read
+    val flatLegacy = listDir(Paths.get(root, s"v=$v"))(
+      _.exists(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet")))
+    val touchedPaths =
+      if (flatLegacy) Seq(s"$root/v=$v")
+      else touched.toSeq.sorted
+        .map(b => Paths.get(root, s"v=$v", s"$B=$b"))
+        .filter(Files.exists(_)).map(_.toString)
+    val nextDir = Paths.get(root, s"v=$next")
+    if (touchedPaths.nonEmpty) {
+      val prior =
+        if (flatLegacy) spark.read.parquet(touchedPaths.head).drop(B)
+          .withColumn(B, bucketOf)
+        else spark.read.option("basePath", s"$root/v=$v").parquet(touchedPaths: _*)
+      prior.join(doomed.drop(B), keyCols, "left_anti")
+        .repartition(col(B))
+        .write.mode("overwrite").partitionBy(B).parquet(nextDir.toString)
+    } else Files.createDirectories(nextDir)
+    if (!flatLegacy)
+      listDir(Paths.get(root, s"v=$v"))(_
+        .filter(p => p.getFileName.toString.startsWith(s"$B="))
+        .filter(p => !touched.contains(p.getFileName.toString.drop(B.length + 1).toInt))
+        .foreach(src => linkTree(src, nextDir.resolve(src.getFileName.toString))))
+    if (!Files.exists(bucketsMeta(root))) Files.writeString(bucketsMeta(root), nb.toString)
+    val tmp = pointer(root).resolveSibling("_VERSION.tmp")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, pointer(root), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    prune(root, next, keepVersions)
+    next
+  }
+
   /** Hard-link every regular file of a bucket dir into the new version. */
   private def linkTree(src: Path, dst: Path): Unit = {
     Files.createDirectories(dst)

@@ -97,6 +97,48 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(a3.isEmpty)
   }
 
+  test("forget: erased content re-ingests as new; others still dedupe (exact)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-forget").toString
+    IncrementalDedup.ingest(spark, root,
+      docs(1L -> "alpha text", 2L -> "beta text", 3L -> "gamma text"))
+    val v = IncrementalDedup.forget(spark, root, Seq(1L).toDF("doc_id"))
+    assert(v > 0L)
+    // alpha's state row is gone: identical content is accepted again;
+    // beta is untouched and still matches
+    val (a, _) = IncrementalDedup.ingest(spark, root,
+      docs(10L -> "alpha text", 11L -> "beta text"))
+    val kept = a.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(10L), s"forget must erase exactly doc 1's ghost: $kept")
+    // state now keeps the re-ingested copy under its new keeper
+    val keepers = StateTable.read(spark, root).get
+      .select("keeper_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keepers == Seq(2L, 3L, 10L))
+    // forgetting an unknown id is a clean no-op
+    IncrementalDedup.forget(spark, root, Seq(999L).toDF("doc_id"))
+    assert(StateTable.read(spark, root).get.count() == 3)
+  }
+
+  test("forgetNear: signatures AND band rows go; near-dups re-accept") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-forgetnear").toString
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val distinct1 = (1 to 40).map(i => s"other$i").mkString(" ")
+    IncrementalDedup.ingestNear(spark, root, docs(1L -> base, 2L -> distinct1))
+    IncrementalDedup.forgetNear(spark, root, Seq(1L).toDF("doc_id"))
+    // no band row may still reference keeper 1 (a sig-only delete would
+    // leave ghost candidates)
+    val bandKeepers = StateTable.read(spark, s"$root/bands").get
+      .select("keeper_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!bandKeepers.contains(1L), s"band ghosts survived: $bandKeepers")
+    // a near-dup of the forgotten doc is accepted; dup of kept doc drops
+    val nearBase = ("FIRST" +: (2 to 40).map(i => s"tok$i")).mkString(" ")
+    val (a, _) = IncrementalDedup.ingestNear(spark, root,
+      docs(10L -> nearBase, 11L -> distinct1))
+    val kept = a.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(10L), s"got $kept")
+  }
+
   test("near-dedup heals a band index left behind by a crash") {
     val root = java.nio.file.Files.createTempDirectory("graft-incnear-heal").toString
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")

@@ -85,6 +85,32 @@ class StateTableSpec extends SparkSpec {
     assert(got(0L) == 999L && got(1L) == 1L && got.size == 64)
   }
 
+  test("delete removes keyed rows bucket-incrementally; untouched buckets link") {
+    import spark.implicits._
+    val root = tmp()
+    StateTable.upsert(spark, root,
+      (0L until 64L).map(i => (i, s"f$i", i)).toDF("sorteo", "fecha", "monto"),
+      Seq("sorteo", "fecha"), numBuckets = 4)
+    val before = bucketFiles(Paths.get(root, "v=0"))
+    val v = StateTable.delete(spark, root,
+      Seq((0L, "f0"), (1L, "f1")).toDF("sorteo", "fecha"),
+      Seq("sorteo", "fecha"))
+    assert(v == 1L)
+    val got = StateTable.read(spark, root).get
+      .collect().map(_.getLong(0)).toSet
+    assert(got.size == 62 && !got.contains(0L) && !got.contains(1L))
+    val after = bucketFiles(Paths.get(root, "v=1"))
+    val identical = before.keySet.count(b => after.get(b).contains(before(b)))
+    assert(identical >= 2, s"untouched buckets must carry over unchanged: $identical")
+    // deleting nothing known: version advances, content intact
+    StateTable.delete(spark, root, Seq((999L, "zz")).toDF("sorteo", "fecha"),
+      Seq("sorteo", "fecha"))
+    assert(StateTable.read(spark, root).get.count() == 62)
+    // delete on an empty root is a -1 no-op
+    assert(StateTable.delete(spark, tmp(),
+      Seq((1L, "a")).toDF("sorteo", "fecha"), Seq("sorteo", "fecha")) == -1L)
+  }
+
   /** bucket dir name -> (file name -> content hash), data files only. */
   private def bucketFiles(versionDir: java.nio.file.Path): Map[String, Map[String, String]] = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
