@@ -20,24 +20,27 @@ object Profiler {
         .select(lit(c).as("column"), col("n_rows"), col("n_nulls"), col("n_distinct"))
     }.reduce(_ unionAll _)
 
-  /** Single-scan EXACT variant: all columns profiled in ONE aggregate
-    * pass. NOTE: N exact `countDistinct`s in one aggregate still multiply
-    * every input row ×2N through an Expand node — correct, but the wrong
-    * default at 100 TB. Use for oracle checks and small/medium tables;
-    * [[profileApprox]] is the scale path. */
+  /** Single-scan EXACT variant: all columns profiled in ONE scan.
+    *
+    * Stack-then-count rather than N `countDistinct`s in one aggregate:
+    * the countDistinct form multiplies every row ×2N through an Expand
+    * node before the partial aggregate ever sees it. Here the columns
+    * stack to (column, value-as-string) pairs map-side (×N, not ×2N, and
+    * through a plain generator), collapse to per-(column, value) counts
+    * with codegen'd partial aggregation — the shuffle carries distinct
+    * values — and a second tiny aggregate reads rows/nulls/distincts off
+    * the counts. Distinctness is judged on the string image, which is
+    * injective for atomic types. Still O(distinct values) through the
+    * shuffle — [[profileApprox]] stays the unbounded-cardinality path. */
   def profileSingleScan(df: DataFrame): DataFrame = {
-    val aggs = df.columns.toSeq.flatMap { c =>
-      Seq(count_if(col(c).isNull).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"))
-    }
-    val totals = df.agg(count(lit(1)).as("__rows"), aggs: _*)
-    val row = totals.collect().head
-    val rows = df.columns.toSeq.map { c =>
-      (c, row.getAs[Long]("__rows"), row.getAs[Long](s"${c}__nulls"),
-        row.getAs[Long](s"${c}__distinct"))
-    }
-    df.sparkSession.createDataFrame(rows)
-      .toDF("column", "n_rows", "n_nulls", "n_distinct")
+    val stackArgs = df.columns
+      .map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    df.selectExpr(s"stack(${df.columns.length}, $stackArgs) AS (column, v)")
+      .groupBy("column", "v").agg(count(lit(1)).as("cnt"))
+      .groupBy("column").agg(
+        sum("cnt").as("n_rows"),
+        coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
+        count_if(col("v").isNotNull).as("n_distinct"))
   }
 
   /** Approximate single-scan profile — THE 100 TB path. HLL++ sketches
