@@ -1496,6 +1496,49 @@ object Queries {
         |  COALESCE(sh.n_shared, 0) > 0 AS contaminated
         |FROM tr LEFT JOIN sh USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // ---- CMS heavy hitters (Sketches.cmsHeavyHitters): exact top-20
+    // terms grade the sketch's ε·N bound — the bounded-memory frequency
+    // path for unbounded vocabularies. ----
+    QDef("corpus_term_cms",
+      (s, d) => {
+        val terms = documents(s, d)
+          .select(TextAnalysis.toks(lower(col("text"))).as("t"))
+          .select(explode(col("t")).as("term"))
+        graft.ops.Sketches.cmsHeavyHitters(terms, "term", k = 20)
+          .orderBy(col("freq").desc, col("value").asc)
+      },
+      Some("""SELECT term AS value, COUNT(*) AS freq, true AS est_in_bounds
+        |FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |      FROM documents)
+        |GROUP BY term ORDER BY freq DESC, value ASC LIMIT 20""".stripMargin)),
+
+    // ---- Q54: explicitly SALTED fact⋈dim join (ops/Skew) — the
+    // pathological-hot-key plan: deterministic fact-side salt (xxhash of
+    // the row identity, never rand()), dim exploded saltBuckets×, join
+    // on (key, salt). Same rows as the plain join — the oracle IS the
+    // plain join — pinning that salting is pure plan surgery. ----
+    QDef("q54_skew_salted_join",
+      (s, d) => {
+        val facts = lineitem(s, d)
+          .select(col("l_suppkey"), col("l_extendedprice"),
+            col("l_orderkey"), col("l_linenumber"))
+        val dims = supplier(s, d)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        graft.ops.Skew.saltedJoin(facts, dims, "l_suppkey",
+            factId = concat(col("l_orderkey"), lit("#"), col("l_linenumber")),
+            saltBuckets = 8)
+          .groupBy("s_nationkey")
+          .agg(decSum2(col("l_extendedprice")).as("revenue"),
+            count(lit(1)).as("n"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+        |    AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
     // ---- Q53: PIVOT — revenue by order year × market segment, one
     // scan + one agg (Spark pivot with EXPLICIT values so no extra
     // distinct-discovery job runs; decimal-exact sums → rounded double,

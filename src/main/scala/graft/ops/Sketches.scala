@@ -49,4 +49,35 @@ object Sketches {
     when(size(sketch) < k, round(size(sketch).cast("double"), 4))
       .otherwise(round(
         lit((k - 1).toDouble) * pow(lit(2.0), lit(60)) / element_at(sketch, k), 4))
+
+  /** Count–min heavy hitters: exact top-k values of `valueCol` (by
+    * frequency, value tiebreak) side-by-side with their CMS estimates
+    * and the sketch's accuracy contract (true ≤ est ≤ true + ε·N, w.p.
+    * 1−δ). The sketch is THE bounded-memory path for frequency queries
+    * over unbounded vocabularies: depth×width integer counters
+    * regardless of cardinality, built in one distributed pass
+    * (`df.stat.countMinSketch`), mergeable, and — counters being exact
+    * integer sums — bit-deterministic under any partitioning. The exact
+    * side exists to grade the sketch (the q33/q43 pattern: estimates are
+    * engine-specific, so the declared output carries exact counts plus
+    * an in-bounds assertion).
+    * Output: (value, freq, est_in_bounds), top-k by (freq desc, value). */
+  def cmsHeavyHitters(df: DataFrame, valueCol: String, k: Int = 20,
+      eps: Double = 1e-4, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint() // one pass feeds sketch AND exact side
+    val sketch = vals.stat.countMinSketch(col("v"), eps, confidence, seed)
+    val n = sketch.totalCount()
+    val exact = vals.groupBy("v").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("v").asc).limit(k)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    exact.toSeq.map { case (v, freq) =>
+      val est = sketch.estimateCount(v)
+      (v, freq, est >= freq && est <= freq + math.ceil(eps * n).toLong)
+    }.toDF("value", "freq", "est_in_bounds")
+  }
 }

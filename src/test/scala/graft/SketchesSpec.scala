@@ -56,4 +56,20 @@ class SketchesSpec extends SparkSpec {
     val merged = agg.merge(buf, agg.reduce(other, -1L))
     assert(merged.m.toSeq == Seq(-1L, 0L, 1L, 2L, 3L, 4L, 5L, 6L))
   }
+
+  test("CMS heavy hitters: exact top-k order, estimates within the eps bound") {
+    import spark.implicits._
+    val rows = (Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++
+      Seq.fill(30)("bets") ++ (0 until 40).map(i => s"rare$i")).toDF("w")
+    val out = graft.ops.Sketches.cmsHeavyHitters(rows, "w", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    // frequency order with value tiebreak (beta before bets)
+    assert(out.map(x => (x._1, x._2)).toSeq ==
+      Seq(("alpha", 50L), ("beta", 30L), ("bets", 30L)))
+    assert(out.forall(_._3), s"sketch out of bounds: ${out.toSeq}")
+    // nulls are not counted
+    val withNull = rows.unionAll(Seq.fill(5)(null: String).toDF("w"))
+    assert(graft.ops.Sketches.cmsHeavyHitters(withNull, "w", k = 1)
+      .collect().head.getLong(1) == 50L)
+  }
 }
