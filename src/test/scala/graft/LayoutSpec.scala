@@ -116,4 +116,28 @@ class LayoutSpec extends SparkSpec {
         s"chunk spans x=${xs.min}..${xs.max} y=${ys.min}..${ys.max}")
     }
   }
+
+  test("zorderWrite: file stats prune BOTH dimensions; x-sort prunes only x") {
+    import spark.implicits._
+    val df = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft-lin").toString
+    Layout.zorderWrite(df, zDir, "x", "y", numFiles = 16)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linDir)
+    // per-FILE min/max of y — what parquet footer pruning sees
+    def filesCoveringY(dir: String, y0: Long): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("y").as("lo"), max("y").as("hi"))
+        .filter(col("lo") <= y0 && col("hi") >= y0)
+        .count()
+    val zFiles = filesCoveringY(zDir, 10L)
+    val linFiles = filesCoveringY(linDir, 10L)
+    assert(zFiles <= 6, s"z-order should confine y=10 to ~sqrt(files): $zFiles")
+    assert(linFiles >= 15, s"x-sorted files all span the y range: $linFiles")
+    // and the layout loses no rows
+    assert(spark.read.parquet(zDir).count() == 64L * 64L)
+  }
 }
