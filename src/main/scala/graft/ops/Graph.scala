@@ -30,8 +30,17 @@ object Graph {
     * edge list has degree ≥ 1, so there are no dangling nodes and the
     * simple update rank = (1−d)/n + d·Σ rank(nb)/deg(nb) conserves mass.
     * Output: (node, deg, rank) with rank rounded 6. */
+  /** `broadcastNodes`: when the node count (a driver scalar this op
+    * already paid for) is at or below this, the per-iteration rank and
+    * contribution frames are broadcast instead of shuffle-joined — the
+    * iteration collapses from three exchanges to the one unavoidable
+    * contribution aggregation. The optimizer can't make this call itself
+    * (post-join frames carry no stats), but it is the same size-based
+    * decision AQE applies, made with exact knowledge. Above the
+    * threshold every join shuffles — the 100 TB path. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+      iters: Int = 5, damping: Double = 0.85,
+      broadcastNodes: Long = 1000000L): DataFrame = {
     // materialized once: every iteration joins against these, and the
     // lazy lineage would re-derive the upstream edge join per iteration
     // (the op is already eager — n below is an action — so this adds no
@@ -46,15 +55,17 @@ object Graph {
       .select(col("src").as("node"), col("deg"))
       .localCheckpoint()
     val n = degs.count() // driver scalar
+    val small = n <= broadcastNodes
+    def maybeBc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val base = (lit(1.0) - lit(damping)) / lit(n.toDouble)
     var ranks = degs.withColumn("rank", round(lit(1.0) / lit(n.toDouble), 6))
     for (_ <- 1 to iters) {
       val sums = und
-        .join(ranks, und("src") === ranks("node"))
+        .join(maybeBc(ranks), und("src") === ranks("node"))
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
         .groupBy("dst").agg(sum("c").as("s"))
       ranks = degs
-        .join(sums, degs("node") === sums("dst"), "left")
+        .join(maybeBc(sums), degs("node") === sums("dst"), "left")
         .select(col("node"), col("deg"),
           round(base + lit(damping) * coalesce(col("s"), lit(0.0)), 6)
             .as("rank"))
