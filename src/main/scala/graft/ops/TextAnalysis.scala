@@ -89,11 +89,15 @@ object TextAnalysis {
       .withColumn("q_ok", col("n_tokens") >= minTokens &&
         col("stop_ratio") <= maxStopRatio && col("punct_ratio") <= maxPunctRatio)
       .withColumn("l_ok", col("pred_lang").isin(langs: _*))
-    val surv = base.filter(col("q_ok") && col("l_ok"))
-      .select(col("doc_id"),
-        min("doc_id").over(org.apache.spark.sql.expressions.Window
-          .partitionBy(md5(concat_ws(" ", toks(lower(col("text"))))))).as("keep_id"))
-    base.join(surv, Seq("doc_id"), "left")
+    // keeper per content group via a CONDITIONAL window min — only
+    // gate-surviving rows compete. One window shuffle on the content
+    // hash; the previous self-join form evaluated the whole
+    // quality+langId expression chain twice.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(concat_ws(" ", toks(lower(col("text"))))))
+    base
+      .withColumn("keep_id",
+        min(when(col("q_ok") && col("l_ok"), col("doc_id"))).over(w))
       .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
         when(!col("q_ok"), lit("quality"))
           .when(!col("l_ok"), lit("language"))
