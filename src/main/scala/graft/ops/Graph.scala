@@ -29,8 +29,9 @@ object Graph {
     * self-loops dropped, duplicate edges collapsed). Every node in the
     * edge list has degree ≥ 1, so there are no dangling nodes and the
     * simple update rank = (1−d)/n + d·Σ rank(nb)/deg(nb) conserves mass.
-    * Output: (node, deg, rank) with rank rounded 6. */
-  /** `broadcastNodes`: when the node count (a driver scalar this op
+    * Output: (node, deg, rank) with rank rounded 6.
+    *
+    * `broadcastNodes`: when the node count (a driver scalar this op
     * already paid for) is at or below this, the per-iteration rank and
     * contribution frames are broadcast instead of shuffle-joined — the
     * iteration collapses from three exchanges to the one unavoidable
