@@ -97,6 +97,29 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(a3.isEmpty)
   }
 
+  test("incremental stats: additive across batches, replay applies exactly once") {
+    import spark.implicits._
+    import graft.ops.IncrementalStats
+    val root = java.nio.file.Files.createTempDirectory("graft-incstats").toString
+    def langDocs(rows: (Long, String, String)*) =
+      rows.toDF("doc_id", "lang", "text")
+    val b1 = langDocs((1L, "en", "one two three"), (2L, "en", "four five"),
+      (3L, "es", "uno dos"))
+    val s1 = IncrementalStats.update(spark, root, b1, batchId = 1L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(s1("en") == ((2L, 5L)) && s1("es") == ((1L, 2L)), s1)
+    // batch 2 adds to en, introduces fr
+    val b2 = langDocs((10L, "en", "six"), (11L, "fr", "un deux trois"))
+    val s2 = IncrementalStats.update(spark, root, b2, batchId = 2L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(s2("en") == ((3L, 6L)) && s2("fr") == ((1L, 3L)) &&
+      s2("es") == ((1L, 2L)), s2)
+    // replaying batch 2 (crash-recovery path) must NOT double-count
+    val s3 = IncrementalStats.update(spark, root, b2, batchId = 2L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(s3 == s2, s"replay double-counted: $s3")
+  }
+
   test("forget: erased content re-ingests as new; others still dedupe (exact)") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-forget").toString
