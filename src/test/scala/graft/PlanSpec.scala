@@ -169,6 +169,39 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 documents scan, got $scans:\n$p")
   }
 
+  test("quantile profile: codegen'd aggregation, never the ObjectHash percentile path") {
+    val p = planOf("q52_quantile_profile")
+    assert(!p.contains("ObjectHashAggregate"),
+      "CDF quantiles must not fall back to the percentile buffer path")
+    assert(p.contains("HashAggregate"), "per-value counts must hash-aggregate")
+  }
+
+  test("column profile: no Expand multiplying rows before the partial agg") {
+    val p = planOf("q38_column_profile")
+    assert(!p.contains("Expand"), s"profile re-grew an Expand:\n${p.take(800)}")
+  }
+
+  test("pagerank: small-graph iterations broadcast; contribution agg is partial") {
+    val p = planOf("graph_pagerank")
+    assert(p.contains("BroadcastHashJoin"),
+      "rank frames under the threshold must broadcast")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "contribution sums must partial-aggregate")
+  }
+
+  test("vocab encode: vocab cut is top-k, encode join is broadcast") {
+    val p = planOf("text_vocab_encode")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab cut must be per-partition top-k, not a global sort")
+    assert(p.contains("BroadcastHashJoin"), "encode join must broadcast the vocab")
+  }
+
+  test("semantic decon: eval side broadcast, per-train top-1 pruned pre-shuffle") {
+    val p = planOf("decon_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin"), "eval set must broadcast")
+    assert(p.contains("PartialTopK"), "top-1 must prune per partition")
+  }
+
   test("minhash portable mode (the declared-query path) keeps ObjectHashAggregate") {
     // the declared dedup_minhash_lsh query runs portable=true; a silent
     // fall back to SortAggregate (e.g. a non-ObjectHash-capable buffer
