@@ -68,37 +68,58 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     spark.read.parquet(s"$sfDir/documents.parquet").count()
     spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    // Shuffle accounting: total shuffle-write bytes per query, from a
+    // stage listener. Stage-completed events are delivered async, so the
+    // attribution is approximate at the boundary (a short drain pause
+    // after each query catches effectively all of it) — good enough for
+    // the artifact's purpose: making a silently-added shuffle visible in
+    // BENCH diffs without a plan dump.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def drainListeners(): Unit = Thread.sleep(120)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = selected.map { case (name, fn) =>
+      drainListeners()
+      val s0 = shuffleBytes.get()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
+      drainListeners()
+      val shuffleMb = (shuffleBytes.get() - s0) / 1e6 / runs
       // a query is failed only if EVERY run failed; one bad run must not
       // discard the other run's valid timing
-      name -> times.filter(_ >= 0).minOption.getOrElse(-1.0)
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      (name, times.filter(_ >= 0).minOption.getOrElse(-1.0), shuffleMb)
+    }.map { case (name, t, sh) => name -> (t, sh) }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val shJson = results.map { case (k, (_, sh)) => f""""$k":$sh%.2f""" }
       .mkString("{", ",", "}")
     // failed queries (-1 sentinel) are excluded from the headline total —
     // summing the sentinel would report a phantom speedup exactly when
     // queries break; they remain visible as -1 in the per-query map
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     val gateJson = f""","load_gate":{"threshold":$maxLoad%.1f,"initial":$initialLoad%.2f,"at_start":$loadAvg%.2f,"waited_sec":$waitedSec,"passed":$gatePassed}"""
     val oracleJson = oracleTimes(sfDir) match {
       case Some(times) =>
-        val matched = results.filter { case (k, v) => v >= 0 && times.contains(k) }
+        val matched = results.filter { case (k, (v, _)) => v >= 0 && times.contains(k) }
         val oq = matched.map { case (k, _) => s"\"" + k + "\":" + times(k) }
           .mkString("{", ",", "}")
         val oTotal = matched.map { case (k, _) => times(k) }.sum
-        val mTotal = matched.map(_._2).sum
+        val mTotal = matched.map(_._2._1).sum
         val ratio = if (oTotal > 0) mTotal / oTotal else -1.0
         f""","oracle":$oq,"oracle_total":$oTotal%.3f,"vs_oracle":$ratio%.2f"""
       case None => ""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$loadAvg,"runs_per_query":$runs$gateJson$oracleJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$shJson,"sf":"$sfDir","load_avg":$loadAvg,"runs_per_query":$runs$gateJson$oracleJson}""")
     spark.stop()
   }
 
