@@ -28,11 +28,15 @@ object EntityResolution {
         blockCols.map(col)): _*)
     val blocked = maxBlock match {
       case Some(cap) =>
-        val ok = base.groupBy(blockCols.map(col): _*)
-          .agg(count(lit(1)).as("__er_n"))
+        // hot-block cap as a WINDOW count, not an aggregate + join-back:
+        // the window clusters on the block columns — the exact
+        // partitioning the self-join below needs — so the cap costs the
+        // one exchange the join was paying anyway
+        base.withColumn("__er_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(blockCols.map(col): _*)))
           .filter(col("__er_n") <= cap)
           .drop("__er_n")
-        base.join(ok, blockCols)
       case None => base
     }
     val a = blocked.withColumnRenamed("__er_id", "id_a")
