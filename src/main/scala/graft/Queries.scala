@@ -1496,6 +1496,20 @@ object Queries {
         |  COALESCE(sh.n_shared, 0) > 0 AS contaminated
         |FROM tr LEFT JOIN sh USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // ---- Stable contiguous ids (Ids.stableIds): the two-phase
+    // zipWithIndex form — range-sort, per-partition counts, driver
+    // cumsum, map-only add — NEVER row_number over a global window
+    // (which serializes the corpus through one partition). ----
+    QDef("ids_stable_assign",
+      (s, d) => graft.ops.Ids.stableIds(
+          documents(s, d).select("doc_id", "source"),
+          sortCols = Seq("source", "doc_id"))
+        .select(col("doc_id"), col("source"), col("stable_id"))
+        .orderBy("stable_id"),
+      Some("""SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS stable_id
+        |FROM documents ORDER BY stable_id""".stripMargin)),
+
     // ---- CMS heavy hitters (Sketches.cmsHeavyHitters): exact top-20
     // terms grade the sketch's ε·N bound — the bounded-memory frequency
     // path for unbounded vocabularies. ----

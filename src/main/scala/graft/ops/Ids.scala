@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Stable, contiguous id assignment — the "number every document in the
+  * corpus" step before sharded training export.
+  *
+  * The naive Spark answer, `row_number()` over a global `Window.orderBy`,
+  * moves the entire dataset through ONE partition (the WindowExec
+  * warning); `monotonically_increasing_id` is partition-dependent and
+  * non-contiguous. This is the classic two-phase form instead: total-sort
+  * by the key (range exchange — distributed), count rows per partition
+  * (one cheap job over the sorted frame), cumulative-sum those counts on
+  * the driver (one long per partition), and add each partition's offset
+  * in a map-only pass. Ids depend only on the total ORDER, not on where
+  * the range boundaries fall, so the assignment is deterministic under
+  * any partition count — `sortCols` must therefore be a total order
+  * (include a tiebreaking unique column).
+  */
+object Ids {
+
+  /** Append `idCol` = 0-based contiguous rank of the row under
+    * `sortCols` (ascending). `numPartitions` pins the range-exchange
+    * width (AQE otherwise coalesces small inputs — fine for ids, but
+    * callers sizing downstream work may want the explicit knob). */
+  def stableIds(df: DataFrame, sortCols: Seq[String],
+      idCol: String = "stable_id",
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val ranged = numPartitions match {
+      case Some(n) => df.repartitionByRange(n, sortCols.map(col): _*)
+      case None => df.repartitionByRange(sortCols.map(col): _*)
+    }
+    val sorted = ranged
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .localCheckpoint() // counting + numbering must see ONE materialization
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator.single(pid -> it.size))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _) // offsets(pid) = rows before pid
+    val schema = StructType(sorted.schema.fields :+
+      StructField(idCol, LongType, nullable = false))
+    val numbered = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = offsets(pid)
+      it.map { r => val out = Row.fromSeq(r.toSeq :+ i); i += 1; out }
+    }
+    spark.createDataFrame(numbered, schema)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Ids
+
+/** Stable id assignment: contiguity, order correctness, and invariance
+  * to the input's partitioning — the properties monotonically_increasing_id
+  * and a global-window row_number each lack (the first isn't contiguous
+  * or stable, the second doesn't scale). */
+class IdsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ids are 0..n-1 in key order, whatever the input partitioning") {
+    val df = (0 until 500).map(i => ((i * 7919) % 500L, s"k${i % 13}"))
+      .toDF("id", "grp")
+    def assign(parts: Int) = Ids.stableIds(
+        df.repartition(parts), sortCols = Seq("grp", "id"))
+      .collect().map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap
+    val a = assign(3)
+    assert(a == assign(17), "ids must not depend on input partitioning")
+    assert(a.values.toSeq.sorted == (0L until 500L), "ids must be contiguous")
+    // order: ids ascend with the sort key
+    val byId = a.toSeq.sortBy(_._2).map(_._1)
+    assert(byId == byId.sorted, "id order must follow the key order")
+  }
+
+  test("numbering never routes rows through a single partition") {
+    // AQE rightly coalesces a tiny input, so pin the exchange width the
+    // way a real corpus-sized caller would
+    val df = (0 until 1000).map(i => (i.toLong, i % 7)).toDF("id", "g")
+    val out = Ids.stableIds(df, sortCols = Seq("id"), numPartitions = Some(8))
+    val partSizes = out.groupBy(spark_partition_id().as("p")).count()
+      .collect().map(_.getLong(1))
+    assert(partSizes.length > 1, "work collapsed to one partition")
+    assert(partSizes.max < 1000, s"one partition holds everything: ${partSizes.toSeq}")
+    // ids still global-contiguous across the pinned partitions
+    assert(out.select("stable_id").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 1000L))
+  }
+}
