@@ -54,10 +54,15 @@ for name, sql in sorted(oracle.items()):
         runs.append(time.perf_counter() - t0)
     times[name] = round(min(runs), 6)
 
-# a spike can also land MID-run (it did): check again before writing
-if os.getloadavg()[0] > MAX_LOAD:
+# a spike can also land MID-run (it did): check again before writing.
+# The post-run threshold is HIGHER than the pre-run one because this
+# script's own 32-thread DuckDB run legitimately drives the 1-minute
+# load to ~2–4 — gating post-run at the pre-run bar rejects every
+# healthy recording (it did that too).
+MAX_LOAD_AFTER = float(os.environ.get("ORACLE_BENCH_MAX_LOAD_AFTER", "4.5"))
+if os.getloadavg()[0] > MAX_LOAD_AFTER:
     sys.exit(f"[oracle_bench] load rose to {os.getloadavg()[0]:.2f} during "
-             "the run — times are suspect, refusing to write")
+             "the run — an external spike landed, refusing to write")
 
 out = {
     "_meta": {
