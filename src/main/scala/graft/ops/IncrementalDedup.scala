@@ -248,6 +248,23 @@ object IncrementalDedup {
         StateTable.delete(spark, stateRoot, doomed, Seq("h"))
     }
 
+  /** Right-to-be-forgotten for the SEMANTIC state ([[ingestSemantic]]):
+    * drops the ids' kept vectors, so later near-copies of the forgotten
+    * content are accepted as new. Centroids stay — the frozen cell
+    * structure carries no per-document content, only cluster means
+    * trained on the first batch (re-training on deletion would silently
+    * re-cell the whole surviving corpus). */
+  def forgetSemantic(spark: SparkSession, stateRoot: String,
+      ids: DataFrame): Long =
+    StateTable.read(spark, s"$stateRoot/kept") match {
+      case None => -1L
+      case Some(_) =>
+        StateTable.delete(spark, s"$stateRoot/kept",
+          ids.select(col(ids.columns.head).as("keeper_id")).distinct()
+            .localCheckpoint(),
+          Seq("keeper_id"))
+    }
+
   /** Right-to-be-forgotten for the NEAR-dedup state ([[ingestNear]]):
     * drops the ids' signatures AND their LSH band rows. Band rows are
     * resolved from the (healthy or healed) band index by keeper id; the

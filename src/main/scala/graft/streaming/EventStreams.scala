@@ -212,6 +212,18 @@ object EventStreams {
         onTop(graft.plans.GroupedTopK.perKeys(batch, Seq("w_start"),
           Seq("n" -> false, "term" -> true), k))
 
+  /** Streaming corpus statistics: foreachBatch around
+    * [[graft.ops.IncrementalStats.update]], keyed by the STREAM's batch
+    * id — the exactly-once marker and Structured Streaming's replay
+    * unit are then the same thing, so a foreachBatch retry after a sink
+    * crash cannot double-count (the marker for that batch id is either
+    * committed with the stats or absent with them). */
+  def corpusStatsSink(stateRoot: String,
+      onStats: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, id) => onStats(
+      graft.ops.IncrementalStats.update(batch.sparkSession, stateRoot,
+        batch, id))
+
   /** Streaming distribution-drift monitor: PSI of each micro-batch
     * against a FROZEN reference histogram ([[graft.ops.Drift]] — the
     * batch-side gate, streamed). The reference collapses to O(bins)

@@ -162,6 +162,24 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(kept == Seq(10L), s"got $kept")
   }
 
+  test("forgetSemantic: kept vectors go, cells stay, near-copies re-accept") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-forgetsem").toString
+    def vecs(rows: (Long, Seq[Double])*) = rows.toDF("vec_id", "embedding")
+    IncrementalDedup.ingestSemantic(spark, root,
+      vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0)), tau = 0.9, nCells = 1)
+    IncrementalDedup.forgetSemantic(spark, root, Seq(1L).toDF("vec_id"))
+    // a near-copy of the forgotten vector is new again; a near-copy of
+    // the surviving one still drops
+    val (a, _) = IncrementalDedup.ingestSemantic(spark, root,
+      vecs(10L -> Seq(0.99, 0.01), 11L -> Seq(0.01, 0.99)),
+      tau = 0.9, nCells = 1)
+    val kept = a.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(10L), s"got $kept")
+    // the frozen cell structure survives deletion
+    assert(StateTable.read(spark, s"$root/centroids").get.count() == 1)
+  }
+
   test("near-dedup heals a band index left behind by a crash") {
     val root = java.nio.file.Files.createTempDirectory("graft-incnear-heal").toString
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")

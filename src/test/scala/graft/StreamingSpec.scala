@@ -291,6 +291,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("corpus stats sink: totals accumulate; restart replays apply once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-statsink").toString
+    var latest: Map[String, (Long, Long)] = Map.empty
+    val sink = EventStreams.corpusStatsSink(root, onStats = df =>
+      latest = df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap)
+    val in = MemoryStream[(Long, String, String)]
+    val q = in.toDF().toDF("doc_id", "lang", "text").writeStream
+      .foreachBatch(sink).outputMode("append").start()
+    try {
+      in.addData((1L, "en", "a b c"), (2L, "es", "x y"))
+      q.processAllAvailable()
+      in.addData((3L, "en", "d e"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(latest("en") == ((2L, 5L)) && latest("es") == ((1L, 2L)), latest)
+    // replaying batch id 0 through the raw sink (the crash window a
+    // restarted query hits) must not double-count
+    sink(Seq((1L, "en", "a b c"), (2L, "es", "x y"))
+      .toDF("doc_id", "lang", "text"), 0L)
+    assert(latest("en") == ((2L, 5L)) && latest("es") == ((1L, 2L)),
+      s"replay double-counted: $latest")
+  }
+
   test("trending terms: per closed window top-k, late state dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
