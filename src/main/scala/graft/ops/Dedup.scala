@@ -318,13 +318,9 @@ object Dedup {
   private[graft] def ccWithRounds(edges: DataFrame, maxIter: Int = 50,
       checkpointDir: Option[String] = None): (DataFrame, Int) = {
     // checkpoint strategy: reliable-storage checkpoint when a dir is
-    // given (cluster path), executor-local blocks otherwise
-    val materialize: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        edges.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint()
-      case None => df => df.localCheckpoint()
-    }
+    // given (cluster path) or the graft.checkpoint.dir conf is set,
+    // executor-local blocks otherwise
+    val materialize = Materialize.fn(edges.sparkSession, checkpointDir)
     // materialize the (possibly expensive) edge plan ONCE, before the
     // union doubles it and the rounds rescan it
     val e0 = materialize(

@@ -47,7 +47,14 @@ object Drift {
   /** PSI from precomputed (bin, n_ref) / (bin, n_cur) histograms — the
     * form a STREAMING monitor uses: the reference histogram is computed
     * once and frozen, each micro-batch contributes only its own O(bins)
-    * counts. */
+    * counts.
+    *
+    * An EMPTY side (total 0) is "no evidence", not "infinite drift":
+    * without the guard 0/0 is NaN, Spark orders NaN greatest, and the
+    * monitor would alarm on every empty micro-batch — which foreachBatch
+    * routinely delivers. With it, an empty side yields psi = 0 and all
+    * contributions 0, so the streaming report is quiet (alarm = false)
+    * and still present, distinguishable from an absent report. */
   def psiFromHists(refHist: DataFrame, curHist: DataFrame, bins: Int,
       eps: Double = 1e-6): DataFrame = {
     val spine = refHist.sparkSession.range(bins).select(col("id").as("bin"))
@@ -58,12 +65,17 @@ object Drift {
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val tot = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    val eitherEmpty = col("t_ref") === 0 || col("t_cur") === 0
+    def prop(n: String, t: String): Column =
+      when(col(t) === 0, lit(eps))
+        .otherwise(greatest(col(n) / col(t).cast("double"), lit(eps)))
     val withP = joined.crossJoin(broadcast(tot))
       .select(col("bin"), col("n_ref"), col("n_cur"),
-        greatest(col("n_ref") / col("t_ref").cast("double"), lit(eps)).as("p_ref"),
-        greatest(col("n_cur") / col("t_cur").cast("double"), lit(eps)).as("p_cur"))
+        prop("n_ref", "t_ref").as("p_ref"), prop("n_cur", "t_cur").as("p_cur"),
+        eitherEmpty.as("quiet"))
       .withColumn("contrib",
-        round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6))
+        when(col("quiet"), lit(0.0)).otherwise(
+          round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6)))
     withP
       .withColumn("psi", sum("contrib").over(
         org.apache.spark.sql.expressions.Window.partitionBy()))

@@ -38,29 +38,39 @@ object Graph {
     * contribution aggregation. The optimizer can't make this call itself
     * (post-join frames carry no stats), but it is the same size-based
     * decision AQE applies, made with exact knowledge. Above the
-    * threshold every join shuffles — the 100 TB path. */
+    * threshold every join shuffles — the 100 TB path.
+    *
+    * `checkpointEvery`: lazy chaining doubles the logical plan per
+    * iteration — fine at the default depth 5, but analysis/codegen time
+    * and stack depth blow up past ~20 — so ranks are MATERIALIZED every
+    * k iterations, truncating lineage exactly as
+    * [[Dedup.connectedComponents]] does per round. `checkpointDir`
+    * selects reliable `checkpoint()` over executor-local blocks
+    * (`localCheckpoint`): local blocks die with an executor, and on a
+    * 1000-executor run losing one mid-power-iteration kills the job. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, damping: Double = 0.85,
-      broadcastNodes: Long = 1000000L): DataFrame = {
+      broadcastNodes: Long = 1000000L, checkpointEvery: Int = 8,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val materialize = Materialize.fn(edges.sparkSession, checkpointDir)
     // materialized once: every iteration joins against these, and the
     // lazy lineage would re-derive the upstream edge join per iteration
     // (the op is already eager — n below is an action — so this adds no
     // extra job, it just pins the frame the loop reuses)
-    val und = edges
+    val und = materialize(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
-    val degs = und.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("node"), col("deg"))
-      .localCheckpoint()
+      .distinct())
+    val degs = materialize(und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg")))
     val n = degs.count() // driver scalar
     val small = n <= broadcastNodes
     def maybeBc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val base = (lit(1.0) - lit(damping)) / lit(n.toDouble)
     var ranks = degs.withColumn("rank", round(lit(1.0) / lit(n.toDouble), 6))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val sums = und
         .join(maybeBc(ranks), und("src") === ranks("node"))
         .select(col("dst"), (col("rank") / col("deg")).as("c"))
@@ -70,6 +80,10 @@ object Graph {
         .select(col("node"), col("deg"),
           round(base + lit(damping) * coalesce(col("s"), lit(0.0)), 6)
             .as("rank"))
+      // lineage truncation: without it the plan doubles per iteration
+      // (rounding makes the materialized values bit-stable, so this
+      // cannot change the result — only the plan)
+      if (i % checkpointEvery == 0 && i < iters) ranks = materialize(ranks)
     }
     ranks
   }

@@ -33,9 +33,10 @@ object Ids {
       case Some(n) => df.repartitionByRange(n, sortCols.map(col): _*)
       case None => df.repartitionByRange(sortCols.map(col): _*)
     }
-    val sorted = ranged
-      .sortWithinPartitions(sortCols.map(col): _*)
-      .localCheckpoint() // counting + numbering must see ONE materialization
+    // counting + numbering must see ONE materialization; reliable via the
+    // graft.checkpoint.dir conf ([[Materialize]]) — the numbering pass
+    // re-reads these blocks, so on a cluster they must survive executors
+    val sorted = Materialize(ranged.sortWithinPartitions(sortCols.map(col): _*))
     val counts = sorted.rdd
       .mapPartitionsWithIndex((pid, it) => Iterator.single(pid -> it.size))
       .collect().sortBy(_._1).map(_._2)

@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   * State grows by one row per unique document ever seen (hash + keeper
   * id), partitioned by the state table's key shuffle — the corpus text
   * itself is never re-read.
+  *
+  * Every pinned frame in this file goes through [[Materialize]]: set
+  * `graft.checkpoint.dir` to make the pins RELIABLE on a cluster —
+  * the commit-then-return contract (caller sees exactly the rows whose
+  * hashes were committed) otherwise rests on executor-local blocks
+  * that die with their executor.
   */
 object IncrementalDedup {
 
@@ -63,7 +69,7 @@ object IncrementalDedup {
       .drop("keep_id")
     val fresh = deduped.unionByName(hashed.filter(col("h").isNull))
       .drop("is_known")
-      .localCheckpoint()
+      .transform(Materialize(_))
     val version = StateTable.upsert(spark, stateRoot,
       fresh.filter(col("h").isNotNull)
         .select(col("h"), col("doc_id").as("keeper_id")), Seq("h"))
@@ -93,7 +99,7 @@ object IncrementalDedup {
     * many duplicates arrive — and the corpus text is never re-read. */
   def ingestNear(spark: SparkSession, stateRoot: String, batch: DataFrame,
       threshold: Double = 0.8, perms: Int = 64, bands: Int = 16): (DataFrame, Long) = {
-    val sigs = Dedup.minhashSignatures(batch, perms).localCheckpoint()
+    val sigs = Dedup.minhashSignatures(batch, perms).transform(Materialize(_))
     val banded = Dedup.bandHashes(sigs, perms, bands)
     val knownDup = StateTable.read(spark, s"$stateRoot/sigs") match {
       case None => sigs.limit(0).select(col("doc_id"))
@@ -123,10 +129,10 @@ object IncrementalDedup {
         minEst = threshold)
       .select(col("doc_b").as("doc_id")).distinct()
     val accepted = corpusFresh.join(inBatchDrop, Seq("doc_id"), "left_anti")
-      .localCheckpoint()
+      .transform(Materialize(_))
     val accSigs = sigs.join(accepted.select("doc_id"), "doc_id")
       .select(col("doc_id").as("keeper_id"), col("sig"))
-      .localCheckpoint()
+      .transform(Materialize(_))
     // sigs commit FIRST: they are the source of truth. A crash between
     // the two commits leaves bands one version behind, which the next
     // run detects and rebuilds (healedBands) — the reverse order would
@@ -154,7 +160,7 @@ object IncrementalDedup {
       val rebuilt = Dedup.bandHashes(
           stateSigs.select(col("keeper_id").as("doc_id"), col("sig")), perms, bands)
         .select(col("band"), col("band_hash"), col("doc_id").as("keeper_id"))
-      StateTable.upsert(spark, s"$stateRoot/bands", rebuilt.localCheckpoint(),
+      StateTable.upsert(spark, s"$stateRoot/bands", rebuilt.transform(Materialize(_)),
         Seq("band", "band_hash", "keeper_id"))
       rebuilt
     }
@@ -206,7 +212,7 @@ object IncrementalDedup {
             Seq("cid"))
           trained
       }
-    val assigned = Similarity.assignCells(batch, centroids).localCheckpoint()
+    val assigned = Similarity.assignCells(batch, centroids).transform(Materialize(_))
     val knownDup = StateTable.read(spark, s"$stateRoot/kept") match {
       case None => assigned.limit(0).select(col("vec_id"))
       case Some(kept) =>
@@ -224,7 +230,7 @@ object IncrementalDedup {
       .filter(round(Similarity.cosine(col("emb"), col("nb_emb")), 4) >= tau)
       .select("vec_id").distinct()
     val accepted = corpusFresh.join(inBatchDrop, Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+      .transform(Materialize(_))
     val version = StateTable.upsert(spark, s"$stateRoot/kept",
       accepted.select(col("vec_id").as("keeper_id"), col("cell"), col("emb")),
       Seq("keeper_id"))
@@ -244,7 +250,7 @@ object IncrementalDedup {
       case Some(state) =>
         val doomed = state.join(
             ids.select(col(ids.columns.head).as("keeper_id")), Seq("keeper_id"))
-          .select("h").localCheckpoint()
+          .select("h").transform(Materialize(_))
         StateTable.delete(spark, stateRoot, doomed, Seq("h"))
     }
 
@@ -261,7 +267,7 @@ object IncrementalDedup {
       case Some(_) =>
         StateTable.delete(spark, s"$stateRoot/kept",
           ids.select(col(ids.columns.head).as("keeper_id")).distinct()
-            .localCheckpoint(),
+            .transform(Materialize(_)),
           Seq("keeper_id"))
     }
 
@@ -278,10 +284,10 @@ object IncrementalDedup {
       case None => -1L
       case Some(stateSigs) =>
         val doomedIds = ids.select(col(ids.columns.head).as("keeper_id"))
-          .distinct().localCheckpoint()
+          .distinct().transform(Materialize(_))
         val doomedBands = healedBands(spark, stateRoot, stateSigs, perms, bands)
           .join(doomedIds, Seq("keeper_id"))
-          .select("band", "band_hash", "keeper_id").localCheckpoint()
+          .select("band", "band_hash", "keeper_id").transform(Materialize(_))
         val v = StateTable.delete(spark, s"$stateRoot/sigs", doomedIds,
           Seq("keeper_id"))
         StateTable.delete(spark, s"$stateRoot/bands", doomedBands,

@@ -46,6 +46,22 @@ class DriftSpec extends SparkSpec {
     assert(r.getAs[Double]("d_stat") == 0.5)
   }
 
+  test("empty current side reports quiet (psi 0, never NaN)") {
+    // the streaming monitor's empty-micro-batch case: without the
+    // zero-total guard, 0/0 = NaN propagates and NaN > threshold is true
+    val ref = vals(5, 15, 25, 35, 45)
+    val cur = vals() // empty, same schema
+    val out = Drift.psi(ref, cur, "x", lo = 0, hi = 100, bins = 10)
+      .orderBy("bin").collect()
+    assert(out.length == 10)
+    assert(out.forall(r => !r.getAs[Double]("psi").isNaN))
+    assert(out.forall(_.getAs[Double]("psi") == 0.0))
+    assert(out.forall(_.getAs[Long]("n_cur") == 0L))
+    // and the symmetric case: empty reference
+    val out2 = Drift.psi(cur, ref, "x", lo = 0, hi = 100, bins = 10).collect()
+    assert(out2.forall(r => r.getAs[Double]("psi") == 0.0))
+  }
+
   test("PSI matches the hand formula on a shifted distribution") {
     // ref: 8 low + 2 high; cur: 2 low + 8 high over 2 bins
     val ref = vals(Seq.fill(8)(10.0) ++ Seq.fill(2)(60.0): _*)

@@ -30,6 +30,30 @@ class GraphSpec extends SparkSpec {
     assert(run(1) == run(13), "ranks must not depend on partitioning")
   }
 
+  test("deep iteration completes with bounded plan depth (periodic checkpoint)") {
+    val edges = (0 until 100).map(i => (s"n${i % 23}", s"n${(i * 5 + 1) % 23}"))
+      .toDF("src", "dst")
+    // 25 iterations: without lineage truncation the doubled-per-iteration
+    // plan makes analysis/codegen explode; with checkpointEvery the final
+    // plan covers at most checkpointEvery iterations
+    val deep = Graph.pageRank(edges, "src", "dst", iters = 25)
+    val planLines = deep.queryExecution.optimizedPlan.toString.linesIterator.size
+    val shallow = Graph.pageRank(edges, "src", "dst", iters = 4)
+    val shallowLines =
+      shallow.queryExecution.optimizedPlan.toString.linesIterator.size
+    assert(planLines <= 3 * shallowLines,
+      s"25-iter plan ($planLines lines) not truncated vs 4-iter ($shallowLines)")
+    val mass = deep.collect().map(_.getDouble(2)).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"rank mass drifted: $mass")
+    // reliable-checkpoint path: same result through a checkpoint dir
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr-ckpt").toString
+    val viaDir = Graph.pageRank(edges, "src", "dst", iters = 25,
+      checkpointDir = Some(dir)).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val viaLocal = deep.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(viaDir == viaLocal, "reliable and local checkpoints must agree")
+  }
+
   test("duplicate and self edges collapse before degrees are counted") {
     val edges = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"))
       .toDF("src", "dst")

@@ -24,6 +24,21 @@ class IdsSpec extends SparkSpec {
     assert(byId == byId.sorted, "id order must follow the key order")
   }
 
+  test("graft.checkpoint.dir switches the pin to reliable checkpoints") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ids-ckpt").toString
+    spark.conf.set(graft.ops.Materialize.ConfKey, dir)
+    try {
+      val df = (0 until 100).map(i => ((i * 31) % 100L, i % 5)).toDF("id", "g")
+      val out = Ids.stableIds(df, sortCols = Seq("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(out == (0 until 100).map(i => i.toLong -> i.toLong).toMap)
+      // reliable (not local) checkpointing actually wrote RDD blocks there
+      assert(java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst.isPresent, "no checkpoint blocks written to the dir")
+    } finally spark.conf.unset(graft.ops.Materialize.ConfKey)
+  }
+
   test("numbering never routes rows through a single partition") {
     // AQE rightly coalesces a tiny input, so pin the exchange width the
     // way a real corpus-sized caller would

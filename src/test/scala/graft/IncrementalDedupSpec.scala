@@ -37,6 +37,27 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(a3.isEmpty)
   }
 
+  test("graft.checkpoint.dir makes the ingest pins reliable checkpoints") {
+    // the cluster path: every localCheckpoint in the loop becomes a
+    // reliable checkpoint, and the loop's semantics are unchanged
+    val root = java.nio.file.Files.createTempDirectory("graft-inc-rel").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-inc-ckpt").toString
+    spark.conf.set(graft.ops.Materialize.ConfKey, ckpt)
+    try {
+      val (a1, _) = IncrementalDedup.ingest(spark, root,
+        docs(1L -> "alpha text", 2L -> "alpha text", 3L -> "beta text"))
+      assert(a1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(1L, 3L))
+      val (a2, _) = IncrementalDedup.ingest(spark, root,
+        docs(10L -> "alpha text", 11L -> "gamma text"))
+      assert(a2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(11L))
+      assert(java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst.isPresent, "no reliable checkpoint blocks written")
+    } finally spark.conf.unset(graft.ops.Materialize.ConfKey)
+  }
+
   test("replaying a committed batch re-accepts identically (exact + near)") {
     // the foreachBatch replay window: state committed, downstream effect
     // lost, same batch re-runs. Accepted set must be IDENTICAL — a doc
