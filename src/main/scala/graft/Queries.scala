@@ -1764,7 +1764,7 @@ object Queries {
         |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM inj),
         |k AS (SELECT doc_id, lines, list_filter(lines, x ->
         |    len(string_split_regex(trim(x), '\s+')) >= 5
-        |    AND regexp_matches(x, '[.!?]$')) AS kept FROM l)
+        |    AND regexp_matches(trim(x), '[.!?]$')) AS kept FROM l)
         |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
         |  CAST(len(kept) AS BIGINT) AS n_kept,
         |  array_to_string(kept, chr(10)) AS clean_text
@@ -1868,7 +1868,7 @@ object Queries {
         |    ELSE text END AS text FROM documents),
         |b AS (SELECT doc_id, list_filter(string_split(text, chr(10)), x ->
         |    len(string_split_regex(trim(x), '\\s+')) >= 5
-        |    AND regexp_matches(x, '[.!?]$$')) AS kept FROM inj),
+        |    AND regexp_matches(trim(x), '[.!?]$$')) AS kept FROM inj),
         |s2 AS (SELECT doc_id, array_to_string(kept, chr(10)) AS text
         |  FROM b WHERE len(kept) >= 1),
         |n AS (SELECT doc_id, trim(regexp_replace(nfc_normalize(

@@ -30,11 +30,22 @@ object Profiler {
     * with codegen'd partial aggregation — the shuffle carries distinct
     * values — and a second tiny aggregate reads rows/nulls/distincts off
     * the counts. Distinctness is judged on the string image, which is
-    * injective for atomic types. Still O(distinct values) through the
+    * injective for atomic types once negative zero is normalized (the
+    * `+ 0.0` below folds float/double -0.0 into 0.0, matching what
+    * `countDistinct` would report). Still O(distinct values) through the
     * shuffle — [[profileApprox]] stays the unbounded-cardinality path. */
   def profileSingleScan(df: DataFrame): DataFrame = {
-    val stackArgs = df.columns
-      .map(c => s"'$c', CAST(`$c` AS STRING)").mkString(", ")
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val floaty = df.schema.fields
+      .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
+      .map(_.name).toSet
+    val stackArgs = df.columns.map { c =>
+      val label = "'" + c.replace("'", "''") + "'"
+      val ident = "`" + c.replace("`", "``") + "`"
+      // IEEE: -0.0 + 0.0 = +0.0 (NaN/null pass through unchanged)
+      val normalized = if (floaty(c)) s"($ident + 0.0)" else ident
+      s"$label, CAST($normalized AS STRING)"
+    }.mkString(", ")
     df.selectExpr(s"stack(${df.columns.length}, $stackArgs) AS (column, v)")
       .groupBy("column", "v").agg(count(lit(1)).as("cnt"))
       .groupBy("column").agg(

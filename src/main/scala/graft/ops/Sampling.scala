@@ -49,13 +49,25 @@ object Sampling {
     * [[graft.plans.GroupedTopK]]: ≤ k rows per group survive each
     * partition before the one shuffle — never a full sort, never a
     * global window. Output: original columns + `h` (the rank hash, kept
-    * so the draw is auditable/reproducible). */
+    * so the draw is auditable/reproducible).
+    *
+    * `key` must uniquely identify rows within a group: the (h, key)
+    * tie-break is what makes the draw deterministic, and duplicate keys
+    * hash identically, leaving the survivor partition-dependent. The
+    * hash rides an internal column while ranking, so a pre-existing `h`
+    * input column can't be silently clobbered mid-plan — but the OUTPUT
+    * reserves the name, so such input is rejected loudly instead. */
   def perGroupSample(df: DataFrame, groupCol: String, key: String, k: Int,
       salt: String = "pg"): DataFrame = {
-    val hashed = df.withColumn("h",
+    require(!df.columns.contains("h"),
+      "perGroupSample reserves output column 'h' for the rank hash; " +
+        "rename the input's 'h' column first")
+    val hc = "__graft_pg_h"
+    val hashed = df.withColumn(hc,
       md5(concat(lit(salt + ":"), col(key).cast("string"))))
     graft.plans.GroupedTopK.perKey(hashed, groupCol,
-      Seq("h" -> true, key -> true), k)
+        Seq(hc -> true, key -> true), k)
+      .withColumnRenamed(hc, "h")
   }
 
   /** Pack documents into training sequences by start offset: a doc joins

@@ -299,8 +299,12 @@ object TextAnalysis {
   def boilerplateFilter(documents: DataFrame, textCol: String = "text",
       minWords: Int = 5): DataFrame = {
     val lines = split(col(textCol), "\n")
-    val kept = filter(lines, l =>
-      (size(split(trim(l), "\\s+")) >= minWords) && l.rlike("[.!?]$"))
+    // both predicates over the TRIMMED line: testing punctuation on the
+    // raw line drops real prose with trailing whitespace ('A sentence. ')
+    val kept = filter(lines, l => {
+      val lt = trim(l)
+      (size(split(lt, "\\s+")) >= minWords) && lt.rlike("[.!?]$")
+    })
     documents.select(col("doc_id"),
       size(lines).cast("long").as("n_lines"),
       size(kept).cast("long").as("n_kept"),

@@ -93,6 +93,15 @@ class NormalizeOpsSpec extends SparkSpec {
     assert(r.getAs[String]("clean_text") == "")
   }
 
+  test("boilerplate filter: trailing whitespace doesn't hide terminal punct") {
+    // both predicates run on the TRIMMED line — prose ending '. ' is
+    // prose (trim is space-only in both Spark and DuckDB, so a trailing
+    // tab still drops the line — the engines agree either way)
+    val text = "A real sentence with five words. \n  Indented sentence also has enough words.  "
+    val r = TextAnalysis.boilerplateFilter(docs(1L -> text), minWords = 5).head
+    assert(r.getAs[Long]("n_kept") == 2L)
+  }
+
   // -- ngramTopK -------------------------------------------------------
 
   test("ngramTopK counts the 2-gram multiset and breaks ties by gram") {

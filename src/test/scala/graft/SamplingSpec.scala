@@ -87,4 +87,14 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartialTopK"), plan.take(400))
   }
+
+  test("per-group sample: pre-existing 'h' column is rejected, not clobbered") {
+    import spark.implicits._
+    import graft.ops.Sampling
+    val df = Seq((1L, "x", 9.9)).toDF("id", "g", "h")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.perGroupSample(df, "g", "id", k = 1)
+    }
+    assert(e.getMessage.contains("reserves output column 'h'"))
+  }
 }

@@ -96,6 +96,17 @@ class ScaleOpsSpec extends SparkSpec {
     assert(a("o_orderkey")._3 == a("o_orderkey")._1) // key is unique
   }
 
+  test("single-scan profiler: -0.0 folds into 0.0 and quoted names survive") {
+    import spark.implicits._
+    import graft.ops.Profiler
+    val df = Seq(0.0, -0.0, 1.5).toDF("d")
+      .withColumnRenamed("d", "it's`a d") // quote + backtick in the name
+    val r = Profiler.profileSingleScan(df).collect()
+    assert(r.length == 1 && r(0).getString(0) == "it's`a d")
+    assert(r(0).getLong(3) == 2L, // {0.0, 1.5} — NOT 3 (string-image -0.0)
+      s"expected -0.0 to collapse into 0.0: ${r(0)}")
+  }
+
   test("bigram LM: hand-computed smoothed probabilities; short docs excluded") {
     import spark.implicits._
     import graft.ops.TextAnalysis
