@@ -1991,6 +1991,44 @@ object Queries {
           s"true AS approx_sane FROM lineitem")
         .mkString("", " UNION ALL ", """ ORDER BY "column""""))),
 
+    // ---- Q52c: log-histogram quantile profile — the CODEGEN bounded-
+    // memory path (Profiler.quantileProfileLogHist). Unlike GK (q52b),
+    // bucketing is deterministic, so the whole profile value-compares:
+    // the oracle transliterates the bucket formula with the SAME s/off
+    // constants (Double.toString round-trips through DuckDB's literal
+    // parser; the ln quantization absorbs last-ulp libm differences). ----
+    QDef("q52c_quantile_profile_loghist",
+      (s, d) => graft.ops.Profiler.quantileProfileLogHist(lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("column"),
+      Some {
+        val relErr = 0.01
+        val sc = 1.0 / math.log1p(relErr)
+        val off = math.ceil(745.0 * sc).toLong + 2L
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val vals = cols.map(c =>
+          s"""SELECT '$c' AS "column", CAST($c AS DOUBLE) AS v FROM lineitem""")
+          .mkString(" UNION ALL ")
+        val ranks = Seq(25 -> 0.25, 50 -> 0.5, 75 -> 0.75, 95 -> 0.95)
+          .map { case (pct, p) =>
+            s"ROUND(MIN(CASE WHEN cum >= FLOOR((n - 1) * $p) + 1 " +
+              s"THEN bmin END), 4) AS p$pct" }
+          .mkString(", ")
+        s"""WITH vals AS ($vals),
+        |b AS (SELECT "column", v, CASE WHEN v = 0 THEN 0
+        |    ELSE CAST(SIGN(v) * (FLOOR(ROUND(LN(ABS(v)) * $sc, 9)) + $off)
+        |      AS BIGINT) END AS b
+        |  FROM vals WHERE v IS NOT NULL),
+        |g AS (SELECT "column", b, COUNT(*) AS cnt, MIN(v) AS bmin,
+        |    MAX(v) AS bmax FROM b GROUP BY 1, 2),
+        |c AS (SELECT *, SUM(cnt) OVER (PARTITION BY "column" ORDER BY bmin) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY "column") AS n FROM g)
+        |SELECT "column", ROUND(MIN(bmin), 4) AS minv,
+        |  $ranks,
+        |  ROUND(MAX(bmax), 4) AS maxv
+        |FROM c GROUP BY "column" ORDER BY "column"""".stripMargin
+      }),
+
     // ---- Exact two-sample KS statistic over the same ref/cur split as
     // drift_psi. Value-level aggregation first (one shuffle, map-side
     // combined), so the cumulative-CDF window sees O(distinct values)

@@ -148,4 +148,66 @@ object Profiler {
             .as(s"p${math.round(p * 100)}")
         } ++ Seq(round(col("maxv"), 4).as("maxv")): _*)
   }
+
+  /** Log-histogram quantile profile — the CODEGEN approximate path.
+    *
+    * `approx_percentile` (GK) is the idiomatic bounded-memory answer, but
+    * its per-row updates run through an interpreted ObjectHashAggregate —
+    * measured ~0.7 s of pure aggregate time on 600 k rows × 4 columns
+    * where the whole exact-CDF query costs 0.68 s end to end. This
+    * variant keeps state bounded a different way: each value drops into a
+    * multiplicative-width bucket (HdrHistogram's trick — bucket index
+    * `floor(ln|v| · s)`, `s = 1/ln(1+relErr)`), so the aggregate is a
+    * plain codegen'd HashAggregate on (column, bucket) — O(buckets) state
+    * per column regardless of cardinality, buckets ≈ `ln(vmax/vmin)/
+    * ln(1+relErr)` (≈ 2.3 k for a 1e10 dynamic range at 1%) — and the
+    * percentile reads off the same distributed-CDF window as
+    * [[quantileProfile]], now over O(buckets) rows.
+    *
+    * The reported percentile is the MINIMUM actual value in the bucket
+    * the rank lands in: a true data value, a lower bound within
+    * `(1+relErr)` of the exact percentile, and — unlike GK, whose result
+    * depends on merge order and engine — fully deterministic, so the
+    * whole profile is value-comparable across engines (q52c hash-matches
+    * a DuckDB transliteration; GK's q52b can only be sanity-checked).
+    * `ln` is quantized to 9 dp before `floor` so last-ulp libm
+    * differences between engines cannot flip a boundary bucket.
+    * Exact min/max ride the same scan. Zero gets its own bucket;
+    * negative values mirror to negative bucket ids (ordering by the
+    * bucket's own min value keeps the CDF correct for any sign mix). */
+  def quantileProfileLogHist(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      relErr: Double = 0.01): DataFrame = {
+    val s = 1.0 / math.log1p(relErr)
+    // |ln(double)| ≤ ~745, so floor(ln|v|·s) ∈ ±⌈745·s⌉; adding `off`
+    // keeps the magnitude part strictly positive, making the sign
+    // multiplier collision-free: negatives < 0 < zero-bucket < positives
+    val off = math.ceil(745.0 * s).toLong + 2L
+    val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
+    val stacked = df
+      .selectExpr(s"stack(${cols.length}, $stackArgs) AS (column, v)")
+      .filter(col("v").isNotNull)
+    val bucket = when(col("v") === 0d, lit(0L)).otherwise(
+      (signum(col("v")) *
+        (floor(round(log(abs(col("v"))) * lit(s), 9)) + lit(off))).cast("long"))
+    val counts = stacked.withColumn("b", bucket)
+      .groupBy("column", "b")
+      .agg(count(lit(1)).as("cnt"), min("v").as("bmin"), max("v").as("bmax"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("column").orderBy("bmin")
+    val cdf = counts
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("column")))
+    def atRank(k: Column) = min(when(col("cum") >= k, col("bmin")))
+    val allAggs = Seq(min("bmin").as("minv"), max(col("bmax")).as("maxv")) ++
+      ps.zipWithIndex.map { case (p, i) =>
+        atRank(floor((col("n") - 1) * lit(p)) + 1).as(s"__q$i")
+      }
+    cdf.groupBy("column").agg(allAggs.head, allAggs.tail: _*)
+      .select(Seq(col("column"), round(col("minv"), 4).as("minv")) ++
+        ps.zipWithIndex.map { case (p, i) =>
+          round(col(s"__q$i"), 4).as(s"p${math.round(p * 100)}")
+        } ++ Seq(round(col("maxv"), 4).as("maxv")): _*)
+  }
 }

@@ -178,6 +178,42 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("Union"), plan.take(400))
   }
 
+  test("log-histogram quantiles: relErr-bounded below exact rank values") {
+    import spark.implicits._
+    import graft.ops.Profiler
+    val relErr = 0.01
+    // geometric-ish positive data spanning 5 decades incl. sub-1 values
+    val data = (1 to 500).map(i => math.pow(10.0, -2.0 + i * 0.014))
+    val df = data.toDF("x")
+    val r = Profiler.quantileProfileLogHist(df, Seq("x"), relErr = relErr)
+      .collect().head
+    val sorted = data.sorted
+    for ((p, name) <- Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")) {
+      val vRank = sorted(math.floor((data.length - 1) * p).toInt)
+      val got = r.getAs[Double](name)
+      assert(got <= vRank + 1e-4 && got >= vRank / (1 + relErr) - 1e-4,
+        s"$name: $got not within relErr below $vRank")
+    }
+    assert(math.abs(r.getAs[Double]("minv") - sorted.head) < 1e-4)
+    assert(math.abs(r.getAs[Double]("maxv") - sorted.last) < 1e-4)
+  }
+
+  test("log-histogram quantiles: mixed signs, zero, |v|<1 stay disjoint") {
+    import spark.implicits._
+    import graft.ops.Profiler
+    // |v|<1 once made sign*(floor+1) ids collide across signs (floor<0
+    // flips the sign of the id); this mix breaks ordering under that bug
+    val data = Seq(-50.0, -1.97, -0.5, -0.09, 0.0, 0.11, 0.5, 0.995, 1.97, 50.0)
+    val df = data.toDF("x")
+    val r = Profiler.quantileProfileLogHist(df, Seq("x")).collect().head
+    val ps = Seq("minv", "p25", "p50", "p75", "p95", "maxv")
+      .map(r.getAs[Double])
+    assert(ps == ps.sorted, s"percentiles must be monotone: $ps")
+    assert(ps.head == -50.0 && ps.last == 50.0)
+    // every reported percentile is an actual data value (bucket minima)
+    ps.tail.init.foreach(v => assert(data.contains(v), s"$v not in data"))
+  }
+
   test("decontaminate: shared n-grams flagged, clean docs pass, eval broadcast") {
     import spark.implicits._
     import graft.ops.TextAnalysis
