@@ -1709,6 +1709,43 @@ object Queries {
         |    CAST(1500 AS DOUBLE) / n_tokens), 4)) AS BIGINT) AS sampled_tokens
         |FROM s ORDER BY source""".stripMargin)),
 
+    // ---- Temperature-scaled domain mixing (Sampling.temperatureMix):
+    // q_d ∝ p_d^0.3 flattens source shares toward uniform, rates hit a
+    // 300-doc target, capped at 1. p^α is rounded BEFORE the normalizing
+    // sum so libm/addition-order noise can't leak into the rates. ----
+    QDef("mix_temperature",
+      (s, d) => Sampling.temperatureMix(documents(s, d), alpha = 0.3,
+        targetDocs = 300L).orderBy("source"),
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents
+        |    GROUP BY source),
+        |t AS (SELECT SUM(n_docs) AS n FROM c),
+        |w AS (SELECT source, n_docs, CAST(n_docs AS DOUBLE) / n AS p,
+        |    ROUND(POWER(CAST(n_docs AS DOUBLE) / n, 0.3), 9) AS pa
+        |  FROM c, t),
+        |z AS (SELECT SUM(pa) AS z FROM w),
+        |r AS (SELECT source, n_docs, ROUND(p, 6) AS p,
+        |    ROUND(pa / z, 6) AS q,
+        |    ROUND(LEAST(1.0, ROUND(pa / z, 6) * 300.0 / n_docs), 6) AS rate
+        |  FROM w, z)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, p, q, rate,
+        |  CAST(FLOOR(n_docs * rate) AS BIGINT) AS expected_docs
+        |FROM r ORDER BY source""".stripMargin)),
+
+    // ---- Weighted k-sample without replacement (Sampling.weightedSample):
+    // Efraimidis–Spirakis keys ln(u)/w with a hash-uniform u — longer
+    // docs proportionally likelier, the whole draw replayable by any
+    // engine from (salt, key, weight). Top-k via per-partition heaps. ----
+    QDef("sample_weighted",
+      (s, d) => Sampling.weightedSample(documents(s, d),
+          weightCol = "n_chars", key = "doc_id", k = 100)
+        .select(col("doc_id"), col("n_chars"), col("w_key"))
+        .orderBy(col("w_key").desc, col("doc_id")),
+      Some("""SELECT doc_id, n_chars,
+        |  ROUND(LN((CAST(('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 1000000 + 0.5) / 1000000.0) / n_chars, 12) AS w_key
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY w_key DESC, doc_id LIMIT 100""".stripMargin)),
+
     // ---- Unicode NFC normalization + cleanup (strip control chars,
     // collapse whitespace). Spark has no nfc function; ours is a native
     // codegen'd expression (NfcNormalizeExpr) matching DuckDB's built-in

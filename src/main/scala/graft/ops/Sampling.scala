@@ -142,4 +142,63 @@ object Sampling {
         sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("n_tokens"),
         sum(length(col(textCol)).cast("long")).as("n_chars"),
         min(col(key)).as("min_id"), max(col(key)).as("max_id"))
+
+  /** Weighted k-sample without replacement — Efraimidis–Spirakis with the
+    * house determinism policy: the uniform draw is a hash, not an RNG.
+    * Each row gets `u = (md5(salt:key) mod 1e6 + 0.5) / 1e6` and rank key
+    * `w_key = ln(u) / w` (the log of E–S's `u^(1/w)`, same ordering, no
+    * cross-engine `pow`); the k LARGEST keys win, so inclusion odds are
+    * proportional to weight and the whole draw replays bit-identically on
+    * any engine from (salt, key, weight) alone.
+    *
+    * Scale: the key is map-side arithmetic; top-k is
+    * TakeOrderedAndProject — per-partition k-row heaps to the driver,
+    * never a global sort. `w_key` is rounded (12 dp) so last-ulp libm
+    * `ln` differences can't reorder near-ties, and `key` breaks exact
+    * ties. Non-positive weights are excluded (E–S is undefined there). */
+  def weightedSample(df: DataFrame, weightCol: String, key: String, k: Int,
+      salt: String = "ws"): DataFrame = {
+    require(!df.columns.contains("w_key"),
+      "weightedSample reserves output column 'w_key'; rename it first")
+    val u = (pmod(Dedup.md5Long(
+        concat(lit(salt + ":"), col(key).cast("string"))), lit(1000000L))
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("w_key", round(log(u) / col(weightCol), 12))
+      .orderBy(col("w_key").desc, col(key))
+      .limit(k)
+  }
+
+  /** Temperature-scaled domain mixing: the multilingual/multi-source
+    * rebalance every large pretraining corpus applies — raw domain shares
+    * `p_d` are flattened to `q_d ∝ p_d^α` (α < 1 upsamples the tail,
+    * α = 1 keeps proportions), and per-domain sampling rates are whatever
+    * hits `targetDocs` at those shares, capped at 1 (a domain can't be
+    * sampled above its size without replacement).
+    *
+    * Complements [[domainMixWeights]] (absolute per-source token budget):
+    * this one redistributes RELATIVE mass across domains.
+    *
+    * Scale: one partial-aggregated count per domain; the two totals ride
+    * broadcast 1-row cross-joins, so nothing ever funnels through a
+    * single partition. `p^α` is rounded (9 dp) BEFORE the normalizing
+    * sum — summing raw `pow` outputs would let last-ulp libm differences
+    * and addition order leak into every downstream rate. */
+  def temperatureMix(documents: DataFrame, alpha: Double, targetDocs: Long,
+      sourceCol: String = "source"): DataFrame = {
+    val counts = documents.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val withP = counts
+      .crossJoin(broadcast(counts.agg(sum("n_docs").as("__n"))))
+      .withColumn("p", col("n_docs").cast("double") / col("__n"))
+      .withColumn("pa", round(pow(col("p"), lit(alpha)), 9))
+    withP
+      .crossJoin(broadcast(withP.agg(sum("pa").as("__z"))))
+      .withColumn("q", round(col("pa") / col("__z"), 6))
+      .withColumn("rate", round(least(lit(1.0),
+        col("q") * lit(targetDocs.toDouble) / col("n_docs")), 6))
+      .select(col("source"), col("n_docs"), round(col("p"), 6).as("p"),
+        col("q"), col("rate"),
+        floor(col("n_docs") * col("rate")).cast("long").as("expected_docs"))
+  }
 }

@@ -88,6 +88,51 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("PartialTopK"), plan.take(400))
   }
 
+  test("weighted sample: weight-biased, exact k, partition-invariant, heap plan") {
+    import spark.implicits._
+    // 200 light rows (w=1) vs 200 heavy rows (w=50): heavies must dominate
+    val df = (0 until 400).map(i =>
+      (i.toLong, if (i < 200) 1.0 else 50.0)).toDF("id", "w")
+    def draw(parts: Int) = Sampling.weightedSample(
+      df.repartition(parts), "w", "id", k = 50).collect()
+      .map(_.getLong(0)).toSet
+    val a = draw(3)
+    assert(a == draw(17), "draw must not depend on partitioning")
+    assert(a.size == 50)
+    assert(a.count(_ >= 200) > 40, s"heavy rows underrepresented: $a")
+    // non-positive weights are never drawn
+    val withZero = Seq((1L, 0.0), (2L, -3.0), (3L, 5.0)).toDF("id", "w")
+    assert(Sampling.weightedSample(withZero, "w", "id", k = 10)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // reserved output column rejected loudly
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df.withColumnRenamed("w", "w_key"), "w_key", "id", 5)
+    }
+    // top-k rides per-partition heaps, never a global sort
+    val plan = Sampling.weightedSample(df, "w", "id", k = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
+  test("temperature mix: alpha=1 keeps shares, alpha->0 flattens, rates capped") {
+    import spark.implicits._
+    val df = (0 until 330).map(i =>
+      (i.toLong, if (i < 300) "big" else "small")).toDF("doc_id", "source")
+    def mix(alpha: Double) = Sampling.temperatureMix(df, alpha, targetDocs = 200L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    val m1 = mix(1.0)
+    assert(math.abs(m1("big")._2 - 300.0 / 330) < 1e-6) // q == p at alpha 1
+    val m0 = mix(1e-9) // alpha ~ 0: q -> uniform
+    assert(math.abs(m0("big")._2 - 0.5) < 1e-3 &&
+      math.abs(m0("small")._2 - 0.5) < 1e-3)
+    // small domain upsampled to its cap: rate 1, expected == n_docs
+    assert(m0("small")._3 == 1.0 && m0("small")._4 == 30L)
+    for (m <- Seq(m1, m0); (_, (n, _, rate, exp)) <- m) {
+      assert(rate <= 1.0 && exp <= n)
+    }
+  }
+
   test("per-group sample: pre-existing 'h' column is rejected, not clobbered") {
     import spark.implicits._
     import graft.ops.Sampling
