@@ -951,6 +951,61 @@ object Queries {
         |  doc_id = cluster_id AS is_keeper
         |FROM lab ORDER BY doc_id""".stripMargin)),
 
+    // ---- Keep-BEST near-dup representative (Dedup.bestRepresentatives):
+    // same clusters as dedup_clusters, but the survivor is the argmax of
+    // the model quality score (ties → lowest id) — the policy curation
+    // pipelines actually want. GroupedTopK top-1 per cluster. ----
+    QDef("dedup_keep_best",
+      (s, d) => {
+        val docs = documents(s, d).filter(col("doc_id") < 300)
+        val a = docs.select(col("doc_id").as("doc_a"), Dedup.tokenSet(col("text")).as("toks_a"))
+        val b = docs.select(col("doc_id").as("doc_b"), Dedup.tokenSet(col("text")).as("toks_b"))
+        val pairs = Dedup.jaccardPairs(a.join(b, col("doc_a") < col("doc_b")))
+          .filter(col("jaccard") >= 0.5)
+        Dedup.bestRepresentatives(docs, pairs,
+            TextAnalysis.qualityScoreExpr(col("text")))
+          .orderBy("cluster_id")
+      },
+      Some("""WITH RECURSIVE d AS (SELECT doc_id, text,
+        |  list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |pairs AS (SELECT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (SELECT u, v FROM edges
+        |  UNION SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u
+        |    WHERE e.v <> r.a),
+        |comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |lab AS (SELECT dd.doc_id, dd.text,
+        |    COALESCE(c.cluster_id, dd.doc_id) AS cluster_id
+        |  FROM d dd LEFT JOIN comp c ON dd.doc_id = c.doc_id),
+        |f AS (SELECT doc_id, cluster_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) /
+        |    GREATEST(len(string_split_regex(trim(text), '\s+')), 1), 4) AS stop_ratio,
+        |  ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) /
+        |    GREATEST(length(text), 1), 4) AS punct_ratio,
+        |  ROUND(CAST(length(text) - (len(string_split_regex(trim(text), '\s+')) - 1) AS DOUBLE) /
+        |    GREATEST(len(string_split_regex(trim(text), '\s+')), 1), 4) AS avg_token_len
+        |  FROM lab),
+        |q AS (SELECT doc_id, cluster_id,
+        |  ROUND(1.0 / (1.0 + exp(-(-1.0 + 0.55 * ln(1.0 + n_tokens)
+        |    + 2.0 * stop_ratio - 3.0 * punct_ratio - 0.05 * avg_token_len))), 4) AS score
+        |  FROM f),
+        |r AS (SELECT cluster_id, doc_id AS keep_id, score AS keep_score,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |      ORDER BY score DESC, doc_id) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        |  FROM q)
+        |SELECT cluster_id, keep_id, keep_score, cluster_size FROM r
+        |WHERE rk = 1 ORDER BY cluster_id""".stripMargin)),
+
     // Portable (md5-based) hashing so DuckDB replays the exact signature
     // pipeline: shingle → (h1,h2) mod 2^31-1 → 64 double-hash minima →
     // 16×4 band keys → candidate join → agreement fraction. The oracle

@@ -378,4 +378,29 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
   }
+
+  /** Keep-BEST representative per near-dup cluster: where [[clusters]]
+    * retains the lowest id (cheap, arbitrary), this ranks members by a
+    * caller-supplied score — model quality, length, recency — and keeps
+    * the argmax, the policy real curation pipelines want ("of these 4
+    * near-identical pages, keep the cleanest one, not the oldest").
+    *
+    * Output: one row per cluster (cluster_id, keep_id, keep_score,
+    * cluster_size). Deterministic: score ties break on doc_id.
+    *
+    * Scale: cluster labels come from pointer-doubling [[clusters]]; the
+    * argmax is GroupedTopK top-1 — ≤1 row per cluster survives each
+    * partition before the one shuffle, so the reduction never sorts or
+    * windows the full corpus. */
+  def bestRepresentatives(documents: DataFrame, pairs: DataFrame,
+      score: Column): DataFrame = {
+    val scored = clusters(documents, pairs)
+      .join(documents.select(col("doc_id"),
+        round(score, 4).as("__score")), "doc_id")
+    graft.plans.GroupedTopK.perKey(scored, "cluster_id",
+        Seq("__score" -> false, "doc_id" -> true), 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("__score").as("keep_score"),
+        col("cluster_size").cast("long").as("cluster_size"))
+  }
 }

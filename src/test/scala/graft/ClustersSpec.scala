@@ -119,4 +119,17 @@ class ClustersSpec extends SparkSpec {
       (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
       (7L, 7L, 1L, true), (9L, 9L, 1L, true)))
   }
+
+  test("best representative: argmax score wins, ties break low, singletons kept") {
+    // chain 1~2~3: 2 has the top score; pair 7~8 ties -> lowest id; 9 solo
+    val docs = Seq(1L -> 0.2, 2L -> 0.9, 3L -> 0.5, 7L -> 0.4, 8L -> 0.4,
+      9L -> 0.7).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = Dedup.bestRepresentatives(docs, pairs, col("score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 0.9, 3L), (7L, 7L, 0.4, 2L), (9L, 9L, 0.7, 1L)))
+  }
 }
