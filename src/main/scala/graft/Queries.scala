@@ -1764,6 +1764,58 @@ object Queries {
         |    CAST(1500 AS DOUBLE) / n_tokens), 4)) AS BIGINT) AS sampled_tokens
         |FROM s ORDER BY source""".stripMargin)),
 
+    // ---- URL canonicalization + dedup-by-canonical-URL (Urls): four
+    // injected spellings per page (uppercase host, default :443 port,
+    // trailing slash, fragment, utm_* params, param order) collapse to
+    // one canonical form; 25 pages × 4 forms over the corpus. ----
+    QDef("url_canonicalize",
+      (s, d) => {
+        val page = (col("doc_id") % 25).cast("string")
+        val raw = when(col("doc_id") % 4 === 0,
+            concat(lit("https://www.crawl-site.com/page/"), page,
+              lit("?id=1&utm_source=feed")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("HTTPS://WWW.Crawl-Site.COM:443/page/"), page,
+              lit("/?id=1")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://www.crawl-site.com/page/"), page,
+              lit("?id=1#sec")))
+          .otherwise(
+            concat(lit("https://www.crawl-site.com:443/page/"), page,
+              lit("?utm_campaign=x&id=1")))
+        graft.ops.Urls.dedupByUrl(
+            documents(s, d).select(col("doc_id"), raw.as("url")))
+          .orderBy("canonical_url")
+      },
+      Some("""WITH u AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'https://www.crawl-site.com/page/' || CAST(doc_id % 25 AS VARCHAR) || '?id=1&utm_source=feed'
+        |    WHEN 1 THEN 'HTTPS://WWW.Crawl-Site.COM:443/page/' || CAST(doc_id % 25 AS VARCHAR) || '/?id=1'
+        |    WHEN 2 THEN 'https://www.crawl-site.com/page/' || CAST(doc_id % 25 AS VARCHAR) || '?id=1#sec'
+        |    ELSE 'https://www.crawl-site.com:443/page/' || CAST(doc_id % 25 AS VARCHAR) || '?utm_campaign=x&id=1'
+        |  END AS url FROM documents),
+        |parts AS (SELECT doc_id, url,
+        |    regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |c AS (SELECT doc_id, url,
+        |    lower(regexp_extract(nofrag, '^([^:]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(nofrag, '^[^:]+://([^/?#]+)', 1)) AS host,
+        |    regexp_replace(regexp_extract(nofrag, '^[^:]+://[^/?#]+([^?#]*)', 1), '/+$', '') AS path,
+        |    regexp_extract(nofrag, '\?(.*)$', 1) AS q FROM parts),
+        |canon AS (SELECT doc_id, url,
+        |    scheme || '://' ||
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(host, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(host, ':80$', '')
+        |         ELSE host END || path ||
+        |    CASE WHEN len(list_filter(string_split(q, '&'),
+        |        p -> p <> '' AND substr(p, 1, 4) <> 'utm_')) > 0
+        |      THEN '?' || array_to_string(list_sort(list_filter(
+        |        string_split(q, '&'),
+        |        p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&')
+        |      ELSE '' END AS canonical_url
+        |  FROM c)
+        |SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |  COUNT(*) AS n_dups, COUNT(DISTINCT url) AS n_raw_forms
+        |FROM canon GROUP BY canonical_url ORDER BY canonical_url""".stripMargin)),
+
     // ---- Temperature-scaled domain mixing (Sampling.temperatureMix):
     // q_d ∝ p_d^0.3 flattens source shares toward uniform, rates hit a
     // 300-doc target, capped at 1. p^α is rounded BEFORE the normalizing
