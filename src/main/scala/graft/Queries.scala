@@ -1764,6 +1764,72 @@ object Queries {
         |    CAST(1500 AS DOUBLE) / n_tokens), 4)) AS BIGINT) AS sampled_tokens
         |FROM s ORDER BY source""".stripMargin)),
 
+    // ---- Distributed logistic-regression training (LinearModels
+    // .logisticGd): distill the quality gate into a linear model by
+    // full-batch GD — each iteration ONE partial-aggregated scan, d+1
+    // scalars to the driver, weights re-broadcast as literals. The
+    // gradient/weight rounding (9/6 dp) makes the training bit-stable
+    // across engines, so the oracle replays all 3 iterations as chained
+    // CTEs and the WEIGHTS hash-match, not just a sanity bound. ----
+    QDef("quality_lr_train",
+      (s, d) => {
+        val f = TextAnalysis.qualityFeatures(documents(s, d))
+          .withColumn("log_tokens",
+            round(log(lit(1.0) + col("n_tokens")), 6))
+          .withColumn("y",
+            (TextAnalysis.qualityScoreExpr(col("text")) >= 0.3).cast("double"))
+        graft.ops.LinearModels.logisticGd(f,
+          Seq("log_tokens" -> col("log_tokens"),
+            "stop_ratio" -> col("stop_ratio"),
+            "punct_ratio" -> col("punct_ratio"),
+            "avg_token_len" -> col("avg_token_len")),
+          label = col("y"), lr = 1.0, iters = 3)
+          .orderBy("feature")
+      },
+      Some {
+        val xs = Seq("log_tokens", "stop_ratio", "punct_ratio", "avg_token_len")
+        val margin = "w0 + " + xs.zipWithIndex
+          .map { case (x, j) => s"w${j + 1} * $x" }.mkString(" + ")
+        val err = s"(1.0 / (1.0 + exp(-($margin))) - y)"
+        def gradCte(k: Int) = s"g$k AS (SELECT " +
+          (("1.0" +: xs).zipWithIndex.map { case (x, j) =>
+            s"ROUND(AVG($err * $x), 9) AS g$j" }.mkString(", ")) +
+          s" FROM f, i${k - 1})"
+        def stepCte(k: Int) = s"i$k AS (SELECT " +
+          (0 to xs.length).map(j => s"ROUND(w$j - 1.0 * g$j, 6) AS w$j")
+            .mkString(", ") + s" FROM i${k - 1}, g$k)"
+        val iters = (1 to 3).map(k => gradCte(k) + ",\n" + stepCte(k))
+          .mkString(",\n")
+        val out = ("bias" +: xs).zipWithIndex
+          .map { case (n, j) => s"SELECT '$n' AS feature, w$j AS weight FROM i3" }
+          .mkString(" UNION ALL ")
+        s"""WITH f AS (SELECT
+        |  ROUND(LN(1.0 + len(string_split_regex(trim(text), '\\s+'))), 6) AS log_tokens,
+        |  ROUND(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        |    x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) /
+        |    GREATEST(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS stop_ratio,
+        |  ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) /
+        |    GREATEST(length(text), 1), 4) AS punct_ratio,
+        |  ROUND(CAST(length(text) - (len(string_split_regex(trim(text), '\\s+')) - 1) AS DOUBLE) /
+        |    GREATEST(len(string_split_regex(trim(text), '\\s+')), 1), 4) AS avg_token_len,
+        |  CAST(ROUND(1.0 / (1.0 + exp(-(-1.0
+        |    + 0.55 * ln(1.0 + len(string_split_regex(trim(text), '\\s+')))
+        |    + 2.0 * ROUND(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        |        x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) /
+        |        GREATEST(len(string_split_regex(trim(text), '\\s+')), 1), 4)
+        |    - 3.0 * ROUND(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) /
+        |        GREATEST(length(text), 1), 4)
+        |    - 0.05 * ROUND(CAST(length(text) - (len(string_split_regex(trim(text), '\\s+')) - 1) AS DOUBLE) /
+        |        GREATEST(len(string_split_regex(trim(text), '\\s+')), 1), 4)))), 4) >= 0.3
+        |    AS DOUBLE) AS y
+        |  FROM documents),
+        |i0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+        |  CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3,
+        |  CAST(0 AS DOUBLE) AS w4),
+        |$iters
+        |$out ORDER BY feature""".stripMargin
+      }),
+
     // ---- URL canonicalization + dedup-by-canonical-URL (Urls): four
     // injected spellings per page (uppercase host, default :443 port,
     // trailing slash, fragment, utm_* params, param order) collapse to
