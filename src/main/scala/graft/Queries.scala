@@ -951,6 +951,32 @@ object Queries {
         |  doc_id = cluster_id AS is_keeper
         |FROM lab ORDER BY doc_id""".stripMargin)),
 
+    // ---- Repeated-substring spans (Dedup.duplicateSpans): token
+    // 5-grams occurring in >1 doc mark duplicated start positions;
+    // adjacent positions merge to maximal spans (gaps-and-islands).
+    // Substring-level dedup — catches verbatim repeats inside docs
+    // that are NOT document-level duplicates. ----
+    QDef("dedup_substring_spans",
+      (s, d) => Dedup.duplicateSpans(documents(s, d), l = 5)
+        .orderBy("doc_id", "span_start"),
+      Some("""WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest([i - 1 FOR i IN generate_series(1, len(t) - 4)]) AS pos,
+        |    unnest([md5(array_to_string(t[i:i+4], ' '))
+        |      FOR i IN generate_series(1, len(t) - 4)]) AS h
+        |  FROM tok),
+        |d AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+        |m AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
+        |s AS (SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM m)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+        |  CAST(MAX(pos) + 4 AS BIGINT) AS span_end,
+        |  CAST(MAX(pos) + 4 - MIN(pos) + 1 AS BIGINT) AS span_tokens
+        |FROM s GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin)),
+
     // ---- Keep-BEST near-dup representative (Dedup.bestRepresentatives):
     // same clusters as dedup_clusters, but the survivor is the argmax of
     // the model quality score (ties → lowest id) — the policy curation

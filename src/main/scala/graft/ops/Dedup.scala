@@ -379,6 +379,52 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
   }
 
+  /** Repeated-substring spans — substring-level dedup (the "Deduplicating
+    * Training Data Makes Language Models Better" observation: verbatim
+    * repeats live INSIDE documents that are not duplicates of each
+    * other). A token `l`-gram occurring in more than one document marks
+    * its start position as duplicated; runs of adjacent duplicated
+    * positions merge into maximal spans — the regions a curation
+    * pipeline would cut or down-weight.
+    *
+    * Scale shape (the suffix-array of the paper doesn't distribute; this
+    * does): positional shingling is map-only (token array materialized
+    * in its own projection — HOF bodies don't CSE with the outer plan);
+    * the duplicate-gram reduction is ONE partial-aggregated shuffle
+    * carrying O(distinct grams); marking positions is a semi-join on the
+    * gram hash; span-merge is a gaps-and-islands window partitioned by
+    * doc (state bounded by doc length, never corpus-wide). The gram
+    * travels as md5 hex — portable to the oracle, collision-safe.
+    *
+    * Output: (doc_id, span_start, span_end, span_tokens) per maximal
+    * duplicated span, positions 0-based token offsets, span_end
+    * inclusive. */
+  def duplicateSpans(documents: DataFrame, l: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= l)
+    val grams = toks
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - lit(l))).as("pos"),
+        col("toks"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(array_join(slice(col("toks"), col("pos") + 1, lit(l)), " ")).as("h"))
+    val dupH = grams.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") > 1)
+      .select("h")
+    val marked = grams.join(dupH, "h").select("doc_id", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    marked
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(l.toLong - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
   /** Keep-BEST representative per near-dup cluster: where [[clusters]]
     * retains the lowest id (cheap, arbitrary), this ranks members by a
     * caller-supplied score — model quality, length, recency — and keeps

@@ -120,6 +120,20 @@ class ClustersSpec extends SparkSpec {
       (7L, 7L, 1L, true), (9L, 9L, 1L, true)))
   }
 
+  test("duplicate spans: maximal merge, cross-doc only, short docs skipped") {
+    val docs = Seq(
+      (1L, "a b c d e f g x y z"),        // shares "a b c d e f g" with 2
+      (2L, "z z a b c d e f g q"),
+      (3L, "p q r s t u p q r s t u"),    // WITHIN-doc repeat only -> silent
+      (4L, "one two three")               // < 5 tokens -> skipped
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, l = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    // dup 5-gram starts: doc1 pos 0,1,2 -> one span [0,6]; doc2 pos 2,3,4 -> [2,8]
+    assert(got.toSeq == Seq((1L, 0L, 6L, 7L), (2L, 2L, 8L, 7L)), got.mkString(","))
+  }
+
   test("best representative: argmax score wins, ties break low, singletons kept") {
     // chain 1~2~3: 2 has the top score; pair 7~8 ties -> lowest id; 9 solo
     val docs = Seq(1L -> 0.2, 2L -> 0.9, 3L -> 0.5, 7L -> 0.4, 8L -> 0.4,
