@@ -977,6 +977,38 @@ object Queries {
         |FROM s GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin)),
 
+    // ---- Cut the duplicated spans (Dedup.cutSpans): enforcement half
+    // of dedup_substring_spans — every covered token position drops,
+    // survivors rejoin in order; per-row HOF filter, no extra corpus
+    // shuffle. ----
+    QDef("dedup_cut_spans",
+      (s, d) => Dedup.cutSpans(documents(s, d), l = 5).orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest([i - 1 FOR i IN generate_series(1, len(t) - 4)]) AS pos,
+        |    unnest([md5(array_to_string(t[i:i+4], ' '))
+        |      FOR i IN generate_series(1, len(t) - 4)]) AS h
+        |  FROM tok),
+        |d AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+        |m AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
+        |s AS (SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM m),
+        |sp0 AS (SELECT doc_id, MIN(pos) AS a, MAX(pos) + 4 AS b
+        |  FROM s GROUP BY doc_id, island),
+        |sp AS (SELECT doc_id, list([a, b]) AS spans FROM sp0 GROUP BY doc_id),
+        |c AS (SELECT tok.doc_id, tok.t, COALESCE(sp.spans, []) AS spans
+        |  FROM tok LEFT JOIN sp USING (doc_id))
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t) - len([i FOR i IN generate_series(1, len(t))
+        |    IF len(list_filter(spans, x -> i - 1 BETWEEN x[1] AND x[2])) = 0])
+        |    AS BIGINT) AS n_cut,
+        |  COALESCE(array_to_string([t[i] FOR i IN generate_series(1, len(t))
+        |    IF len(list_filter(spans, x -> i - 1 BETWEEN x[1] AND x[2])) = 0],
+        |    ' '), '') AS clean_text
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
     // ---- Keep-BEST near-dup representative (Dedup.bestRepresentatives):
     // same clusters as dedup_clusters, but the survivor is the argmax of
     // the model quality score (ties → lowest id) — the policy curation

@@ -425,6 +425,42 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
   }
 
+  /** Cut duplicated spans out of the text — the enforcement half of
+    * [[duplicateSpans]] (detect → cut): every token position covered by
+    * a duplicated span is dropped and the survivors rejoin in order.
+    * Conservative policy: ALL occurrences are cut (no "keeper"
+    * occurrence), the right default when repeated boilerplate is noise
+    * in every document it touches.
+    *
+    * Scale: spans per doc ride a `collect_list` into one row (bounded by
+    * doc length ÷ l, same class as the chunker), the join back to
+    * documents is on doc_id, and the cut itself is a per-row HOF filter
+    * — no second corpus shuffle beyond [[duplicateSpans]]'s own.
+    *
+    * Output: doc_id, n_tokens, n_cut, clean_text (docs with no
+    * duplicated span pass through with n_cut = 0). */
+  def cutSpans(documents: DataFrame, l: Int = 5,
+      textCol: String = "text"): DataFrame = {
+    val spans = duplicateSpans(documents, l, textCol)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    val toks = documents.select(col("doc_id"),
+      split(trim(lower(col(textCol))), "\\s+").as("toks"))
+    toks.join(spans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        array().cast("array<struct<span_start:bigint,span_end:bigint>>")))
+      .select(col("doc_id"), col("toks"), col("spans"),
+        filter(sequence(lit(0L), size(col("toks")).cast("long") - 1L),
+          i => !exists(col("spans"),
+            sp => i.between(sp("span_start"), sp("span_end")))).as("keep"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("keep"))).cast("long").as("n_cut"),
+        array_join(transform(col("keep"),
+          i => element_at(col("toks"), (i + 1L).cast("int"))), " ")
+          .as("clean_text"))
+  }
+
   /** Keep-BEST representative per near-dup cluster: where [[clusters]]
     * retains the lowest id (cheap, arbitrary), this ranks members by a
     * caller-supplied score — model quality, length, recency — and keeps

@@ -134,6 +134,24 @@ class ClustersSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0L, 6L, 7L), (2L, 2L, 8L, 7L)), got.mkString(","))
   }
 
+  test("cut spans: covered tokens drop, order kept, clean docs untouched") {
+    val docs = Seq(
+      (1L, "a b c d e f g x y z"),
+      (2L, "z z a b c d e f g q"),
+      (3L, "fully shared text one two"),   // whole doc duplicated with 5
+      (4L, "one two three"),               // short: passes through
+      (5L, "fully shared text one two")
+    ).toDF("doc_id", "text")
+    val got = Dedup.cutSpans(docs, l = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got(1L) == ((10L, 7L, "x y z")))
+    assert(got(2L) == ((10L, 7L, "z z q")))
+    assert(got(3L) == ((5L, 5L, "")))  // fully cut -> empty, not null
+    assert(got(4L) == ((3L, 0L, "one two three")))
+    assert(got(5L) == ((5L, 5L, "")))
+  }
+
   test("best representative: argmax score wins, ties break low, singletons kept") {
     // chain 1~2~3: 2 has the top score; pair 7~8 ties -> lowest id; 9 solo
     val docs = Seq(1L -> 0.2, 2L -> 0.9, 3L -> 0.5, 7L -> 0.4, 8L -> 0.4,
