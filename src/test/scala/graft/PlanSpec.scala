@@ -212,4 +212,38 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), "portable sketch agg must stay object-hash")
     assert(!p.contains("SortAggregate"), "portable sketch agg fell back to sort-based")
   }
+
+  test("loghist quantiles: codegen hash agg, never ObjectHash GK buffers") {
+    val p = planOf("q52c_quantile_profile_loghist")
+    assert(p.contains("HashAggregate"), "bucket agg must be hash-based")
+    assert(!p.contains("ObjectHashAggregate"),
+      "loghist exists to avoid the interpreted GK path")
+  }
+
+  test("substring spans: dup-gram agg partial-aggregates; island window is per-doc") {
+    val p = planOf("dedup_substring_spans")
+    assert(p.contains("partial_count"), "dup-gram count must partial-aggregate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "position mark must be an equi-join on the gram hash")
+  }
+
+  test("url canonicalize: map-only rules, ONE partial-aggregated exchange") {
+    val p = planOf("url_canonicalize")
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      "canonicalization must not join")
+    // countDistinct(raw) adds its Expand pass but both aggs stay partial
+    assert(p.contains("partial_"), "dedup agg must partial-aggregate")
+  }
+
+  test("temperature mix: totals broadcast, corpus never re-shuffled for them") {
+    val p = planOf("mix_temperature")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "1-row totals must broadcast")
+    assert(!p.contains("CartesianProduct"), "totals join fell off broadcast")
+  }
+
+  test("weighted sample: per-partition heaps, no global sort") {
+    val p = planOf("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must be heap-based")
+  }
 }
