@@ -390,11 +390,15 @@ object Dedup {
     * Scale shape (the suffix-array of the paper doesn't distribute; this
     * does): positional shingling is map-only (token array materialized
     * in its own projection — HOF bodies don't CSE with the outer plan);
-    * the duplicate-gram reduction is ONE partial-aggregated shuffle
-    * carrying O(distinct grams); marking positions is a semi-join on the
-    * gram hash; span-merge is a gaps-and-islands window partitioned by
-    * doc (state bounded by doc length, never corpus-wide). The gram
-    * travels as md5 hex — portable to the oracle, collision-safe.
+    * "gram in >1 doc" is `min(doc) ≠ max(doc)` over ONE window keyed by
+    * the gram hash — NOT a dup-hash aggregate joined back, which would
+    * re-evaluate the whole shingling chain per branch (measured 2×);
+    * span-merge is a gaps-and-islands window partitioned by doc (state
+    * bounded by doc length, never corpus-wide). The gram travels as md5
+    * hex — portable to the oracle, collision-safe. A pathological gram
+    * (the same boilerplate in millions of docs) skews its hash
+    * partition identically under either shape — AQE's skew handling is
+    * the knob there.
     *
     * Output: (doc_id, span_start, span_end, span_tokens) per maximal
     * duplicated span, positions 0-based token offsets, span_end
@@ -410,10 +414,12 @@ object Dedup {
         col("toks"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         md5(array_join(slice(col("toks"), col("pos") + 1, lit(l)), " ")).as("h"))
-    val dupH = grams.groupBy("h")
-      .agg(countDistinct("doc_id").as("nd")).filter(col("nd") > 1)
-      .select("h")
-    val marked = grams.join(dupH, "h").select("doc_id", "pos")
+    val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val marked = grams
+      .withColumn("__lo", min("doc_id").over(byH))
+      .withColumn("__hi", max("doc_id").over(byH))
+      .filter(col("__lo") =!= col("__hi"))
+      .select("doc_id", "pos")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     marked

@@ -220,11 +220,12 @@ class PlanSpec extends SparkSpec {
       "loghist exists to avoid the interpreted GK path")
   }
 
-  test("substring spans: dup-gram agg partial-aggregates; island window is per-doc") {
+  test("substring spans: one shingle pass, window-marked dups, no join-back") {
     val p = planOf("dedup_substring_spans")
-    assert(p.contains("partial_count"), "dup-gram count must partial-aggregate")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      "position mark must be an equi-join on the gram hash")
+    assert(!p.contains("Join"), "dup mark must be the min≠max window, not a join-back")
+    // the shingling chain (split→slice→md5) must be evaluated ONCE — the
+    // join-back shape re-ran it per branch and doubled the query
+    assert(p.sliding(3).count(_ == "md5") == 1, "shingle chain evaluated more than once")
   }
 
   test("url canonicalize: map-only rules, ONE partial-aggregated exchange") {
