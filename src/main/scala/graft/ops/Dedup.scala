@@ -28,7 +28,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+  private def tokens(c: Column): Column =
+    graft.functions.WsSplitExpr.wsSplit(trim(lower(c)))
 
   /** Cross-engine 60-bit hash: hex digits [off, off+15) of md5, as a long.
     * DuckDB equivalent: `CAST('0x' || substr(md5(s), off, 15) AS BIGINT)`.
@@ -80,7 +81,7 @@ object Dedup {
           element_at(t, i + 3))))
       .otherwise(array(array_join(t, " "))) // short docs: whole text
     val hashed = documents
-      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("t"))
+      .select(col("doc_id"), graft.functions.WsSplitExpr.wsSplit(trim(lower(col("text")))).as("t"))
       .select(col("doc_id"), explode(shingles).as("s"))
       // a null text yields one null shingle; in portable mode md5(null) is
       // null, which the primitive-Long aggregator buffer can't encode
@@ -406,7 +407,7 @@ object Dedup {
   def duplicateSpans(documents: DataFrame, l: Int = 5,
       textCol: String = "text"): DataFrame = {
     val toks = documents
-      .select(col("doc_id"), split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      .select(col("doc_id"), graft.functions.WsSplitExpr.wsSplit(trim(lower(col(textCol)))).as("toks"))
       .filter(size(col("toks")) >= l)
     val grams = toks
       .select(col("doc_id"),
@@ -451,7 +452,7 @@ object Dedup {
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     val toks = documents.select(col("doc_id"),
-      split(trim(lower(col(textCol))), "\\s+").as("toks"))
+      graft.functions.WsSplitExpr.wsSplit(trim(lower(col(textCol)))).as("toks"))
     toks.join(spans, Seq("doc_id"), "left")
       .withColumn("spans", coalesce(col("spans"),
         array().cast("array<struct<span_start:bigint,span_end:bigint>>")))

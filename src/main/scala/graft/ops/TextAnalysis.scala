@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  def toks(c: Column): Column = split(trim(c), "\\s+")
+  def toks(c: Column): Column =
+    graft.functions.WsSplitExpr.wsSplit(trim(c)) // codegen byte-scan ≡ split(_, "\\s+")
 
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(toks(c))
@@ -303,7 +304,7 @@ object TextAnalysis {
     // raw line drops real prose with trailing whitespace ('A sentence. ')
     val kept = filter(lines, l => {
       val lt = trim(l)
-      (size(split(lt, "\\s+")) >= minWords) && lt.rlike("[.!?]$")
+      (size(graft.functions.WsSplitExpr.wsSplit(lt)) >= minWords) && lt.rlike("[.!?]$")
     })
     documents.select(col("doc_id"),
       size(lines).cast("long").as("n_lines"),

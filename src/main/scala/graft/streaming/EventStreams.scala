@@ -198,7 +198,7 @@ object EventStreams {
       window_ : String = "1 hour", lateness: String = "30 minutes"): DataFrame =
     docs.withWatermark("ts", lateness)
       .select(col("ts"),
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("term"))
+        explode(graft.functions.WsSplitExpr.wsSplit(trim(lower(col(textCol))))).as("term"))
       .groupBy(window(col("ts"), window_), col("term"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("term"), col("n"))
