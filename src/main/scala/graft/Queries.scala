@@ -2202,6 +2202,45 @@ object Queries {
         |  ROUND(SUM(contrib) OVER (), 6) AS psi
         |FROM w ORDER BY bin""".stripMargin)),
 
+    // ---- PSI over LOG-HISTOGRAM buckets (Drift.psiLogHist): the
+    // continuous-column drift gate — no declared [lo, hi) needed, the
+    // multiplicative buckets cover the double range with bounded
+    // relative width. Spine = union of observed buckets. ----
+    QDef("drift_psi_loghist",
+      (s, d) => {
+        val docs = documents(s, d)
+        Drift.psiLogHist(docs.filter(col("doc_id") < 250),
+            docs.filter(col("doc_id") >= 250), "n_chars", relErr = 0.05)
+          .orderBy("bucket")
+      },
+      Some {
+        val sc = 1.0 / math.log1p(0.05)
+        val off = math.ceil(745.0 * sc).toLong + 2L
+        val bucket = "CASE WHEN v = 0 THEN 0 ELSE CAST(SIGN(v) * " +
+          s"(FLOOR(ROUND(LN(ABS(v)) * $sc, 9)) + $off) AS BIGINT) END"
+        s"""WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id < 250),
+        |c AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+        |  WHERE doc_id >= 250),
+        |hb AS (SELECT bucket, SUM(r) AS n_ref, SUM(c) AS n_cur FROM (
+        |    SELECT $bucket AS bucket, 1 AS r, 0 AS c FROM r WHERE v IS NOT NULL
+        |    UNION ALL
+        |    SELECT $bucket, 0, 1 FROM c WHERE v IS NOT NULL)
+        |  GROUP BY bucket),
+        |t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM hb),
+        |p AS (SELECT bucket, n_ref, n_cur,
+        |    GREATEST(n_ref / CAST(t_ref AS DOUBLE), 1e-6) AS p_ref,
+        |    GREATEST(n_cur / CAST(t_cur AS DOUBLE), 1e-6) AS p_cur
+        |  FROM hb CROSS JOIN t),
+        |w AS (SELECT *, ROUND((p_cur - p_ref) * ln(p_cur / p_ref), 6) AS contrib
+        |  FROM p)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_ref AS BIGINT) AS n_ref,
+        |  CAST(n_cur AS BIGINT) AS n_cur, ROUND(p_ref, 6) AS p_ref,
+        |  ROUND(p_cur, 6) AS p_cur, contrib,
+        |  ROUND(SUM(contrib) OVER (), 6) AS psi
+        |FROM w ORDER BY bucket""".stripMargin
+      }),
+
     // ---- Vocabulary build + dictionary encode (TextAnalysis.vocabEncode):
     // top-500 vocab by (freq DESC, token ASC), ids 1..500, OOV → 0,
     // per-doc token-id sequence reassembled in position order. ----

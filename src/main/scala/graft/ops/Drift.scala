@@ -64,13 +64,43 @@ object Drift {
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    psiFromJoined(joined, "bin", eps)
+  }
+
+  /** PSI over LOG-HISTOGRAM buckets ([[Profiler.logBucket]]) — the
+    * continuous-data path. Declared fixed-width bins need a declared
+    * [lo, hi), which a long-tailed continuous column doesn't have;
+    * multiplicative buckets cover the whole double range with bounded
+    * relative width, no data-dependent edges, and the same
+    * cross-run/cross-engine comparability. The spine is the UNION of
+    * observed buckets (the bucket space is unbounded, so absent-on-both
+    * buckets don't exist; absent-on-one gets the eps floor exactly like
+    * an empty fixed bin). Two scans, O(occupied buckets) shuffled. */
+  def psiLogHist(ref: DataFrame, cur: DataFrame, valueCol: String,
+      relErr: Double = 0.05, eps: Double = 1e-6): DataFrame = {
+    def histOf(df: DataFrame, r: Column, c: Column) = df
+      .select(Profiler.logBucket(col(valueCol).cast("double"), relErr).as("bucket"))
+      .filter(col("bucket").isNotNull) // null values carry no distribution
+      .groupBy("bucket").agg((count(lit(1)) * r).as("r"), (count(lit(1)) * c).as("c"))
+    val joined = histOf(ref, lit(1L), lit(0L))
+      .unionAll(histOf(cur, lit(0L), lit(1L)))
+      .groupBy("bucket").agg(sum("r").as("n_ref"), sum("c").as("n_cur"))
+    psiFromJoined(joined, "bucket", eps)
+  }
+
+  /** Shared PSI arithmetic over a (key, n_ref, n_cur) frame: totals ride
+    * a broadcast 1-row cross-join, proportions get the eps floor, and an
+    * EMPTY side (total 0) reports quiet (psi 0, alarm-safe) rather than
+    * NaN — see [[psiFromHists]]. */
+  private def psiFromJoined(joined: DataFrame, key: String,
+      eps: Double): DataFrame = {
     val tot = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
     val eitherEmpty = col("t_ref") === 0 || col("t_cur") === 0
     def prop(n: String, t: String): Column =
       when(col(t) === 0, lit(eps))
         .otherwise(greatest(col(n) / col(t).cast("double"), lit(eps)))
     val withP = joined.crossJoin(broadcast(tot))
-      .select(col("bin"), col("n_ref"), col("n_cur"),
+      .select(col(key), col("n_ref"), col("n_cur"),
         prop("n_ref", "t_ref").as("p_ref"), prop("n_cur", "t_cur").as("p_cur"),
         eitherEmpty.as("quiet"))
       .withColumn("contrib",
@@ -79,7 +109,7 @@ object Drift {
     withP
       .withColumn("psi", sum("contrib").over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
-      .select(col("bin"), col("n_ref"), col("n_cur"),
+      .select(col(key), col("n_ref"), col("n_cur"),
         round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
         col("contrib"), round(col("psi"), 6).as("psi"))
   }

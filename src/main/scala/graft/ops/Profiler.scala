@@ -175,21 +175,30 @@ object Profiler {
     * Exact min/max ride the same scan. Zero gets its own bucket;
     * negative values mirror to negative bucket ids (ordering by the
     * bucket's own min value keeps the CDF correct for any sign mix). */
+  /** The multiplicative-width (HdrHistogram-style) bucket id of a double:
+    * `sign(v) · (⌊ln|v|·s⌋ + off)`, `s = 1/ln(1+relErr)` — values within
+    * a bucket differ by at most (1+relErr). `ln` is quantized to 9 dp
+    * before `floor` so last-ulp libm differences between engines cannot
+    * flip a boundary bucket; |ln(double)| ≤ ~745, so the `off` shift
+    * keeps the magnitude part strictly positive and the sign multiplier
+    * collision-free: negatives < 0 < zero-bucket < positives. Shared by
+    * the quantile profile and [[Drift.psiLogHist]]. */
+  def logBucket(v: Column, relErr: Double): Column = {
+    val s = 1.0 / math.log1p(relErr)
+    val off = math.ceil(745.0 * s).toLong + 2L
+    when(v === 0d, lit(0L)).otherwise(
+      (signum(v) * (floor(round(log(abs(v)) * lit(s), 9)) + lit(off)))
+        .cast("long"))
+  }
+
   def quantileProfileLogHist(df: DataFrame, cols: Seq[String],
       ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
       relErr: Double = 0.01): DataFrame = {
-    val s = 1.0 / math.log1p(relErr)
-    // |ln(double)| ≤ ~745, so floor(ln|v|·s) ∈ ±⌈745·s⌉; adding `off`
-    // keeps the magnitude part strictly positive, making the sign
-    // multiplier collision-free: negatives < 0 < zero-bucket < positives
-    val off = math.ceil(745.0 * s).toLong + 2L
     val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
     val stacked = df
       .selectExpr(s"stack(${cols.length}, $stackArgs) AS (column, v)")
       .filter(col("v").isNotNull)
-    val bucket = when(col("v") === 0d, lit(0L)).otherwise(
-      (signum(col("v")) *
-        (floor(round(log(abs(col("v"))) * lit(s), 9)) + lit(off))).cast("long"))
+    val bucket = logBucket(col("v"), relErr)
     val counts = stacked.withColumn("b", bucket)
       .groupBy("column", "b")
       .agg(count(lit(1)).as("cnt"), min("v").as("bmin"), max("v").as("bmax"))

@@ -76,4 +76,20 @@ class DriftSpec extends SparkSpec {
     assert(math.abs(out.head.getAs[Double]("psi") - expected) < 1e-9)
     assert(out.head.getAs[Double]("psi") > 0.25) // "investigate" band
   }
+
+  test("loghist PSI: identical ~0, scale shift drifts, empty side quiet") {
+    val ref = vals(0.5, 1.0, 2.0, 4.0, 8.0, -3.0, 0.0)
+    val same = Drift.psiLogHist(ref, ref, "x").collect()
+    assert(same.nonEmpty && same.forall(_.getAs[Double]("psi") == 0.0))
+    // 10× scale shift: disjoint buckets, strong drift — and no [lo, hi)
+    // declaration needed, which is the point of the log-bucket form
+    val cur = vals(5.0, 10.0, 20.0, 40.0, 80.0, -30.0, 0.1)
+    val drifted = Drift.psiLogHist(ref, cur, "x").collect()
+    assert(drifted.head.getAs[Double]("psi") > 0.25, drifted.head.toString)
+    // only observed buckets appear; both sides' counts are present
+    assert(drifted.map(_.getAs[Long]("bucket")).distinct.length == drifted.length)
+    val quiet = Drift.psiLogHist(ref, vals(), "x").collect()
+    assert(quiet.forall(r => !r.getAs[Double]("psi").isNaN &&
+      r.getAs[Double]("psi") == 0.0))
+  }
 }
