@@ -2241,6 +2241,33 @@ object Queries {
         |FROM w ORDER BY bucket""".stripMargin
       }),
 
+    // ---- Zipf coverage curve (TextAnalysis.vocabCoverage): corpus-token
+    // coverage of the top-N types per candidate vocab size — computed
+    // over frequency TIERS, never a global type ranking, so the boundary
+    // tier needs no tie-break and the number is engine-exact. ----
+    QDef("text_vocab_coverage",
+      (s, d) => TextAnalysis.vocabCoverage(documents(s, d),
+          cutoffs = Seq(100L, 500L, 1000L, 5000L))
+        .orderBy("vocab_size"),
+      Some("""WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS tok FROM documents),
+        |vc AS (SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok),
+        |tiers AS (SELECT freq, COUNT(*) AS n_types,
+        |    freq * COUNT(*) AS tokens FROM vc GROUP BY freq),
+        |cum AS (SELECT *, SUM(n_types) OVER (ORDER BY freq DESC
+        |    ROWS UNBOUNDED PRECEDING) AS cum_types FROM tiers),
+        |pc AS (SELECT *, cum_types - n_types AS prev_types FROM cum),
+        |t AS (SELECT SUM(tokens) AS total FROM tiers),
+        |cuts AS (SELECT unnest([100, 500, 1000, 5000]) AS vocab_size)
+        |SELECT CAST(vocab_size AS BIGINT) AS vocab_size,
+        |  CAST(SUM(LEAST(n_types, vocab_size - prev_types)) AS BIGINT) AS n_types,
+        |  CAST(SUM(LEAST(n_types, vocab_size - prev_types) * freq) AS BIGINT)
+        |    AS covered_tokens,
+        |  ROUND(SUM(LEAST(n_types, vocab_size - prev_types) * freq) /
+        |    CAST((SELECT total FROM t) AS DOUBLE), 6) AS coverage
+        |FROM cuts JOIN pc ON prev_types < vocab_size
+        |GROUP BY vocab_size ORDER BY vocab_size""".stripMargin)),
+
     // ---- Vocabulary build + dictionary encode (TextAnalysis.vocabEncode):
     // top-500 vocab by (freq DESC, token ASC), ids 1..500, OOV → 0,
     // per-doc token-id sequence reassembled in position order. ----

@@ -464,4 +464,53 @@ object TextAnalysis {
           array_sort(collect_list(struct(col("pos"), col("id")))),
           e => e.getField("id").cast("string")), " ").as("ids_str"))
   }
+
+  /** Zipf coverage curve — the tokenizer-sizing question: what fraction
+    * of the corpus' TOKENS do the top-N most frequent TYPES cover, for
+    * each candidate vocab size N.
+    *
+    * Never ranks the vocabulary (a global row_number over billions of
+    * types is a single-partition sort): type counts collapse to
+    * FREQUENCY TIERS — (freq, n_types, tokens) — and top-N coverage is
+    * exact arithmetic over tiers: full tiers above the cutoff plus
+    * `(N − types_above) · freq` from the boundary tier. Every type in
+    * the boundary tier has the same freq, so coverage needs NO
+    * tie-break — it is well-defined and engine-identical by
+    * construction. The tier frame is O(distinct frequencies) — tiny —
+    * so its cumulative window and the cutoff cross-join are noise.
+    *
+    * Output per cutoff: (vocab_size, n_types, covered_tokens, coverage),
+    * n_types = min(cutoff, |vocab|), coverage rounded 6. */
+  def vocabCoverage(documents: DataFrame, cutoffs: Seq[Long],
+      textCol: String = "text"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val vcounts = documents
+      .select(toks(lower(col(textCol))).as("t"))
+      .select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+    val tiers = vcounts.groupBy("freq")
+      .agg(count(lit(1)).as("n_types"))
+      .withColumn("tokens", col("freq") * col("n_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = tiers
+      .withColumn("cum_types", sum("n_types").over(w))
+      .withColumn("prev_types", col("cum_types") - col("n_types"))
+    val total = cum.agg(sum("tokens").as("__total"))
+    cutoffs.toDF("vocab_size")
+      .join(broadcast(cum), col("prev_types") < col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(
+        sum(least(col("n_types"), col("vocab_size") - col("prev_types")))
+          .as("n_types"),
+        sum(least(col("n_types"), col("vocab_size") - col("prev_types"))
+          * col("freq")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("n_types"), col("covered_tokens"),
+        round(col("covered_tokens") / col("__total").cast("double"), 6)
+          .as("coverage"))
+  }
 }

@@ -214,6 +214,21 @@ class ScaleOpsSpec extends SparkSpec {
     ps.tail.init.foreach(v => assert(data.contains(v), s"$v not in data"))
   }
 
+  test("vocab coverage: tier arithmetic, boundary tier needs no tie-break") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // freqs: a×5, b×3, c×3, d×1 — tiers (5,1), (3,2), (1,1); total 12
+    val docs = Seq((1L, "a a a a a b b b c c c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(docs, Seq(1L, 2L, 3L, 10L))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((1L, 5L, 0.416667)))
+    // cutoff 2 lands INSIDE the freq-3 tier: either of {b, c} gives 8
+    assert(got(2L) == ((2L, 8L, 0.666667)))
+    assert(got(3L) == ((3L, 11L, 0.916667)))
+    assert(got(10L) == ((4L, 12L, 1.0))) // cutoff beyond |vocab| clamps
+  }
+
   test("decontaminate: shared n-grams flagged, clean docs pass, eval broadcast") {
     import spark.implicits._
     import graft.ops.TextAnalysis
