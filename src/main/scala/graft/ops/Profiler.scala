@@ -124,11 +124,20 @@ object Profiler {
         } ++ Seq(round(col("maxv"), 4).as("maxv")): _*)
   }
 
-  /** Approximate quantile profile — THE 100 TB path: `approx_percentile`
-    * (Greenwald–Khanna summaries, bounded memory per column regardless of
-    * cardinality) in the same single-scan stack shape. Estimates are
+  /** Approximate quantile profile via the BUILT-IN `approx_percentile`
+    * (Greenwald–Khanna summaries, bounded memory per column regardless
+    * of cardinality) in the same single-scan stack shape. Estimates are
     * engine-specific; pin sanity (ordering, min/max bracketing) rather
-    * than values — the q38b pattern. */
+    * than values — the q38b pattern.
+    *
+    * Known cost: GK updates run through an interpreted
+    * ObjectHashAggregate (~1 s at sf0.1 where the exact CDF costs
+    * 0.68 s; accuracy does not move it — the per-row object update is
+    * the cost). [[quantileProfileLogHist]] is the engineered
+    * alternative: same bounded-memory contract, plain codegen
+    * HashAggregate, ~2.5× faster, and deterministic enough to
+    * value-check. Prefer it unless GK's rank-error guarantee
+    * specifically matters. */
   def quantileProfileApprox(df: DataFrame, cols: Seq[String],
       ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
       accuracy: Int = 1000): DataFrame = {
