@@ -2202,6 +2202,34 @@ object Queries {
         |  ROUND(SUM(contrib) OVER (), 6) AS psi
         |FROM w ORDER BY bin""".stripMargin)),
 
+    // ---- Embedding-distribution drift (Drift.embeddingDrift): cosine
+    // of per-dim mean vectors + L2 shift + worst dimension — the
+    // "re-embed or ingest?" triage over the embeddings table. ----
+    QDef("drift_embedding",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Drift.embeddingDrift(emb.filter(col("vec_id") < 250),
+          emb.filter(col("vec_id") >= 250))
+      },
+      Some("""WITH r AS (SELECT embedding AS e FROM embeddings WHERE vec_id < 250),
+        |c AS (SELECT embedding AS e FROM embeddings WHERE vec_id >= 250),
+        |rd AS (SELECT unnest([i - 1 FOR i IN generate_series(1, len(e))]) AS dim,
+        |    unnest(e) AS x FROM r),
+        |cd AS (SELECT unnest([i - 1 FOR i IN generate_series(1, len(e))]) AS dim,
+        |    unnest(e) AS x FROM c),
+        |rm AS (SELECT dim, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS m_ref,
+        |    COUNT(*) AS n_ref FROM rd GROUP BY dim),
+        |cm AS (SELECT dim, ROUND(AVG(CAST(x AS DOUBLE)), 6) AS m_cur,
+        |    COUNT(*) AS n_cur FROM cd GROUP BY dim),
+        |j AS (SELECT * FROM rm JOIN cm USING (dim))
+        |SELECT CAST(MAX(n_ref) AS BIGINT) AS n_ref,
+        |  CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+        |  ROUND(SUM(m_ref * m_cur) /
+        |    (SQRT(SUM(m_ref * m_ref)) * SQRT(SUM(m_cur * m_cur))), 6) AS cos_means,
+        |  ROUND(SQRT(SUM(POWER(m_ref - m_cur, 2))), 6) AS shift_l2,
+        |  ROUND(MAX(ABS(m_ref - m_cur)), 6) AS max_dim_shift
+        |FROM j""".stripMargin)),
+
     // ---- PSI over LOG-HISTOGRAM buckets (Drift.psiLogHist): the
     // continuous-column drift gate — no declared [lo, hi) needed, the
     // multiplicative buckets cover the double range with bounded

@@ -114,6 +114,44 @@ object Drift {
         col("contrib"), round(col("psi"), 6).as("psi"))
   }
 
+  /** Embedding-distribution drift: did the VECTOR SPACE move between the
+    * reference corpus and the current batch (new embedding model rev,
+    * upstream preprocessing change, topic shift)? Compares per-dimension
+    * means: cosine between the two mean vectors (1 = same direction),
+    * the L2 length of the mean shift, and the single worst-moving
+    * dimension — the triage trio for "re-embed or ingest?".
+    *
+    * Scale shape: posexplode is map-side, each side partial-aggregates
+    * to d rows before its shuffle, and everything after the join touches
+    * d rows — corpus size never crosses the wire. Determinism: per-dim
+    * means are rounded (6 dp) BEFORE the summary arithmetic, so
+    * FP-addition-order noise dies at the dimension level and the
+    * summary is a pure function of 2·d rounded numbers.
+    *
+    * Output: one row (n_ref, n_cur, cos_means, shift_l2, max_dim_shift),
+    * all rounded 6. */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    def means(df: DataFrame, side: String) = df
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(round(avg(col("x").cast("double")), 6).as(s"m_$side"),
+        count(lit(1)).as(s"n_$side"))
+    val joined = means(ref, "ref").join(means(cur, "cur"), "dim")
+    joined.agg(
+        max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+        sum(col("m_ref") * col("m_cur")).as("__dot"),
+        sum(col("m_ref") * col("m_ref")).as("__rr"),
+        sum(col("m_cur") * col("m_cur")).as("__cc"),
+        sum(pow(col("m_ref") - col("m_cur"), 2)).as("__d2"),
+        max(abs(col("m_ref") - col("m_cur"))).as("__md"))
+      .select(col("n_ref"), col("n_cur"),
+        round(col("__dot") / (sqrt(col("__rr")) * sqrt(col("__cc"))), 6)
+          .as("cos_means"),
+        round(sqrt(col("__d2")), 6).as("shift_l2"),
+        round(col("__md"), 6).as("max_dim_shift"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov statistic:
     * D = max over observed values of |F_ref(x) − F_cur(x)|, with the
     * empirical CDFs evaluated at every distinct value of either side.

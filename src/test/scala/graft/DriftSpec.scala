@@ -77,6 +77,28 @@ class DriftSpec extends SparkSpec {
     assert(out.head.getAs[Double]("psi") > 0.25) // "investigate" band
   }
 
+  test("embedding drift: identical sides cos 1 / shift 0; a moved space shows") {
+    import org.apache.spark.sql.functions._
+    def vecs(shift: Float) = {
+      val rnd = new scala.util.Random(3) // fresh stream: same base data
+      (0 until 50).map { i =>
+        (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f + shift))
+      }.toDF("vec_id", "embedding")
+    }
+    val ref = vecs(0f)
+    val same = Drift.embeddingDrift(ref, ref).collect().head
+    assert(same.getAs[Double]("cos_means") == 1.0)
+    assert(same.getAs[Double]("shift_l2") == 0.0)
+    assert(same.getAs[Long]("n_ref") == 50L && same.getAs[Long]("n_cur") == 50L)
+    val moved = Drift.embeddingDrift(ref, vecs(0.5f)).collect().head
+    assert(moved.getAs[Double]("shift_l2") > 1.0, moved.toString)
+    assert(moved.getAs[Double]("max_dim_shift") > 0.3)
+    // partition-invariant to the last rounded digit
+    val a = Drift.embeddingDrift(ref.repartition(2), vecs(0.5f).repartition(3))
+      .collect().head
+    assert(a == moved)
+  }
+
   test("loghist PSI: identical ~0, scale shift drifts, empty side quiet") {
     val ref = vals(0.5, 1.0, 2.0, 4.0, 8.0, -3.0, 0.0)
     val same = Drift.psiLogHist(ref, ref, "x").collect()

@@ -35,6 +35,23 @@ class UrlsSpec extends SparkSpec {
     ) == Seq("https://a.b/p", "https://a.b", "https://a.b", "https://a.b"))
   }
 
+  test("canonicalization is idempotent (a canonical URL maps to itself)") {
+    val rnd = new scala.util.Random(7)
+    val hosts = Seq("A.b.C", "x.io:443", "x.io:8080", "X.IO")
+    val paths = Seq("", "/", "/p", "/p/", "/p//q///")
+    val queries = Seq("", "?a=1", "?b=2&a=1", "?utm_source=x", "?utm_a=1&z=9&a=2")
+    val frags = Seq("", "#f", "#a?b=1")
+    val urls = (0 until 200).map { _ =>
+      val scheme = if (rnd.nextBoolean()) "https" else "HTTP"
+      scheme + "://" + hosts(rnd.nextInt(hosts.length)) +
+        paths(rnd.nextInt(paths.length)) + queries(rnd.nextInt(queries.length)) +
+        frags(rnd.nextInt(frags.length))
+    }
+    val once = canon(urls: _*)
+    val twice = canon(once: _*)
+    assert(once == twice, once.zip(twice).filter(p => p._1 != p._2).take(3).toString)
+  }
+
   test("dedup groups variants and counts raw spellings") {
     val df = Seq(
       (1L, "https://s.io/p?x=1"),
