@@ -1098,6 +1098,54 @@ object Queries {
         |      4) AS est_jaccard FROM cand)
         |WHERE est_jaccard >= 0.25 ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ---- LSH recall grading (Dedup.lshRecall): exact-Jaccard truth set
+    // vs the banded candidate set on a bounded subset — the quantified
+    // "are (perms, bands) good enough?" number, value-checked because
+    // the portable md5 pipeline is engine-exact. ----
+    QDef("dedup_lsh_recall",
+      (s, d) => Dedup.lshRecall(
+        documents(s, d).filter(col("doc_id") < 300), threshold = 0.5),
+      Some("""WITH tk AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+        |  WHERE doc_id < 300),
+        |shl AS (SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+        |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |          FOR i IN generate_series(1, len(t)-2)]
+        |    ELSE [array_to_string(t, ' ')] END) AS toks FROM tk),
+        |truth AS (SELECT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+        |          len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        |  FROM shl a JOIN shl b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.5),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |          FOR i IN generate_series(1, len(t)-2)]
+        |    ELSE [array_to_string(t, ' ')] END) AS s FROM tk),
+        |h AS (SELECT doc_id,
+        |    CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) % 2147483647 AS h1,
+        |    CAST(('0x'||substr(md5(s),17,15)) AS BIGINT) % 2147483647 AS h2 FROM sh),
+        |mins AS (SELECT doc_id, i, MIN(h1 + i*h2) AS mn
+        |  FROM h CROSS JOIN generate_series(0,63) g(i) GROUP BY doc_id, i),
+        |sig AS (SELECT doc_id, list(mn ORDER BY i) AS sg FROM mins GROUP BY doc_id),
+        |banded AS (SELECT doc_id, b,
+        |    array_to_string(sg[4*b+1:4*b+4], ',') AS bkey
+        |  FROM sig CROSS JOIN generate_series(0,15) g(b)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM banded a JOIN banded b2 ON a.b = b2.b AND a.bkey = b2.bkey
+        |    AND a.doc_id < b2.doc_id),
+        |j AS (SELECT COALESCE(t.doc_a, c.doc_a) AS doc_a,
+        |    t.doc_a IS NOT NULL AS in_t, c.doc_a IS NOT NULL AS in_c
+        |  FROM truth t FULL OUTER JOIN cand c
+        |    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+        |SELECT COUNT(*) FILTER (in_t) AS n_truth,
+        |  COUNT(*) FILTER (in_c) AS n_cand,
+        |  COUNT(*) FILTER (in_t AND in_c) AS n_hit,
+        |  ROUND(COUNT(*) FILTER (in_t AND in_c) /
+        |    CAST(COUNT(*) FILTER (in_t) AS DOUBLE), 4) AS recall,
+        |  ROUND(COUNT(*) FILTER (in_t AND in_c) /
+        |    CAST(COUNT(*) FILTER (in_c) AS DOUBLE), 4) AS precision
+        |FROM j""".stripMargin)),
+
     // maxHamming=3 ⇒ the 4-chunk LSH has recall exactly 1 (pigeonhole), so
     // the declared semantic is simply "all pairs at hamming ≤ 3" — the
     // oracle recomputes the 60-bit portable simhash and cross-joins.

@@ -380,6 +380,43 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
   }
 
+  /** LSH candidate-recall grading: how many TRUE near-dup pairs
+    * (exact Jaccard ≥ threshold) does the banded MinHash-LSH candidate
+    * set recover, and how much noise rides along. One row:
+    * (n_truth, n_cand, n_hit, recall, precision).
+    *
+    * This is a GRADING harness, not a production operator: the truth
+    * side is the exact all-pairs Jaccard — O(n²) — so run it on a
+    * sample/subset to validate (perms, bands) settings before a corpus
+    * run, the same role AnnRecallSpec plays for the ANN ops. The LSH
+    * side uses the portable (md5) hashing so any engine reproduces the
+    * exact candidate set.
+    *
+    * Truth is Jaccard over the SAME k-shingle sets the signatures
+    * sketch (k = 3) — grading banded MinHash against token-SET Jaccard
+    * mixes two different similarity measures and reports nonsense
+    * (measured: "recall 0.002" on a corpus where almost every doc pair
+    * shares half its small vocabulary but almost no 3-shingles). */
+  def lshRecall(documents: DataFrame, threshold: Double = 0.5,
+      perms: Int = 64, bands: Int = 16): DataFrame = {
+    val a = documents.select(col("doc_id").as("doc_a"),
+      shingles(col("text"), 3).as("toks_a")) // already distinct
+    val b = documents.select(col("doc_id").as("doc_b"),
+      shingles(col("text"), 3).as("toks_b"))
+    val truth = jaccardPairs(a.join(b, col("doc_a") < col("doc_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
+    val cand = minhashCandidates(documents, perms, bands,
+        minEst = 0.0, portable = true)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("c"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full")
+      .agg(count("t").as("n_truth"), count("c").as("n_cand"),
+        count(when(col("t").isNotNull && col("c").isNotNull, 1)).as("n_hit"))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        round(col("n_hit") / col("n_truth").cast("double"), 4).as("recall"),
+        round(col("n_hit") / col("n_cand").cast("double"), 4).as("precision"))
+  }
+
   /** Repeated-substring spans — substring-level dedup (the "Deduplicating
     * Training Data Makes Language Models Better" observation: verbatim
     * repeats live INSIDE documents that are not duplicates of each

@@ -134,6 +134,20 @@ class ClustersSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0L, 6L, 7L), (2L, 2L, 8L, 7L)), got.mkString(","))
   }
 
+  test("lsh recall: planted near-dups are all recovered, scores well-formed") {
+    // 3 docs sharing a long common body (high shingle jaccard) + noise
+    val body = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = (Seq(
+      (1L, body), (2L, body + " tail"), (3L, "head " + body)) ++
+      (10L until 40L).map(i => (i, (0 until 30).map(j => s"u${i}_$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val r = Dedup.lshRecall(docs, threshold = 0.5).collect().head
+    assert(r.getAs[Long]("n_truth") == 3L) // the 3 planted pairs
+    assert(r.getAs[Double]("recall") == 1.0, r.toString)
+    assert(r.getAs[Double]("precision") > 0.0 && r.getAs[Double]("precision") <= 1.0)
+    assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_cand"))
+  }
+
   test("cut spans: covered tokens drop, order kept, clean docs untouched") {
     val docs = Seq(
       (1L, "a b c d e f g x y z"),
