@@ -244,7 +244,15 @@ object Dedup {
     * from the verification join. Internal columns use collision-proofed
     * `__graft_*` names so caller columns named `h`/`maybe` survive. */
   def bloomPrefilterHashes(batch: DataFrame, corpusHashes: DataFrame,
-      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    bloomPrefilterHashesKeyed(batch, corpusHashes, expectedItems,
+      md5(trim(lower(col("text")))), fpp)
+
+  /** As [[bloomPrefilterHashes]], over an arbitrary md5-shaped row-key
+    * expression (the URL-dedup loop keys on the canonical URL). */
+  def bloomPrefilterHashesKeyed(batch: DataFrame, corpusHashes: DataFrame,
+      expectedItems: Long, keyExpr: Column,
+      fpp: Double = 0.01): DataFrame = {
     val hc = "__graft_h"
     val mc = "__graft_maybe"
     // null hashes (null text) can't be bloom-tested: drop them from the
@@ -258,7 +266,7 @@ object Dedup {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         org.apache.spark.sql.GraftColumnBridge.expression(lit(bos.toByteArray)),
         org.apache.spark.sql.GraftColumnBridge.expression(xxhash64(col(hc)))))
-    val tagged = batch.withColumn(hc, md5(trim(lower(col("text")))))
+    val tagged = batch.withColumn(hc, keyExpr)
       .withColumn(mc, col(hc).isNotNull && coalesce(mightContain, lit(false)))
     // verification join on the maybe-subset only; anti side is exact-new
     val confirmed = tagged.filter(col(mc))

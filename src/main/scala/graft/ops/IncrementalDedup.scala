@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Continuous-ingest exact dedup: each batch is checked against the
@@ -31,13 +31,33 @@ object IncrementalDedup {
   /** Process one batch. Returns (accepted rows, committed version).
     * Accepted = first-seen content, lowest doc_id wins within the batch. */
   def ingest(spark: SparkSession, stateRoot: String, batch: DataFrame,
-      expectedCorpus: Long = 1000000L): (DataFrame, Long) = {
+      expectedCorpus: Long = 1000000L): (DataFrame, Long) =
+    ingestKeyed(spark, stateRoot, batch,
+      md5(trim(lower(col("text")))), expectedCorpus)
+
+  /** Continuous-ingest URL dedup: [[ingest]] keyed on the CANONICAL URL
+    * ([[Urls.canonicalize]]) instead of the content hash — the cheap
+    * first gate of a crawl pipeline, applied before a byte of body is
+    * fetched or hashed. Same state/commit/replay contract; the state
+    * table stores md5(canonical_url) → keeper. */
+  def ingestByUrl(spark: SparkSession, stateRoot: String, batch: DataFrame,
+      urlCol: String = "url",
+      expectedCorpus: Long = 1000000L): (DataFrame, Long) =
+    ingestKeyed(spark, stateRoot, batch,
+      md5(Urls.canonicalize(col(urlCol))), expectedCorpus)
+
+  /** The shared exact-ingest loop over an arbitrary row-key expression
+    * (`keyExpr` must be md5-shaped: a 32-hex string or null). */
+  private def ingestKeyed(spark: SparkSession, stateRoot: String,
+      batch: DataFrame, keyExpr: Column,
+      expectedCorpus: Long): (DataFrame, Long) = {
     val stateOpt = StateTable.read(spark, stateRoot)
     val known = stateOpt match {
       case None => batch.withColumn("is_known", lit(false))
       case Some(state) =>
         // bloom over the compact state hashes, then exact verify
-        Dedup.bloomPrefilterHashes(batch, state.select("h"), expectedCorpus)
+        Dedup.bloomPrefilterHashesKeyed(batch, state.select("h"),
+          expectedCorpus, keyExpr)
     }
     // a known row whose state keeper is ITSELF is this batch replaying
     // after a crash between the state commit and the downstream effect —
@@ -47,7 +67,7 @@ object IncrementalDedup {
       case None => known.limit(0)
       case Some(state) =>
         known.filter(col("is_known"))
-          .withColumn("h", md5(trim(lower(col("text")))))
+          .withColumn("h", keyExpr)
           .join(state.select(col("h"), col("keeper_id")), Seq("h"))
           .filter(col("keeper_id") === col("doc_id"))
           .drop("keeper_id", "h")
@@ -57,7 +77,7 @@ object IncrementalDedup {
     // rows whose hashes were written, not a lazy plan that re-reads the
     // batch source after the commit
     val hashed = known.filter(!col("is_known")).unionByName(replaySelf)
-      .withColumn("h", md5(trim(lower(col("text")))))
+      .withColumn("h", keyExpr)
     // null text hashes to null: those rows carry no content to be a
     // duplicate OF, so each passes through as its own keeper instead of
     // all collapsing into one shared null-key window partition — and no

@@ -37,6 +37,28 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(a3.isEmpty)
   }
 
+  test("url ingest: canonical-URL dups drop across spellings and batches") {
+    val root = java.nio.file.Files.createTempDirectory("graft-urldedup").toString
+    def urls(rows: (Long, String)*) = rows.toDF("doc_id", "url")
+    // batch 1: two spellings of the same page + one distinct
+    val (a1, v1) = IncrementalDedup.ingestByUrl(spark, root, urls(
+      1L -> "https://s.io/p?x=1&utm_source=f",
+      2L -> "HTTPS://S.IO:443/p/?x=1",
+      3L -> "https://s.io/q"))
+    assert(a1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 3L))
+    assert(v1 == 0L)
+    // batch 2: yet another spelling of p -> known; genuinely new -> kept
+    val (a2, _) = IncrementalDedup.ingestByUrl(spark, root, urls(
+      10L -> "https://s.io/p?x=1#frag",
+      11L -> "https://s.io/r"))
+    assert(a2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(11L))
+    // replay of a committed keeper re-accepts (idempotent crash recovery)
+    val (a3, _) = IncrementalDedup.ingestByUrl(spark, root, urls(
+      1L -> "https://s.io/p?x=1&utm_source=f"))
+    assert(a3.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("graft.checkpoint.dir makes the ingest pins reliable checkpoints") {
     // the cluster path: every localCheckpoint in the loop becomes a
     // reliable checkpoint, and the loop's semantics are unchanged
