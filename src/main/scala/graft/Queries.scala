@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{PollaFunctions, PollaParsers}
-import graft.ops.{Consensus, Dedup, Drift, Multimodal, Sampling, Similarity, StatePipeline, TextAnalysis}
+import graft.ops.{Bpe, Consensus, Dedup, Drift, Multimodal, Sampling, Similarity, StatePipeline, TextAnalysis}
 
 /** The declared-query surface (SURVEY.md §2.12 + north-star extensions).
   *
@@ -79,6 +79,49 @@ object Queries {
     }.mkString
     head + steps + s"\nSELECT node, deg, rank FROM r$iters ORDER BY node"
   }
+
+  /** DuckDB oracle scaffolding for the BPE family (`text_bpe`,
+    * `text_bpe_encode`, `sample_pack_bpe`): the merge rounds unrolled as
+    * chained CTEs — pair count, top-1 with the (cnt DESC, l, r) tiebreak,
+    * then a `list_reduce` greedy left-to-right merge application —
+    * exactly [[graft.ops.Bpe]]'s determinism contract. The fold keeps the
+    * accumulator as a space-joined symbol string (symbols are ASCII-alnum,
+    * never contain spaces), so "last symbol == l" is the suffix test
+    * `ends_with(acc, ' ' || l)`. */
+  private def bpeRoundsCtes(iters: Int): String = {
+    val head = """WITH w0 AS (
+      |  SELECT word, COUNT(*) AS freq,
+      |    [substr(word, i, 1) FOR i IN generate_series(1, length(word))] AS syms
+      |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      |        FROM documents)
+      |  WHERE regexp_matches(word, '^[a-z0-9]+$')
+      |  GROUP BY word)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s""",
+      |p$r AS (SELECT ml, mr, SUM(freq) AS cnt FROM (
+      |    SELECT freq, unnest(syms[1:len(syms)-1]) AS ml,
+      |           unnest(syms[2:len(syms)]) AS mr FROM w${r - 1})
+      |  GROUP BY ml, mr),
+      |t$r AS (SELECT ml, mr, cnt FROM p$r ORDER BY cnt DESC, ml, mr LIMIT 1),
+      |w$r AS (SELECT word, freq, string_split(list_reduce(syms, (acc, x) ->
+      |      CASE WHEN x = t.mr AND (acc = t.ml OR ends_with(acc, ' ' || t.ml))
+      |           THEN substr(acc, 1, length(acc) - length(t.ml)) || t.ml || t.mr
+      |           ELSE acc || ' ' || x END), ' ') AS syms
+      |   FROM w${r - 1}, t$r t)""".stripMargin
+    }.mkString
+    head + rounds
+  }
+
+  /** Tokens + subtoken counts under the round-`iters` BPE segmentation,
+    * appended to [[bpeRoundsCtes]]. */
+  private def bpeEncodeCtes(iters: Int): String =
+    bpeRoundsCtes(iters) + s""",
+    |dt AS (SELECT doc_id,
+    |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+    |  FROM documents),
+    |enc AS (SELECT doc_id, COUNT(*) AS n_toks,
+    |    CAST(SUM(COALESCE(len(w.syms), 1)) AS BIGINT) AS n_subtokens
+    |  FROM dt LEFT JOIN w$iters w USING (word) GROUP BY doc_id)""".stripMargin
 
   import Tables._
 
@@ -2749,6 +2792,54 @@ object Queries {
         |  CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
         |    - n_tokens AS DOUBLE) / 512) AS BIGINT) AS seq_id
         |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ---- BPE tokenizer training: corpus read once into an O(|vocab|)
+    // word-type table; each merge round is a partial-agg pair count +
+    // TakeOrdered(1) + a map-side fold. Exact long counts with a
+    // (cnt DESC, l, r) tiebreak make the learned merges
+    // engine-reproducible — the oracle unrolls the rounds as CTEs. ----
+    QDef("text_bpe",
+      (s, d) => {
+        val (m, _) = Bpe.train(documents(s, d), nMerges = 8)
+        Bpe.mergeTable(s, m).orderBy("merge_round")
+      },
+      Some(bpeRoundsCtes(8) + "\n" + (1 to 8).map(r =>
+        s"SELECT $r AS merge_round, ml AS l_sym, mr AS r_sym, " +
+          s"ml || mr AS merged, CAST(cnt AS BIGINT) AS freq FROM t$r")
+        .mkString("\nUNION ALL ") + "\nORDER BY merge_round")),
+
+    // Per-document token counts under the TRAINED tokenizer: one
+    // equi-join of exploded tokens against the vocab-sized segmentation
+    // table (AQE broadcasts it), one per-doc partial-agg.
+    // Out-of-alphabet tokens count as one opaque subtoken.
+    QDef("text_bpe_encode",
+      (s, d) => {
+        val docs = documents(s, d)
+        val (_, w) = Bpe.train(docs, nMerges = 8)
+        Bpe.encodeCounts(docs, w).orderBy("doc_id")
+      },
+      Some(bpeEncodeCtes(8) +
+        "\nSELECT doc_id, n_toks, n_subtokens FROM enc ORDER BY doc_id")),
+
+    // Budget packing measured in the trained tokenizer's units — the
+    // budget the downstream trainer actually consumes. Same plan as
+    // sample_pack_budget (hash-shard, per-shard running-sum window) fed
+    // by the BPE counts.
+    QDef("sample_pack_bpe",
+      (s, d) => {
+        val docs = documents(s, d)
+        val (_, w) = Bpe.train(docs, nMerges = 8)
+        Bpe.packByBpeBudget(docs, w, budgetTokens = 256, nShards = 8)
+          .orderBy("doc_id")
+      },
+      Some(bpeEncodeCtes(8) + """,
+        |sh AS (SELECT doc_id, n_subtokens,
+        |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 8 AS shard
+        |  FROM enc)
+        |SELECT doc_id, shard, n_subtokens,
+        |  CAST(FLOOR(CAST(SUM(n_subtokens) OVER (PARTITION BY shard ORDER BY doc_id)
+        |    - n_subtokens AS DOUBLE) / 256) AS BIGINT) AS seq_id
+        |FROM sh ORDER BY doc_id""".stripMargin)),
 
     // Multimodal frame-sampling plumbing (relational half: metadata →
     // ragged frame explosion → stride filter). The codec stub's frame
