@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{PollaFunctions, PollaParsers}
-import graft.ops.{Bpe, Consensus, Dedup, Drift, Multimodal, Sampling, Similarity, StatePipeline, TextAnalysis}
+import graft.ops.{Bpe, Consensus, Dedup, Drift, Multimodal, Retrieval, Sampling, Similarity, StatePipeline, TextAnalysis}
 
 /** The declared-query surface (SURVEY.md §2.12 + north-star extensions).
   *
@@ -2840,6 +2840,44 @@ object Queries {
         |  CAST(FLOOR(CAST(SUM(n_subtokens) OVER (PARTITION BY shard ORDER BY doc_id)
         |    - n_subtokens AS DOUBLE) / 256) AS BIGINT) AS seq_id
         |FROM sh ORDER BY doc_id""".stripMargin)),
+
+    // ---- BM25 top-k retrieval: query set broadcast, corpus scanned
+    // once with the explode pruned to query terms BEFORE the posting
+    // aggregation, GroupedTopK per query. 6-dp-rounded contributions
+    // make the ranking engine-stable; ties break on doc_id. ----
+    QDef("retrieval_bm25",
+      (s, d) => Retrieval.bm25TopK(documents(s, d),
+          Retrieval.queryFrame(s, Seq(
+            1 -> Seq("spark", "join", "shuffle"),
+            2 -> Seq("fast", "scan", "filter"),
+            3 -> Seq("customer", "order", "value"))), k = 10)
+        .orderBy("query_id", "doc_id"),
+      Some("""WITH q(query_id, term) AS (VALUES
+        |    (1,'spark'),(1,'join'),(1,'shuffle'),
+        |    (2,'fast'),(2,'scan'),(2,'filter'),
+        |    (3,'customer'),(3,'order'),(3,'value')),
+        |lens AS (SELECT doc_id,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS dl
+        |  FROM documents),
+        |stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl
+        |  FROM lens),
+        |t AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |p AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, term),
+        |d AS (SELECT term, COUNT(*) AS df FROM p GROUP BY term),
+        |c AS (SELECT q.query_id, p.doc_id, ROUND(
+        |    ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+        |      (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS contrib
+        |  FROM p JOIN d USING (term) JOIN lens USING (doc_id)
+        |  CROSS JOIN stats JOIN q USING (term)),
+        |s AS (SELECT query_id, doc_id, ROUND(SUM(contrib), 6) AS score,
+        |    COUNT(*) AS n_terms_hit FROM c GROUP BY query_id, doc_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS rn FROM s)
+        |SELECT query_id, doc_id, score, n_terms_hit FROM r WHERE rn <= 10
+        |ORDER BY query_id, doc_id""".stripMargin)),
 
     // Multimodal frame-sampling plumbing (relational half: metadata →
     // ragged frame explosion → stride filter). The codec stub's frame
