@@ -2841,6 +2841,102 @@ object Queries {
         |    - n_subtokens AS DOUBLE) / 256) AS BIGINT) AS seq_id
         |FROM sh ORDER BY doc_id""".stripMargin)),
 
+    // ---- Gopher-style rule battery (Rae et al. 2021 §A1.1.2): the
+    // standard pre-model quality screen. Map-side expression chain,
+    // per-rule flags + conjunction; word-count band tuned so the
+    // synthetic corpus exercises both outcomes. ----
+    QDef("quality_gopher_rules",
+      (s, d) => TextAnalysis.gopherRules(documents(s, d),
+        minWords = 30, maxWords = 80, minStopwords = 1).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS w,
+        |    string_split(text, chr(10)) AS lines, text FROM documents),
+        |m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    ROUND(list_reduce(list_transform(w, x -> length(x)),
+        |      (a, b) -> a + b) / GREATEST(len(w), 1.0), 4) AS mean_word_len,
+        |    ROUND(((length(text) - length(replace(text, '#', ''))) +
+        |      (length(text) - length(replace(text, '...', ''))) / 3 +
+        |      (length(text) - length(replace(text, '…', '')))) /
+        |      GREATEST(len(w), 1.0), 4) AS symbol_ratio,
+        |    ROUND(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) /
+        |      GREATEST(len(lines), 1.0), 4) AS bullet_ratio,
+        |    ROUND(len(list_filter(lines,
+        |        l -> regexp_matches(l, '(\.\.\.|…)$'))) /
+        |      GREATEST(len(lines), 1.0), 4) AS ellipsis_ratio,
+        |    ROUND(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) /
+        |      GREATEST(len(w), 1.0), 4) AS alpha_ratio,
+        |    CAST(len(list_intersect(list_distinct(w),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+        |      AS n_stopwords
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+        |  ellipsis_ratio, alpha_ratio, n_stopwords,
+        |  n_words BETWEEN 30 AND 80 AS r_word_count,
+        |  mean_word_len BETWEEN 3 AND 10 AS r_mean_word_len,
+        |  symbol_ratio <= 0.1 AS r_symbol_ratio,
+        |  bullet_ratio <= 0.9 AS r_bullet_ratio,
+        |  ellipsis_ratio <= 0.3 AS r_ellipsis_ratio,
+        |  alpha_ratio >= 0.8 AS r_alpha_ratio,
+        |  n_stopwords >= 1 AS r_stopwords,
+        |  (n_words BETWEEN 30 AND 80) AND (mean_word_len BETWEEN 3 AND 10)
+        |    AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+        |    AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+        |    AND n_stopwords >= 1 AS pass
+        |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // Per-rule failure attribution: flags from ONE scan, single-row
+    // stack unpivot (never a union of per-rule aggregates).
+    QDef("quality_gopher_summary",
+      (s, d) => TextAnalysis.gopherRuleSummary(
+        TextAnalysis.gopherRules(documents(s, d), minWords = 30,
+          maxWords = 80, minStopwords = 1)).orderBy("rule"),
+      Some("""WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS w,
+        |    string_split(text, chr(10)) AS lines, text FROM documents),
+        |m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    ROUND(list_reduce(list_transform(w, x -> length(x)),
+        |      (a, b) -> a + b) / GREATEST(len(w), 1.0), 4) AS mean_word_len,
+        |    ROUND(((length(text) - length(replace(text, '#', ''))) +
+        |      (length(text) - length(replace(text, '...', ''))) / 3 +
+        |      (length(text) - length(replace(text, '…', '')))) /
+        |      GREATEST(len(w), 1.0), 4) AS symbol_ratio,
+        |    ROUND(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]'))) /
+        |      GREATEST(len(lines), 1.0), 4) AS bullet_ratio,
+        |    ROUND(len(list_filter(lines,
+        |        l -> regexp_matches(l, '(\.\.\.|…)$'))) /
+        |      GREATEST(len(lines), 1.0), 4) AS ellipsis_ratio,
+        |    ROUND(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) /
+        |      GREATEST(len(w), 1.0), 4) AS alpha_ratio,
+        |    CAST(len(list_intersect(list_distinct(w),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+        |      AS n_stopwords
+        |  FROM t),
+        |f AS (SELECT
+        |    n_words BETWEEN 30 AND 80 AS r_word_count,
+        |    mean_word_len BETWEEN 3 AND 10 AS r_mean_word_len,
+        |    symbol_ratio <= 0.1 AS r_symbol_ratio,
+        |    bullet_ratio <= 0.9 AS r_bullet_ratio,
+        |    ellipsis_ratio <= 0.3 AS r_ellipsis_ratio,
+        |    alpha_ratio >= 0.8 AS r_alpha_ratio,
+        |    n_stopwords >= 1 AS r_stopwords
+        |  FROM m),
+        |s AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN r_word_count THEN 0 ELSE 1 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN r_mean_word_len THEN 0 ELSE 1 END) AS BIGINT) AS c2,
+        |    CAST(SUM(CASE WHEN r_symbol_ratio THEN 0 ELSE 1 END) AS BIGINT) AS c3,
+        |    CAST(SUM(CASE WHEN r_bullet_ratio THEN 0 ELSE 1 END) AS BIGINT) AS c4,
+        |    CAST(SUM(CASE WHEN r_ellipsis_ratio THEN 0 ELSE 1 END) AS BIGINT) AS c5,
+        |    CAST(SUM(CASE WHEN r_alpha_ratio THEN 0 ELSE 1 END) AS BIGINT) AS c6,
+        |    CAST(SUM(CASE WHEN r_stopwords THEN 0 ELSE 1 END) AS BIGINT) AS c7
+        |  FROM f)
+        |SELECT rule, n_fail, ROUND(n_fail / CAST(n AS DOUBLE), 4) AS fail_ratio
+        |FROM (SELECT n,
+        |    unnest(['r_word_count', 'r_mean_word_len', 'r_symbol_ratio',
+        |      'r_bullet_ratio', 'r_ellipsis_ratio', 'r_alpha_ratio',
+        |      'r_stopwords']) AS rule,
+        |    unnest([c1, c2, c3, c4, c5, c6, c7]) AS n_fail FROM s)
+        |ORDER BY rule""".stripMargin)),
+
     // ---- BM25 top-k retrieval: query set broadcast, corpus scanned
     // once with the explode pruned to query terms BEFORE the posting
     // aggregation, GroupedTopK per query. 6-dp-rounded contributions

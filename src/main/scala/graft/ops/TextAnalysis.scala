@@ -513,4 +513,84 @@ object TextAnalysis {
         round(col("covered_tokens") / col("__total").cast("double"), 6)
           .as("coverage"))
   }
+
+  /** The Gopher required-stopword set (Rae et al. 2021 §A1.1.2): a doc
+    * must contain ≥ 2 of these to look like running English prose. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style heuristic rule battery (Rae et al. 2021 §A1.1.2) —
+    * the standard pre-model quality screen of an LLM data pipeline:
+    * word-count bounds, mean-word-length band, symbol-to-word ratio,
+    * bullet-line and ellipsis-line ratios, alphabetic-word ratio, and a
+    * required-stopword floor. Emits every measured feature, one boolean
+    * per rule, and the conjunction (`pass`), so downstream curation can
+    * both filter and attribute loss per rule.
+    *
+    * Pure map-side expression chain — no shuffle, no UDF; the token
+    * array is materialized in its own projection first (HOF bodies don't
+    * CSE with outer expressions). All ratios rounded to 4 dp for
+    * engine-stable comparison. */
+  def gopherRules(documents: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000, minMeanLen: Double = 3, maxMeanLen: Double = 10,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+      minStopwords: Int = 2, textCol: String = "text"): DataFrame = {
+    val toksed = documents.select(col("doc_id"),
+      toks(lower(col(textCol))).as("__w"),
+      split(col(textCol), "\n").as("__lines"),
+      col(textCol).as("__text"))
+    val n = size(col("__w")).cast("long")
+    val nLines = greatest(size(col("__lines")), lit(1)).cast("double")
+    val hashes = length(col("__text")) -
+      length(regexp_replace(col("__text"), "#", ""))
+    val ellipses =
+      (length(col("__text")) -
+        length(regexp_replace(col("__text"), "\\.\\.\\.", ""))) / 3 +
+      (length(col("__text")) - length(regexp_replace(col("__text"), "…", "")))
+    val measured = toksed.select(
+      col("doc_id"),
+      n.as("n_words"),
+      round(aggregate(col("__w"), lit(0L), (a, x) => a + length(x)) /
+        greatest(n, lit(1)).cast("double"), 4).as("mean_word_len"),
+      round((hashes + ellipses) / greatest(n, lit(1)).cast("double"), 4)
+        .as("symbol_ratio"),
+      round(size(filter(col("__lines"), l => l.rlike("^[-*•]"))) / nLines, 4)
+        .as("bullet_ratio"),
+      round(size(filter(col("__lines"), l => l.rlike("(\\.\\.\\.|…)$"))) / nLines, 4)
+        .as("ellipsis_ratio"),
+      round(size(filter(col("__w"), w => w.rlike("[a-z]"))) /
+        greatest(n, lit(1)).cast("double"), 4).as("alpha_ratio"),
+      size(array_intersect(array_distinct(col("__w")),
+        array(gopherStopwords.map(lit): _*))).cast("long").as("n_stopwords"))
+    val rules = Seq(
+      "r_word_count" -> (col("n_words") >= minWords && col("n_words") <= maxWords),
+      "r_mean_word_len" -> (col("mean_word_len") >= minMeanLen &&
+        col("mean_word_len") <= maxMeanLen),
+      "r_symbol_ratio" -> (col("symbol_ratio") <= maxSymbolRatio),
+      "r_bullet_ratio" -> (col("bullet_ratio") <= maxBulletRatio),
+      "r_ellipsis_ratio" -> (col("ellipsis_ratio") <= maxEllipsisRatio),
+      "r_alpha_ratio" -> (col("alpha_ratio") >= minAlphaRatio),
+      "r_stopwords" -> (col("n_stopwords") >= minStopwords))
+    rules.foldLeft(measured) { case (df, (name, pred)) =>
+      df.withColumn(name, pred)
+    }.withColumn("pass", rules.map(_._2).reduce(_ && _))
+  }
+
+  /** Per-rule failure attribution over one corpus scan: flags computed
+    * once, summed, then a single-row `stack` unpivot (the
+    * q38/curation-funnel shape — never a union of per-rule aggregates,
+    * which would rescan the corpus per rule). */
+  def gopherRuleSummary(rules: DataFrame): DataFrame = {
+    val ruleCols = rules.columns.filter(_.startsWith("r_")).toSeq
+    val sums = rules.agg(count(lit(1)).as("__n"),
+      ruleCols.map(c =>
+        sum(when(col(c), 0L).otherwise(1L)).as(s"__f_$c")): _*)
+    val stackArgs = ruleCols
+      .map(c => s"'$c', __f_$c").mkString(", ")
+    sums.select(col("__n"),
+        expr(s"stack(${ruleCols.size}, $stackArgs) AS (rule, n_fail)"))
+      .select(col("rule"), col("n_fail"),
+        round(col("n_fail") / col("__n").cast("double"), 4).as("fail_ratio"))
+  }
 }
