@@ -2841,6 +2841,37 @@ object Queries {
         |    - n_subtokens AS DOUBLE) / 256) AS BIGINT) AS seq_id
         |FROM sh ORDER BY doc_id""".stripMargin)),
 
+    // ---- Int8 embedding quantization: per-vector symmetric scale,
+    // codes + reconstruction-quality metrics. Map-only, one stage;
+    // metric sums run in array-position order on both engines. ----
+    QDef("emb_quantize_int8",
+      (s, d) => Similarity.quantizeInt8(embeddings(s, d)).orderBy("vec_id"),
+      Some("""WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |    GREATEST(list_max(list_transform(e, v -> abs(v))), 1e-12) / 127
+        |      AS scale FROM x),
+        |c AS (SELECT vec_id, e, scale,
+        |    list_transform(e, v -> CAST(GREATEST(LEAST(ROUND(v / scale),
+        |      127), -127) AS INT)) AS q FROM s)
+        |SELECT vec_id, ROUND(scale, 6) AS scale,
+        |  array_to_string(q, ' ') AS codes,
+        |  ROUND(list_reduce([(e[i] - q[i] * scale) * (e[i] - q[i] * scale)
+        |      FOR i IN generate_series(1, len(e))], (a, b) -> a + b) /
+        |    CAST(len(e) AS DOUBLE), 10) AS mse,
+        |  CASE WHEN list_reduce([e[i] * e[i]
+        |        FOR i IN generate_series(1, len(e))], (a, b) -> a + b) > 0
+        |      AND list_reduce([(q[i] * scale) * (q[i] * scale)
+        |        FOR i IN generate_series(1, len(e))], (a, b) -> a + b) > 0
+        |    THEN ROUND(list_reduce([e[i] * (q[i] * scale)
+        |        FOR i IN generate_series(1, len(e))], (a, b) -> a + b) /
+        |      (SQRT(list_reduce([e[i] * e[i]
+        |        FOR i IN generate_series(1, len(e))], (a, b) -> a + b)) *
+        |       SQRT(list_reduce([(q[i] * scale) * (q[i] * scale)
+        |        FOR i IN generate_series(1, len(e))], (a, b) -> a + b))), 6)
+        |    END AS cos_recon
+        |FROM c ORDER BY vec_id""".stripMargin)),
+
     // ---- Gopher-style rule battery (Rae et al. 2021 §A1.1.2): the
     // standard pre-model quality screen. Map-side expression chain,
     // per-rule flags + conjunction; word-count band tuned so the

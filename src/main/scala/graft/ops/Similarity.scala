@@ -366,4 +366,44 @@ object Similarity {
       .select(col("vec_id"), col("e_id").as("near_eval_id"),
         col("sim").as("max_sim"), (col("sim") >= tau).as("contaminated"))
   }
+
+  /** Symmetric per-vector int8 quantization — the 4× storage/bandwidth
+    * cut applied to an embedding corpus before it is shipped to an ANN
+    * index or a trainer: scale = max|x|/127, code = clamp(round(x/scale)),
+    * reconstruction x̂ = code·scale. Emits the codes (space-joined, so
+    * the row is engine-comparable) plus the quality metrics a pipeline
+    * gates on: per-vector MSE and cosine(original, reconstruction).
+    *
+    * Map-only expression chain, one stage, no shuffle — each HOF input
+    * is materialized in its own projection first (lambda bodies don't
+    * CSE with the outer plan). Metric sums run in array-position order
+    * on both engines, so the doubles agree bitwise before rounding. */
+  def quantizeInt8(embeddings: DataFrame, vecCol: String = "embedding")
+      : DataFrame = {
+    val x = embeddings.select(col("vec_id"), asDouble(col(vecCol)).as("e"))
+    val s = x.withColumn("scale",
+      greatest(array_max(transform(col("e"), v => abs(v))), lit(1e-12)) / 127)
+    val q = s.withColumn("q", transform(col("e"),
+      v => greatest(least(round(v / col("scale")), lit(127.0)), lit(-127.0))
+        .cast("int")))
+    val r = q.withColumn("recon",
+      transform(col("q"), c => c * col("scale")))
+    val m = r.select(col("vec_id"), col("scale"), col("q"),
+      aggregate(zip_with(col("e"), col("recon"),
+        (a, b) => (a - b) * (a - b)), lit(0.0), _ + _).as("__se"),
+      size(col("e")).cast("double").as("__d"),
+      aggregate(zip_with(col("e"), col("recon"), _ * _), lit(0.0), _ + _)
+        .as("__dot"),
+      aggregate(transform(col("e"), v => v * v), lit(0.0), _ + _).as("__ne2"),
+      aggregate(transform(col("recon"), v => v * v), lit(0.0), _ + _)
+        .as("__nr2"))
+    m.select(col("vec_id"), round(col("scale"), 6).as("scale"),
+      array_join(col("q"), " ").as("codes"),
+      round(col("__se") / col("__d"), 10).as("mse"),
+      // all-zero vector ⇒ zero reconstruction: cosine undefined → null
+      // (an ANSI-mode division, not NaN — keep the guard explicit)
+      when(col("__ne2") > 0 && col("__nr2") > 0,
+        round(col("__dot") / (sqrt(col("__ne2")) * sqrt(col("__nr2"))), 6))
+        .as("cos_recon"))
+  }
 }
