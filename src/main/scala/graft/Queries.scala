@@ -2841,6 +2841,32 @@ object Queries {
         |    - n_subtokens AS DOUBLE) / 256) AS BIGINT) AS seq_id
         |FROM sh ORDER BY doc_id""".stripMargin)),
 
+    // ---- Asymmetric shingle containment (quote/superset detector):
+    // inverted-index self-join with a hot-shingle df cap; sizes counted
+    // over the same pruned postings so the ratio is self-consistent. ----
+    QDef("dedup_containment",
+      (s, d) => Dedup.containmentPairs(documents(s, d), k = 3, tau = 0.3,
+        maxDf = 100).orderBy("doc_a", "doc_b"),
+      Some("""WITH tk AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |shl AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |          FOR i IN generate_series(1, len(t)-2)]
+        |    ELSE [array_to_string(t, ' ')] END)) AS sh FROM tk),
+        |cool AS (SELECT sh FROM shl GROUP BY sh HAVING COUNT(*) <= 100),
+        |kept AS (SELECT doc_id, sh FROM shl
+        |  WHERE sh IN (SELECT sh FROM cool)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id),
+        |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    COUNT(*) AS shared
+        |  FROM kept a JOIN kept b USING (sh) WHERE a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, shared, n_sh AS n_sh_a,
+        |  ROUND(shared / CAST(n_sh AS DOUBLE), 4) AS containment
+        |FROM shared JOIN sizes ON sizes.doc_id = shared.doc_a
+        |WHERE ROUND(shared / CAST(n_sh AS DOUBLE), 4) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // ---- Int8 embedding quantization: per-vector symmetric scale,
     // codes + reconstruction-quality metrics. Map-only, one stage;
     // metric sums run in array-position order on both engines. ----

@@ -537,4 +537,40 @@ object Dedup {
         col("__score").as("keep_score"),
         col("cluster_size").cast("long").as("cluster_size"))
   }
+
+  /** Asymmetric shingle containment C(a→b) = |S_a ∩ S_b| / |S_a| — the
+    * quote/superset detector Jaccard misses: a short doc fully embedded
+    * in a long one has low Jaccard (the union is huge) but containment
+    * ≈ 1 in the contained direction.
+    *
+    * Scale shape — an inverted-index self-join, never an all-pairs
+    * product: distinct shingles explode to a posting list; shingles with
+    * document frequency > `maxDf` are dropped FIRST (a stopword-like
+    * shingle contributes O(df²) pairs and no discriminative signal —
+    * the standard hot-key cap, and the df prune reuses the posting
+    * partitioning by shingle for both the df join and the pair
+    * self-join); per-doc shingle sizes are counted over the SAME pruned
+    * postings, so the ratio is self-consistent. Both directions of every
+    * co-shingled pair are emitted; the `tau` filter keeps the contained
+    * ones. */
+  def containmentPairs(documents: DataFrame, k: Int = 3, tau: Double = 0.5,
+      maxDf: Int = 100, textCol: String = "text"): DataFrame = {
+    val post = documents.select(col("doc_id"),
+      explode(shingles(col(textCol), k)).as("sh"))
+    val kept = post.join(
+      post.groupBy("sh").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= maxDf).drop("__df"),
+      "sh")
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    kept.select(col("sh"), col("doc_id").as("doc_a"))
+      .join(kept.select(col("sh"), col("doc_id").as("doc_b")), "sh")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_sh_a")),
+        "doc_a")
+      .withColumn("containment",
+        round(col("shared") / col("n_sh_a").cast("double"), 4))
+      .filter(col("containment") >= tau)
+      .select("doc_a", "doc_b", "shared", "n_sh_a", "containment")
+  }
 }
