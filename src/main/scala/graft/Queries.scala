@@ -2841,6 +2841,64 @@ object Queries {
         |    - n_subtokens AS DOUBLE) / 256) AS BIGINT) AS seq_id
         |FROM sh ORDER BY doc_id""".stripMargin)),
 
+    // ---- Corpus snapshot diff: hash-decided added/removed/changed
+    // between two snapshots (simulated by deterministic doc_id slices +
+    // a text mutation). Full-outer join moves only (id, md5, len). ----
+    QDef("snapshot_diff",
+      (s, d) => {
+        val docs = documents(s, d)
+        Drift.corpusDiff(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 =!= 1)
+              .withColumn("text", when(col("doc_id") % 7 === 0,
+                concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+          .filter(col("status") =!= "unchanged").orderBy("doc_id")
+      },
+      Some("""WITH ref AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |cur AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |    ELSE text END AS text FROM documents WHERE doc_id % 10 <> 1),
+        |j AS (SELECT COALESCE(r.doc_id, c.doc_id) AS doc_id,
+        |    CASE WHEN r.doc_id IS NULL THEN 'added'
+        |         WHEN c.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(r.text) = md5(c.text) THEN 'unchanged'
+        |         ELSE 'changed' END AS status,
+        |    CASE WHEN r.doc_id IS NULL THEN NULL
+        |         ELSE CAST(length(r.text) AS BIGINT) END AS n_chars_ref,
+        |    CASE WHEN c.doc_id IS NULL THEN NULL
+        |         ELSE CAST(length(c.text) AS BIGINT) END AS n_chars_cur
+        |  FROM ref r FULL OUTER JOIN cur c ON r.doc_id = c.doc_id)
+        |SELECT doc_id, status, n_chars_ref, n_chars_cur FROM j
+        |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin)),
+
+    QDef("snapshot_diff_summary",
+      (s, d) => {
+        val docs = documents(s, d)
+        Drift.corpusDiffSummary(Drift.corpusDiff(
+            docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 =!= 1)
+              .withColumn("text", when(col("doc_id") % 7 === 0,
+                concat(col("text"), lit(" v2"))).otherwise(col("text")))))
+          .orderBy("status")
+      },
+      Some("""WITH ref AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |cur AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |    ELSE text END AS text FROM documents WHERE doc_id % 10 <> 1),
+        |j AS (SELECT COALESCE(r.doc_id, c.doc_id) AS doc_id,
+        |    CASE WHEN r.doc_id IS NULL THEN 'added'
+        |         WHEN c.doc_id IS NULL THEN 'removed'
+        |         WHEN md5(r.text) = md5(c.text) THEN 'unchanged'
+        |         ELSE 'changed' END AS status,
+        |    CASE WHEN r.doc_id IS NULL THEN 0
+        |         ELSE CAST(length(r.text) AS BIGINT) END AS n_chars_ref,
+        |    CASE WHEN c.doc_id IS NULL THEN 0
+        |         ELSE CAST(length(c.text) AS BIGINT) END AS n_chars_cur
+        |  FROM ref r FULL OUTER JOIN cur c ON r.doc_id = c.doc_id)
+        |SELECT status, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars_cur - n_chars_ref) AS BIGINT) AS chars_delta
+        |FROM j GROUP BY status ORDER BY status""".stripMargin)),
+
     // ---- Asymmetric shingle containment (quote/superset detector):
     // inverted-index self-join with a hot-shingle df cap; sizes counted
     // over the same pruned postings so the ratio is self-consistent. ----

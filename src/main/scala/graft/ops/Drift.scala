@@ -185,4 +185,35 @@ object Drift {
           - col("cum_c") / col("t_c").cast("double"))), 6).as("d_stat"),
         max(col("t_r")).as("n_ref"), max(col("t_c")).as("n_cur"))
   }
+
+  /** Corpus snapshot diff — which documents were added, removed, or
+    * changed between two snapshots, the audit that precedes any
+    * incremental re-process (re-embed, re-dedup, re-train decisions).
+    *
+    * One co-partitioned full-outer join on doc_id; the shuffle carries
+    * only (doc_id, md5, length) — never the document bodies — so the
+    * diff of a 100 TB corpus moves ~40 bytes per document. Status is
+    * decided by content hash, not timestamps: storage-layer rewrites
+    * that didn't change bytes stay `unchanged`. */
+  def corpusDiff(ref: DataFrame, cur: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val r = ref.select(col("doc_id"), md5(col(textCol)).as("__sig_r"),
+      length(col(textCol)).cast("long").as("n_chars_ref"))
+    val c = cur.select(col("doc_id"), md5(col(textCol)).as("__sig_c"),
+      length(col(textCol)).cast("long").as("n_chars_cur"))
+    r.join(c, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("__sig_r").isNull, lit("added"))
+          .when(col("__sig_c").isNull, lit("removed"))
+          .when(col("__sig_r") === col("__sig_c"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select("doc_id", "status", "n_chars_ref", "n_chars_cur")
+  }
+
+  /** Churn rollup of [[corpusDiff]]: doc counts and net character delta
+    * per status — the one-screen "how big was this ingest" report. */
+  def corpusDiffSummary(diff: DataFrame): DataFrame =
+    diff.groupBy("status").agg(count(lit(1)).as("n_docs"),
+      sum(coalesce(col("n_chars_cur"), lit(0L)) -
+        coalesce(col("n_chars_ref"), lit(0L))).as("chars_delta"))
 }

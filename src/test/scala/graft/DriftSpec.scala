@@ -114,4 +114,19 @@ class DriftSpec extends SparkSpec {
     assert(quiet.forall(r => !r.getAs[Double]("psi").isNaN &&
       r.getAs[Double]("psi") == 0.0))
   }
+
+  test("corpusDiff classifies added/removed/changed/unchanged by content") {
+    import spark.implicits._
+    val ref = Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("doc_id", "text")
+    val cur = Seq((2L, "bb"), (3L, "cc CHANGED"), (4L, "dd"))
+      .toDF("doc_id", "text")
+    val got = Drift.corpusDiff(ref, cur).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added"))
+    val sm = Drift.corpusDiffSummary(Drift.corpusDiff(ref, cur)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sm("added") == ((1L, 2L)) && sm("removed") == ((1L, -2L)))
+    assert(sm("changed") == ((1L, 8L)) && sm("unchanged") == ((1L, 0L)))
+  }
 }
