@@ -2907,10 +2907,12 @@ object Queries {
         maxDf = 100).orderBy("doc_a", "doc_b"),
       Some("""WITH tk AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
-        |shl AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        |shs AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
         |    THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
         |          FOR i IN generate_series(1, len(t)-2)]
-        |    ELSE [array_to_string(t, ' ')] END)) AS sh FROM tk),
+        |    ELSE [array_to_string(t, ' ')] END)) AS s FROM tk),
+        |shl AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS sh FROM shs),
         |cool AS (SELECT sh FROM shl GROUP BY sh HAVING COUNT(*) <= 100),
         |kept AS (SELECT doc_id, sh FROM shl
         |  WHERE sh IN (SELECT sh FROM cool)),

@@ -555,17 +555,34 @@ object Dedup {
     * ones. */
   def containmentPairs(documents: DataFrame, k: Int = 3, tau: Double = 0.5,
       maxDf: Int = 100, textCol: String = "text"): DataFrame = {
-    val post = documents.select(col("doc_id"),
-      explode(shingles(col(textCol), k)).as("sh"))
+    // 60-bit md5 keys: the df count, prune join, and pair self-join all
+    // shuffle 8-byte longs instead of k-word shingle strings (md5 is
+    // shared with the DuckDB oracle, so counts stay value-checkable).
+    // The posting table is materialized ONCE, pre-partitioned by key —
+    // it has three consumers (df counts, sizes, both self-join sides)
+    // and would otherwise re-run scan+split+shingle+explode for each.
+    val post = Materialize(documents
+      .select(col("doc_id"), explode(shingles(col(textCol), k)).as("__sh"))
+      .select(col("doc_id"), md5Long(col("__sh")).as("sh"))
+      .repartition(col("sh")))
     val kept = post.join(
       post.groupBy("sh").agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= maxDf).drop("__df"),
       "sh")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    kept.select(col("sh"), col("doc_id").as("doc_a"))
+    // shared-count is symmetric: join one direction (halving the pair
+    // blowup, the dominant cost), then mirror the AGGREGATED pairs with
+    // an explode — never a union, which would re-execute the chain.
+    val oneDir = kept.select(col("sh"), col("doc_id").as("doc_a"))
       .join(kept.select(col("sh"), col("doc_id").as("doc_b")), "sh")
-      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    oneDir.select(explode(array(
+        struct(col("doc_a"), col("doc_b"), col("shared")),
+        struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+          col("shared")))).as("__p"))
+      .select(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"),
+        col("__p.shared").as("shared"))
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_sh_a")),
         "doc_a")
       .withColumn("containment",
