@@ -2841,6 +2841,41 @@ object Queries {
         |    - n_subtokens AS DOUBLE) / 256) AS BIGINT) AS seq_id
         |FROM sh ORDER BY doc_id""".stripMargin)),
 
+    // ---- Per-source corpus datasheet: map-side features, text dropped
+    // before the dup-hash window and source rollup shuffle; ratios are
+    // integer sums divided once. Pass predicate = prose word band +
+    // required-stopword floor (the datasheet is parametric in it). ----
+    QDef("corpus_datasheet",
+      (s, d) => {
+        val t = TextAnalysis.toks(lower(col("text")))
+        graft.ops.Profiler.corpusDatasheet(documents(s, d),
+            size(t).between(30, 80) &&
+              size(array_intersect(array_distinct(t),
+                array(TextAnalysis.gopherStopwords.map(lit): _*))) >= 1)
+          .orderBy("source")
+      },
+      Some("""WITH per AS (SELECT source, lang, md5(text) AS h,
+        |    len(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+        |    CAST(length(text) AS BIGINT) AS chars,
+        |    len(string_split_regex(trim(lower(text)), '\s+'))
+        |      BETWEEN 30 AND 80
+        |    AND len(list_intersect(
+        |      list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+        |      ['the','be','to','of','and','that','have','with'])) >= 1
+        |      AS pass
+        |  FROM documents),
+        |f AS (SELECT *, COUNT(*) OVER (PARTITION BY h) > 1 AS dup FROM per)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS n_tokens,
+        |  ROUND(SUM(chars) / CAST(COUNT(*) AS DOUBLE), 2) AS avg_chars,
+        |  ROUND(SUM(CASE WHEN pass THEN 1 ELSE 0 END) /
+        |    CAST(COUNT(*) AS DOUBLE), 4) AS pass_ratio,
+        |  ROUND(SUM(CASE WHEN dup THEN 1 ELSE 0 END) /
+        |    CAST(COUNT(*) AS DOUBLE), 4) AS dup_ratio,
+        |  ROUND(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) /
+        |    CAST(COUNT(*) AS DOUBLE), 4) AS en_ratio
+        |FROM f GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- Corpus snapshot diff: hash-decided added/removed/changed
     // between two snapshots (simulated by deterministic doc_id slices +
     // a text mutation). Full-outer join moves only (id, md5, len). ----

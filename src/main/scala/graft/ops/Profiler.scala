@@ -228,4 +228,37 @@ object Profiler {
           round(col(s"__q$i"), 4).as(s"p${math.round(p * 100)}")
         } ++ Seq(round(col("maxv"), 4).as("maxv")): _*)
   }
+
+  /** Per-source corpus datasheet — the "datasheet for datasets" rollup a
+    * training-data release ships with: document/token volume, a
+    * caller-supplied quality-pass rate, corpus-wide exact-duplicate rate,
+    * and language purity, one row per source.
+    *
+    * Scale shape: every per-doc feature (md5, token count, the `pass`
+    * predicate) is computed map-side and the text column is DROPPED
+    * before anything shuffles — the duplicate flag's hash window and the
+    * per-source aggregation move ~50 bytes per document. Ratios are
+    * exact-integer sums divided once (never an avg over doubles, whose
+    * partial-sum order would wobble the last bits). */
+  def corpusDatasheet(documents: DataFrame, pass: Column,
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = documents.select(col("source"), col("lang"),
+      md5(col(textCol)).as("__h"),
+      graft.ops.TextAnalysis.tokenCount(col(textCol)).cast("long").as("__tok"),
+      length(col(textCol)).cast("long").as("__chars"),
+      pass.as("__pass"))
+    val flagged = perDoc.withColumn("__dup",
+      count(lit(1)).over(Window.partitionBy("__h")) > 1)
+    def ratio(c: Column): Column =
+      round(sum(when(c, 1L).otherwise(0L)) /
+        count(lit(1)).cast("double"), 4)
+    flagged.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("__tok").as("n_tokens"),
+      round(sum("__chars") / count(lit(1)).cast("double"), 2).as("avg_chars"),
+      ratio(col("__pass")).as("pass_ratio"),
+      ratio(col("__dup")).as("dup_ratio"),
+      ratio(col("lang") === "en").as("en_ratio"))
+  }
 }
