@@ -2841,6 +2841,26 @@ object Queries {
         |    - n_subtokens AS DOUBLE) / 256) AS BIGINT) AS seq_id
         |FROM sh ORDER BY doc_id""".stripMargin)),
 
+    // ---- Flesch reading ease (vowel-group syllable proxy, [.!?]+ run
+    // sentence count, both floored at 1). Map-only; arithmetic order
+    // mirrored exactly in the oracle so doubles agree pre-round. ----
+    QDef("text_readability",
+      (s, d) => TextAnalysis.readability(documents(s, d)).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS w, text
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(list_reduce(list_transform(w, x ->
+        |      GREATEST(len(regexp_extract_all(x, '[aeiouy]+')), 1)),
+        |      (a, b) -> a + b) AS BIGINT) AS n_syllables
+        |  FROM t)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  ROUND(206.835 - 1.015 * n_words / CAST(n_sentences AS DOUBLE)
+        |    - 84.6 * n_syllables / CAST(n_words AS DOUBLE), 4) AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin)),
+
     // ---- Per-source corpus datasheet: map-side features, text dropped
     // before the dup-hash window and source rollup shuffle; ratios are
     // integer sums divided once. Pass predicate = prose word band +

@@ -514,6 +514,29 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** Flesch reading-ease with a deterministic syllable proxy (count of
+    * [aeiouy]+ vowel groups per word, floored at 1 — the standard
+    * dictionary-free approximation) and sentence count = [.!?]+ runs
+    * floored at 1. Map-only; emits the raw counts so a caller can
+    * re-derive grade-level variants without another scan. */
+  def readability(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val toksed = documents.select(col("doc_id"),
+      toks(lower(col(textCol))).as("__w"), col(textCol).as("__text"))
+    val counted = toksed.select(col("doc_id"),
+      size(col("__w")).cast("long").as("n_words"),
+      greatest(regexp_count(col("__text"), lit("[.!?]+")), lit(1))
+        .cast("long").as("n_sentences"),
+      aggregate(transform(col("__w"),
+          w => greatest(regexp_count(w, lit("[aeiouy]+")), lit(1))),
+        lit(0L), _ + _).as("n_syllables"))
+    counted.select(col("doc_id"), col("n_words"), col("n_sentences"),
+      col("n_syllables"),
+      round(lit(206.835)
+        - lit(1.015) * col("n_words") / col("n_sentences").cast("double")
+        - lit(84.6) * col("n_syllables") / col("n_words").cast("double"), 4)
+        .as("flesch"))
+  }
+
   /** The Gopher required-stopword set (Rae et al. 2021 §A1.1.2): a doc
     * must contain ≥ 2 of these to look like running English prose. */
   val gopherStopwords: Seq[String] =
