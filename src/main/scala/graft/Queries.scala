@@ -3147,6 +3147,33 @@ object Queries {
         |SELECT query_id, doc_id, score, n_terms_hit FROM r WHERE rn <= 10
         |ORDER BY query_id, doc_id""".stripMargin)),
 
+    // ---- Perceptual-hash media near-dup: thumbnail through the codec
+    // (mapPartitions — swap in a real decoder and nothing else moves),
+    // bit-threshold hash, then the SimHash chunk-pigeonhole hamming
+    // join (exact for r=1 with 2 chunks). The oracle replays the stub
+    // codec's cycle-pad resize arithmetically on the ASCII bytes and
+    // verifies with a brute-force pair scan. ----
+    QDef("mm_phash_dedup",
+      (s, d) => {
+        val media = Multimodal.syntheticMedia(s, documents(s, d))
+        Multimodal.phashPairs(
+            Multimodal.perceptualHash(media, new Multimodal.StubCodec()))
+          .orderBy("media_a", "media_b")
+      },
+      Some("""WITH px AS (SELECT doc_id AS media_id,
+        |    [ascii(substr(text, ((i - 1) % length(text)) + 1, 1))
+        |     FOR i IN generate_series(1, 16)] AS p FROM documents),
+        |h AS (SELECT media_id, CAST(list_reduce(
+        |    [CASE WHEN p[i] > list_reduce(p, (a, b) -> a + b) / 16.0
+        |       THEN 1 << (i - 1) ELSE 0 END
+        |     FOR i IN generate_series(1, 16)], (a, b) -> a + b) AS BIGINT)
+        |    AS phash FROM px)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 1
+        |ORDER BY media_a, media_b""".stripMargin)),
+
     // Multimodal frame-sampling plumbing (relational half: metadata →
     // ragged frame explosion → stride filter). The codec stub's frame
     // counts are pure arithmetic on the synthetic metadata, so DuckDB

@@ -109,6 +109,52 @@ object Multimodal {
       .filter(col("frame_idx") % everyNth === 0)
   }
 
+  /** Perceptual hash per media row: resize to a `side`×`side` thumbnail
+    * THROUGH the codec (the honest multimodal path — swap in a real
+    * codec and nothing else changes), then one bit per pixel:
+    * 1 iff pixel > thumbnail mean. Near-identical media differ in few
+    * bits — the hamming-ball neighbourhood [[phashPairs]] searches.
+    * Imperative per-row work stays in `mapPartitions`; everything after
+    * the hash is relational. */
+  def perceptualHash(media: Dataset[MediaRow], codec: MediaCodec,
+      side: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    resizeAll(media, codec, side, side).map { r =>
+      val px = r.bytes.map(b => (b & 0xff).toDouble)
+      val mean = px.sum / px.length
+      var h = 0L
+      px.zipWithIndex.foreach { case (p, i) => if (p > mean) h |= 1L << i }
+      (r.media_id, r.kind, h)
+    }.toDF("media_id", "kind", "phash")
+  }
+
+  /** Near-duplicate media pairs within hamming distance `r` of the
+    * `bits`-bit perceptual hash, by chunk pigeonhole (the SimHash join
+    * shape): split the hash into r+1 chunks — any pair within distance r
+    * agrees on ≥ 1 whole chunk — equi-join per (chunk index, value)
+    * bucket, then verify exact `bit_count(xor)`. Never an all-pairs
+    * product; candidate volume is bounded by bucket occupancy, and the
+    * explode adds r+1 rows per media, not per pair. */
+  def phashPairs(hashes: DataFrame, bits: Int = 16, r: Int = 1): DataFrame = {
+    val chunks = r + 1
+    val width = bits / chunks
+    val mask = (1L << width) - 1
+    val keyed = hashes.select(col("media_id"), col("phash"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("ci"))
+      .withColumn("ck", expr(s"shiftright(phash, ci * $width)")
+        .bitwiseAND(lit(mask)))
+    keyed.select(col("ci"), col("ck"), col("media_id").as("media_a"),
+        col("phash").as("ph_a"))
+      .join(keyed.select(col("ci"), col("ck"), col("media_id").as("media_b"),
+        col("phash").as("ph_b")), Seq("ci", "ck"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= r)
+  }
+
   /** Build a synthetic media table from any text corpus (UTF-8 bytes as
     * blobs) — lets the plumbing be exercised against driver test data.
     * Audio durations vary by id (500 + (id mod 6)·1000 ms ⇒ frameCount

@@ -119,4 +119,30 @@ class ObsMultimodalSpec extends SparkSpec {
       .collect().map(r => r.media_id -> r.bytes.toSeq).toMap
     rows.foreach(r => assert(again(r.media_id) == r.bytes.toSeq))
   }
+
+  test("multimodal: phash pigeonhole join equals brute force at r=1") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val media = Multimodal.syntheticMedia(spark, docs)
+    val hashes = Multimodal.perceptualHash(media, new Multimodal.StubCodec())
+    val hs = hashes.collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("phash"))
+    // brute-force truth over all pairs
+    val truth = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 1
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal.phashPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == truth)
+    assert(truth.nonEmpty, "fixture should produce at least one near pair")
+    // identical bytes ⇒ hamming 0 (doc paired with itself duplicated)
+    val dup = Multimodal.syntheticMedia(spark,
+      docs.limit(1).select(col("doc_id") + 1000, col("text"), col("lang"),
+        col("source"), col("n_chars"))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .union(docs.limit(1)))
+    val dupPairs = Multimodal.phashPairs(
+      Multimodal.perceptualHash(dup, new Multimodal.StubCodec())).collect()
+    assert(dupPairs.exists(_.getLong(2) == 0L))
+  }
 }
