@@ -3147,6 +3147,48 @@ object Queries {
         |SELECT query_id, doc_id, score, n_terms_hit FROM r WHERE rn <= 10
         |ORDER BY query_id, doc_id""".stripMargin)),
 
+    // ---- Packed training sequences: pack bins × dictionary-encoded
+    // ids, concatenated in doc order (struct-sorted fold — never a bare
+    // collect_list). The trainer-input capstone of pack + encode. ----
+    QDef("export_sequences",
+      (s, d) => {
+        val docs = documents(s, d)
+        Sampling.exportSequences(
+            Sampling.packByBudget(docs, budgetTokens = 512, nShards = 8),
+            TextAnalysis.vocabEncode(docs, v = 500))
+          .orderBy("shard", "seq_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens,
+        |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |      % 8 AS shard
+        |  FROM documents),
+        |packed AS (SELECT doc_id, shard, n_tokens,
+        |    CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY shard
+        |      ORDER BY doc_id) - n_tokens AS DOUBLE) / 512) AS BIGINT)
+        |      AS seq_id
+        |  FROM t),
+        |toks AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents),
+        |tok AS (SELECT doc_id, unnest(tk) AS tok,
+        |    unnest([i FOR i IN generate_series(1, len(tk))]) AS pos FROM toks),
+        |vf AS (SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok),
+        |vocab AS (SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC,
+        |    tok ASC) AS INT) AS tok_id
+        |  FROM vf ORDER BY freq DESC, tok ASC LIMIT 500),
+        |encid AS (SELECT t.doc_id, t.pos, COALESCE(v.tok_id, 0) AS id
+        |  FROM tok t LEFT JOIN vocab v USING (tok)),
+        |enc AS (SELECT doc_id,
+        |    array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ' ')
+        |      AS ids_str
+        |  FROM encid GROUP BY doc_id)
+        |SELECT shard, seq_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  array_to_string(list(ids_str ORDER BY doc_id), ' ') AS ids
+        |FROM packed JOIN enc USING (doc_id)
+        |GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin)),
+
     // ---- Perceptual-hash media near-dup: thumbnail through the codec
     // (mapPartitions — swap in a real decoder and nothing else moves),
     // bit-threshold hash, then the SimHash chunk-pigeonhole hamming

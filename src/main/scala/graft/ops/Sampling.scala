@@ -96,6 +96,26 @@ object Sampling {
           .cast("long").as("seq_id"))
   }
 
+  /** Packed training sequences — the trainer's actual input: every
+    * [[packByBudget]] bin joined with its documents' dictionary-encoded
+    * ids ([[TextAnalysis.vocabEncode]]'s `ids_str`), concatenated in
+    * doc_id order. The concat is a collect-sort-join fold (struct sort
+    * pins the order; a bare collect_list would be partition-order
+    * dependent), bounded per group by the token budget — a sequence
+    * never outgrows `budgetTokens` plus one document.
+    *
+    * One equi-join on doc_id and one partial-agg shuffle on
+    * (shard, seq_id); at 100 TB both sides arrive hash-partitioned by
+    * doc-derived keys and the output is exactly the shard layout the
+    * export sink writes. */
+  def exportSequences(packed: DataFrame, encoded: DataFrame): DataFrame =
+    packed.join(encoded.select(col("doc_id"), col("ids_str")), "doc_id")
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("ids_str")))),
+          s => s.getField("ids_str")), " ").as("ids"))
+
   /** Data-mixing weights per source/domain for a per-source token budget:
     * the downsampling plan a pre-training mix is built from (cap each
     * domain's contribution; small domains keep weight 1.0).

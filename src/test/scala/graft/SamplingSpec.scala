@@ -142,4 +142,33 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("reserves output column 'h'"))
   }
+
+  test("export sequences: ids concatenate in doc order, bounded by budget") {
+    import spark.implicits._
+    import graft.ops.{Sampling, TextAnalysis}
+    val docs = graft.Tables.documents(spark, sf("sf0.001"))
+    val packed = Sampling.packByBudget(docs, budgetTokens = 128, nShards = 4)
+    val enc = TextAnalysis.vocabEncode(docs, v = 100)
+    val seqs = Sampling.exportSequences(packed, enc)
+    val maxDoc = packed.agg(org.apache.spark.sql.functions.max("n_tokens"))
+      .collect().head.getLong(0)
+    val rows = seqs.collect()
+    assert(rows.nonEmpty)
+    // budget bound: a bin holds < budget before its last doc is added
+    assert(rows.forall(_.getAs[Long]("n_tokens") < 128 + maxDoc))
+    // doc order inside a sequence: rebuild one group by hand
+    val g = packed.join(enc.select($"doc_id", $"ids_str"), "doc_id")
+      .orderBy("doc_id").collect()
+      .groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_id")))
+    rows.foreach { r =>
+      val want = g((r.getLong(0), r.getLong(1)))
+        .map(_.getAs[String]("ids_str")).mkString(" ")
+      assert(r.getAs[String]("ids") == want)
+    }
+    // partitioning-invariant
+    val again = Sampling.exportSequences(
+      Sampling.packByBudget(docs.repartition(7), budgetTokens = 128,
+        nShards = 4), enc).orderBy("shard", "seq_id").collect()
+    assert(again.toSeq == seqs.orderBy("shard", "seq_id").collect().toSeq)
+  }
 }
