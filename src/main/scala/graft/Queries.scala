@@ -3147,6 +3147,35 @@ object Queries {
         |SELECT query_id, doc_id, score, n_terms_hit FROM r WHERE rn <= 10
         |ORDER BY query_id, doc_id""".stripMargin)),
 
+    // ---- Leakage-safe split: hash split, then the n-gram gate pointed
+    // at the split's own eval side. Eval grams broadcast; decision is
+    // one left join on doc_id. ----
+    QDef("split_decontaminated",
+      (s, d) => TextAnalysis.splitDecontaminated(documents(s, d))
+        .orderBy("doc_id"),
+      Some("""WITH sp AS (SELECT doc_id, text,
+        |    CASE WHEN CAST(('0x'||substr(md5('split:' ||
+        |      CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 80
+        |      THEN 'train' ELSE 'val' END AS split
+        |  FROM documents),
+        |g AS (SELECT doc_id, split, CASE WHEN len(t) >= 5
+        |    THEN list_distinct(
+        |      [array_to_string(t[i:i+4], ' ')
+        |       FOR i IN generate_series(1, len(t)-4)])
+        |    ELSE []::VARCHAR[] END AS grams
+        |  FROM (SELECT doc_id, split,
+        |    string_split_regex(trim(lower(text)), '\s+') AS t FROM sp)),
+        |e AS (SELECT DISTINCT unnest(grams) AS gg FROM g
+        |  WHERE split = 'val'),
+        |u AS (SELECT doc_id, unnest(grams) AS gg FROM g
+        |  WHERE split = 'train'),
+        |sh AS (SELECT u.doc_id, COUNT(*) AS n_shared FROM u JOIN e USING (gg)
+        |  GROUP BY u.doc_id)
+        |SELECT g.doc_id, g.split,
+        |  CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared,
+        |  g.split = 'val' OR COALESCE(sh.n_shared, 0) = 0 AS keep
+        |FROM g LEFT JOIN sh USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // ---- Packed training sequences: pack bins × dictionary-encoded
     // ids, concatenated in doc order (struct-sorted fold — never a bare
     // collect_list). The trainer-input capstone of pack + encode. ----

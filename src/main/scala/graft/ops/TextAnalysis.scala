@@ -203,6 +203,32 @@ object TextAnalysis {
         (col("n_shared") > 0).as("contaminated"))
   }
 
+  /** Leakage-safe train/eval split — the composition every benchmark-
+    * honest pipeline runs: deterministic hash split
+    * ([[Sampling.hashSplit]]), then the n-gram decontamination gate
+    * ([[decontaminate]]) pointed at the split's OWN eval side, so a
+    * train document sharing any word n-gram with the held-out set is
+    * flagged before it can leak. Output per doc: split, shared-gram
+    * count (0 for eval rows), and the keep decision (eval rows always
+    * keep; train rows keep iff clean).
+    *
+    * Scale shape: the split is a map-side hash (no shuffle); eval grams
+    * broadcast exactly as in the standalone gate; the final decision is
+    * one left join on doc_id. */
+  def splitDecontaminated(documents: DataFrame, trainPct: Int = 80,
+      n: Int = 5, textCol: String = "text"): DataFrame = {
+    val split = Sampling.hashSplit(documents, "doc_id", trainPct)
+    val flags = decontaminate(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") === "val"), n, textCol)
+      .select(col("doc_id"), col("n_shared"), col("contaminated"))
+    split.select(col("doc_id"), col("split"))
+      .join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (col("split") === "val" || !col("contaminated")).as("keep"))
+  }
+
   /** Gopher-class repetition signals per doc: unique-word fraction and
     * the share of the most frequent word 2-gram. High top-2-gram share /
     * low unique fraction = boilerplate or degenerate repetition — the

@@ -97,4 +97,31 @@ class CurationSpec extends SparkSpec {
     assert(got(1L) == (3L, 7.5))
     assert(got(2L) == (1L, 5.0)) // singleton: the seed itself
   }
+
+  test("splitDecontaminated flags a planted train→eval leak") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val secret = "zq wv xj kq vz bn mm pq rs tu" // a unique 10-token span
+    // enough docs that the 80/20 hash split puts some on each side
+    val base = (0L until 40L).map(i =>
+      (i, (0 until 12).map(j => s"w${i}x$j").mkString(" "))) // no shared grams
+    val docs = base.map { case (id, t) =>
+      // plant the secret span in doc 0 and doc 1 — the hash split will
+      // decide their sides; assert on whatever sides they land
+      if (id <= 1) (id, s"$t $secret") else (id, t)
+    }.toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.splitDecontaminated(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getBoolean(3))).toMap
+    val side0 = out(0L)._1; val side1 = out(1L)._1
+    if (side0 != side1) {
+      // one holds the secret in eval, the other trains on it → flagged
+      val trainId = if (side0 == "train") 0L else 1L
+      assert(out(trainId)._2 > 0 && !out(trainId)._3,
+        s"leaked doc $trainId should be dropped: ${out(trainId)}")
+    }
+    // eval rows always keep; clean train rows keep
+    assert(out.values.filter(_._1 == "val").forall(_._3))
+    assert(out.filterNot(kv => kv._1 <= 1).values.forall(_._3))
+  }
 }
