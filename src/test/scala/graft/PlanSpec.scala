@@ -247,4 +247,32 @@ class PlanSpec extends SparkSpec {
     val p = planOf("sample_weighted")
     assert(p.contains("TakeOrderedAndProject"), "top-k must be heap-based")
   }
+
+  test("containment: posting joins stay equi-keyed, no all-pairs product") {
+    val p = planOf("dedup_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "containment must never degrade to an all-pairs product")
+    assert(p.contains("partial_"), "pair counts must partial-aggregate")
+  }
+
+  test("phash dedup: pigeonhole buckets equi-join, never cross-join") {
+    val p = planOf("mm_phash_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "hamming search must go through bucket equi-joins")
+  }
+
+  test("bm25: eval-side query frame broadcasts into the posting prune") {
+    val p = planOf("retrieval_bm25")
+    assert(p.contains("BroadcastExchange"), "query terms must broadcast")
+    assert(p.contains("ExactTopK") || p.contains("PartialTopK"),
+      "per-query top-k must use the bounded-heap operator")
+  }
+
+  test("split decon: split predicate is map-side, eval grams broadcast") {
+    val p = planOf("split_decontaminated")
+    assert(p.contains("BroadcastExchange"), "eval grams must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
