@@ -20,6 +20,12 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
 fails, oks, rows_only = [], [], []
+# Verify.scala dumps throwing queries here (alongside an empty marker dir
+# per failure) so a broken query can never silently shrink the gate.
+failed_path = Path(f"{out_dir}/_failed.json")
+verify_failed = json.loads(failed_path.read_text()) if failed_path.exists() else {}
+for n, m in verify_failed.items():
+    fails.append((n, f"verify threw: {m}"))
 
 def canon(df):
     df = df[sorted(df.columns)].reset_index(drop=True)
@@ -35,6 +41,8 @@ for qdir in sorted(Path(out_dir).iterdir()):
     if not qdir.is_dir():
         continue
     name = qdir.name
+    if name in verify_failed:   # already reported above; dir is an empty marker
+        continue
     try:
         spark_df = pd.read_parquet(qdir)
     except Exception as e:

@@ -531,24 +531,34 @@ object Queries {
         |ROUND(quantile_cont(value, 0.99), 2) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
-    // ---- Q44: window value functions (first/last/nth) over an
-    // unbounded frame — constant per partition, DISTINCT collapses to
-    // one row per group. Total order (orderkey, linenumber) keeps the
-    // nth pick deterministic on both engines. ----
+    // ---- Q44: window value semantics (first/last/nth under a total
+    // order) WITHOUT a window. `PARTITION BY l_returnflag` has
+    // cardinality 3, so a real Window would sort the whole table
+    // through ≤ 3 reducers at any cluster size — three straggler tasks
+    // at 100 TB. Instead: first/last under (l_orderkey, l_linenumber)
+    // order are just min/max of l_orderkey (one partial-agg pass), and
+    // the 3rd row is the worst of GroupedTopK(k=3) — O(keys·k·parts)
+    // across the exchange, never O(rows). Both sides are 3-row aggs;
+    // the join broadcasts. ----
     QDef("q44_window_values",
       (s, d) => {
-        lineitem(s, d).createOrReplaceTempView("lineitem_wv")
-        s.sql("""SELECT DISTINCT l_returnflag,
-          |FIRST_VALUE(l_orderkey) OVER (PARTITION BY l_returnflag
-          |  ORDER BY l_orderkey, l_linenumber
-          |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ok,
-          |LAST_VALUE(l_orderkey) OVER (PARTITION BY l_returnflag
-          |  ORDER BY l_orderkey, l_linenumber
-          |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
-          |NTH_VALUE(l_orderkey, 3) OVER (PARTITION BY l_returnflag
-          |  ORDER BY l_orderkey, l_linenumber
-          |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_ok
-          |FROM lineitem_wv ORDER BY l_returnflag""".stripMargin)
+        val li = lineitem(s, d)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+        val mm = li.groupBy("l_returnflag")
+          .agg(min("l_orderkey").as("first_ok"), max("l_orderkey").as("last_ok"))
+        val third = graft.plans.GroupedTopK
+          .perKey(li, "l_returnflag",
+            Seq(("l_orderkey", true), ("l_linenumber", true)), 3)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_top"),
+            max(struct(col("l_orderkey"), col("l_linenumber"))).as("m"))
+          // NTH_VALUE(_, 3) is NULL when the group has < 3 rows
+          .select(col("l_returnflag"),
+            when(col("n_top") >= 3, col("m.l_orderkey")).as("third_ok"))
+        mm.join(broadcast(third), Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("first_ok"), col("last_ok"),
+            col("third_ok"))
+          .orderBy("l_returnflag")
       },
       Some("""SELECT DISTINCT l_returnflag,
         |FIRST_VALUE(l_orderkey) OVER (PARTITION BY l_returnflag

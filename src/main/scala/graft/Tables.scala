@@ -23,14 +23,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no type for;
-    * with `spark.sql.legacy.parquet.nanosAsLong=true` it scans as LongType
-    * and we rebuild the (micro-precision, lossless for this data) timestamp. */
+  /** `events.ts` arrives in whatever physical type the driver's parquet
+    * writer chose that round, so normalize ONCE here to session-TZ
+    * `TimestampType` and let every query downstream assume it:
+    *  - TIMESTAMP(NANOS): Spark has no type for it; with
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` it scans as LongType
+    *    and we rebuild the (micro-precision, lossless) timestamp;
+    *  - timestamp[us] without UTC adjustment: scans as TIMESTAMP_NTZ,
+    *    which `unix_micros`/`timestamp_micros` reject — cast to TIMESTAMP,
+    *    lossless under the UTC session TZ every entrypoint sets. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", df("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

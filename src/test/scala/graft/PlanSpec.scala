@@ -73,6 +73,17 @@ class PlanSpec extends SparkSpec {
     assert(p.split("Window").length - 1 <= 2, "window ops not coalesced")
   }
 
+  test("q44 window values: no Window over the 3-value partition key") {
+    val p = planOf("q44_window_values")
+    // a Window partitioned by l_returnflag (cardinality 3) would funnel
+    // the whole table through <= 3 reducers at any cluster size; the
+    // rewrite must be agg + GroupedTopK + broadcast join instead
+    assert(!p.contains("Window"), "q44 must not use a window operator")
+    assert(p.contains("ExactTopK") && p.contains("PartialTopK"),
+      "third_ok must come from the GroupedTopK operator")
+    assert(p.contains("BroadcastHashJoin"), "3-row agg join must broadcast")
+  }
+
   test("dedup minhash: no cartesian product anywhere") {
     val p = planOf("dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct"), "LSH must join on band hash, not cross")
