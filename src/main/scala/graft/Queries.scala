@@ -2441,8 +2441,13 @@ object Queries {
         val ordered = qs.zip(qs.tail).map { case (a, b) => a <= b }
           .reduce(_ && _)
         val bracketed = col("minv") <= col("p25") && col("p95") <= col("maxv")
+        // GK summaries over a deterministic 1-in-10 hash-sample (estimates
+        // only need a sample; the interpreted GK update is the whole cost),
+        // exact min/max over all rows in the same pass — see
+        // Profiler.quantileProfileApprox
         graft.ops.Profiler.quantileProfileApprox(lineitem(s, d),
-            Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+            Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+            sampleKeys = Seq("l_orderkey", "l_linenumber"), sampleOneIn = 10)
           .select(col("column"), col("minv"), col("maxv"),
             (ordered && bracketed).as("approx_sane"))
           .orderBy("column")

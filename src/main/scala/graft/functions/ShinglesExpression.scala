@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word k-shingles of a token array as a native codegen
+  * expression — the hot inner step of every shingle-based dedup op
+  * (containment, substring spans, LSH grading).
+  *
+  * Replaces the declarative
+  * `array_distinct(transform(sequence(...), i => concat_ws(" ",
+  * slice(t, i+1, k))))`: higher-order functions are interpreted and
+  * re-evaluate the lambda body per element, and `array_distinct` on
+  * strings is a pairwise-compare loop — measured ~0.7 s of the
+  * containment posting build at sf0.1 where this expression does the
+  * same work in one O(tokens·k) pass with a hash-set dedupe.
+  *
+  * EXACT semantics of the declarative form (and of the DuckDB oracle's
+  * `list_distinct([t[i] || ' ' || ...])`): shingle i joins tokens
+  * [i, i+k) with a single space; indices run 0..max(n−k, 0), so a text
+  * with fewer than k tokens yields ONE shingle = the whole token array
+  * joined (n = 0 yields the empty string); first-occurrence order, like
+  * `array_distinct`. */
+case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "shingles"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) if k >= 1 =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingles requires ARRAY<STRING> and k >= 1, got ${t.catalogString}, k=$k")
+    }
+
+  protected override def nullSafeEval(input: Any): Any =
+    ShinglesExpr.shingle(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val helper = ShinglesExpr.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      ${childGen.code}
+      boolean ${ev.isNull} = ${childGen.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = $helper.shingle(${childGen.value}, $k);
+      }""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+object ShinglesExpr {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Static entry for both interpreted and generated code paths. */
+  def shingle(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val last = math.max(n - k, 0)
+    // LinkedHashSet: dedupe + first-occurrence order, one hash per shingle
+    val seen = new java.util.LinkedHashSet[UTF8String](math.max(last + 1, 4) * 2)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i <= last) {
+      val m = math.min(i + k, n) - i
+      var j = 0
+      while (j < m) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(Space,
+        (if (m == k) parts else java.util.Arrays.copyOf(parts, m)): _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[UTF8String](seen.size)))
+  }
+
+  /** Column wrapper. */
+  def shingles(tokens: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(ShinglesExpr(
+      org.apache.spark.sql.GraftColumnBridge.expression(tokens), k))
+}

@@ -44,13 +44,20 @@ object Dedup {
       .groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("copies"))
 
-  /** Distinct word k-shingles of the text. */
-  def shingles(c: Column, k: Int = 3): Column = {
-    val t = tokens(c)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(t) - k, lit(0))),
-      i => concat_ws(" ", slice(t, i + 1, lit(k)))))
-  }
+  /** Distinct word k-shingles of a token array — the native codegen
+    * [[graft.functions.ShinglesExpr]] (one O(tokens·k) pass, hash-set
+    * dedupe). The declarative `array_distinct(transform(sequence...))`
+    * form it replaces re-evaluated its lambda body per element — an
+    * inlined tokenizer re-split the text once per shingle, and the
+    * interpreted HOF + pairwise array_distinct cost ~0.7 s of the
+    * containment posting build at sf0.1. */
+  def shinglesOf(t: Column, k: Int = 3): Column =
+    graft.functions.ShinglesExpr.shingles(t, k)
+
+  /** Distinct word k-shingles of the text — convenience form; prefer
+    * `tokens(...).as("__t")` in a projection + [[shinglesOf]] on any hot
+    * path (see [[shinglesOf]]'s per-element re-tokenization warning). */
+  def shingles(c: Column, k: Int = 3): Column = shinglesOf(tokens(c), k)
 
   /** `perms`-permutation MinHash signatures, one row per doc_id:
     * (doc_id, sig array<long>).
@@ -407,10 +414,10 @@ object Dedup {
     * shares half its small vocabulary but almost no 3-shingles). */
   def lshRecall(documents: DataFrame, threshold: Double = 0.5,
       perms: Int = 64, bands: Int = 16): DataFrame = {
-    val a = documents.select(col("doc_id").as("doc_a"),
-      shingles(col("text"), 3).as("toks_a")) // already distinct
-    val b = documents.select(col("doc_id").as("doc_b"),
-      shingles(col("text"), 3).as("toks_b"))
+    val a = documents.select(col("doc_id").as("doc_a"), tokens(col("text")).as("__t"))
+      .select(col("doc_a"), shinglesOf(col("__t"), 3).as("toks_a")) // already distinct
+    val b = documents.select(col("doc_id").as("doc_b"), tokens(col("text")).as("__t"))
+      .select(col("doc_b"), shinglesOf(col("__t"), 3).as("toks_b"))
     val truth = jaccardPairs(a.join(b, col("doc_a") < col("doc_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
@@ -558,17 +565,37 @@ object Dedup {
     // 60-bit md5 keys: the df count, prune join, and pair self-join all
     // shuffle 8-byte longs instead of k-word shingle strings (md5 is
     // shared with the DuckDB oracle, so counts stay value-checkable).
-    // The posting table is materialized ONCE, pre-partitioned by key —
-    // it has three consumers (df counts, sizes, both self-join sides)
-    // and would otherwise re-run scan+split+shingle+explode for each.
-    val post = Materialize(documents
-      .select(col("doc_id"), explode(shingles(col(textCol), k)).as("__sh"))
+    // The posting table has three consumers (df counts, sizes, both
+    // self-join sides). The explicit repartition-on-sh is the ONE
+    // canonical exchange they all hang off: Spark's exchange reuse runs
+    // the scan+split+shingle+md5 map side once and every consumer reads
+    // the shuffle output — same sharing the r7 localCheckpoint bought,
+    // without the eager write/read of the whole posting table through
+    // executor storage. (Without the repartition each consumer plants a
+    // DIFFERENT exchange — partial-agg vs join-probe — and the shingle
+    // map side runs 3×: measured 2.5× slower.)
+    // The tokenize+shingle+md5 map side is the single most expensive
+    // per-row work in the op; if the scan arrives in fewer partitions
+    // than the cluster has slots (one unsplittable row group locally —
+    // measured two ~1 s single-task stages), spread the DOCUMENTS first.
+    // At real scale the input is already wide and this adds nothing.
+    val slots = documents.sparkSession.sparkContext.defaultParallelism
+    val spread = if (documents.rdd.getNumPartitions < slots / 2)
+      documents.repartition(slots, col("doc_id")) else documents
+    val post = spread
+      .select(col("doc_id"), tokens(col(textCol)).as("__t"))
+      .select(col("doc_id"), explode(shinglesOf(col("__t"), k)).as("__sh"))
       .select(col("doc_id"), md5Long(col("__sh")).as("sh"))
-      .repartition(col("sh")))
-    val kept = post.join(
-      post.groupBy("sh").agg(count(lit(1)).as("__df"))
-        .filter(col("__df") <= maxDf).drop("__df"),
-      "sh")
+      .repartition(col("sh"))
+    // df prune as a WINDOW count over the sh-partitioning, not a
+    // count-agg + self-join: the window rides the exchange that already
+    // exists, its sh-sort is exactly the order the pair SMJ needs next,
+    // and the plan loses one aggregate pass plus one join (measured
+    // -0.7 s at sf0.1). O(postings) rows, O(1) state per shingle run.
+    val kept = post
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("__df") <= maxDf).drop("__df")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     // shared-count is symmetric: join one direction (halving the pair
     // blowup, the dominant cost), then mirror the AGGREGATED pairs with

@@ -140,14 +140,31 @@ object Profiler {
     * specifically matters. */
   def quantileProfileApprox(df: DataFrame, cols: Seq[String],
       ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
-      accuracy: Int = 1000): DataFrame = {
+      accuracy: Int = 1000,
+      sampleKeys: Seq[String] = Nil, sampleOneIn: Int = 1): DataFrame = {
+    // Optional deterministic hash-sample for the GK summaries only:
+    // the interpreted per-row ObjectHashAggregate update is the entire
+    // cost of this operator (375 ns/row measured — accuracy barely moves
+    // it), and a quantile ESTIMATE does not need every row. keep-rows are
+    // chosen by hash(sampleKeys) — reproducible across runs/engines —
+    // while min/max stay EXACT over all rows in the same single pass
+    // (nulls skip the GK update cheaply). 1-in-10 cut q52b 1.1 s → 0.2 s
+    // at sf0.1 with the sanity contract (p-ordering, min/max bracketing)
+    // intact. Default 1 = no sampling.
+    // the keep-predicate is evaluated ONCE per row in a codegen projection
+    // (an aggregate-input expression would re-hash per aggregate, interpreted)
+    val keep = if (sampleOneIn > 1 && sampleKeys.nonEmpty)
+      pmod(hash(sampleKeys.map(col): _*), lit(sampleOneIn)) === 0 else lit(true)
+    val proj = df.select(cols.flatMap(c => Seq(
+      col(c).cast("double").as(c),
+      when(keep, col(c).cast("double")).as(s"${c}__s"))): _*)
     val aggs = cols.flatMap { c =>
-      Seq(min(col(c).cast("double")).as(s"${c}__min"),
-        approx_percentile(col(c).cast("double"), typedlit(ps), lit(accuracy))
+      Seq(min(col(c)).as(s"${c}__min"),
+        approx_percentile(col(s"${c}__s"), typedlit(ps), lit(accuracy))
           .as(s"${c}__q"),
-        max(col(c).cast("double")).as(s"${c}__max"))
+        max(col(c)).as(s"${c}__max"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = proj.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map(c => s"'$c', `${c}__min`, `${c}__q`, `${c}__max`")
       .mkString(", ")
     one.selectExpr(s"stack(${cols.length}, $stackArgs) AS (column, minv, q, maxv)")
