@@ -66,17 +66,24 @@ case class PartialTopKExec(keys: Seq[Attribute], ordering: Seq[SortOrder], k: In
       // "group" and silently disabling the map-side prune
       val keyProj = UnsafeProjection.create(boundKeys)
       // max-heap on "worst kept": a better arrival evicts the head
-      val heaps = scala.collection.mutable.Map
-        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      val heaps = new java.util.HashMap[UnsafeRow,
+        scala.collection.mutable.PriorityQueue[InternalRow]]()
       rows.foreach { r =>
-        // copy: the projection reuses its output buffer across rows
-        val kv = keyProj(r).copy()
-        val h = heaps.getOrElseUpdate(kv,
-          scala.collection.mutable.PriorityQueue.empty[InternalRow](ord))
+        // probe with the projection's reused buffer (UnsafeRow equality
+        // and hashing are content-based); COPY only on first sight of a
+        // key — a copy per input row was ~600 k allocations per
+        // partition pass on the top-k bench queries
+        val kv = keyProj(r)
+        var h = heaps.get(kv)
+        if (h == null) {
+          h = scala.collection.mutable.PriorityQueue.empty[InternalRow](ord)
+          heaps.put(kv.copy(), h)
+        }
         if (h.size < k) h.enqueue(r.copy())
         else if (ord.lt(r, h.head)) { h.dequeue(); h.enqueue(r.copy()) }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      import scala.jdk.CollectionConverters._
+      heaps.values.iterator.asScala.flatMap(_.iterator)
     }, preservesPartitioning = true)
   }
 }
