@@ -25,8 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * [i, i+k) with a single space; indices run 0..max(n−k, 0), so a text
   * with fewer than k tokens yields ONE shingle = the whole token array
   * joined (n = 0 yields the empty string); first-occurrence order, like
-  * `array_distinct`. */
-case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
+  * `array_distinct`.
+  *
+  * `distinct=false` keeps every occurrence (n-gram counting);
+  * `shortWhole=false` yields an EMPTY array when the text has fewer than
+  * `k` tokens (`wordNgrams` semantics) instead of one whole-text shingle. */
+case class ShinglesExpr(child: Expression, k: Int,
+    distinct: Boolean = true, shortWhole: Boolean = true) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -41,7 +46,7 @@ case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
     }
 
   protected override def nullSafeEval(input: Any): Any =
-    ShinglesExpr.shingle(input.asInstanceOf[ArrayData], k)
+    ShinglesExpr.shingle(input.asInstanceOf[ArrayData], k, distinct, shortWhole)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val childGen = child.genCode(ctx)
@@ -51,7 +56,7 @@ case class ShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
       boolean ${ev.isNull} = ${childGen.isNull};
       org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
       if (!${ev.isNull}) {
-        ${ev.value} = $helper.shingle(${childGen.value}, $k);
+        ${ev.value} = $helper.shingle(${childGen.value}, $k, $distinct, $shortWhole);
       }""")
   }
 
@@ -64,26 +69,38 @@ object ShinglesExpr {
   private val Space = UTF8String.fromString(" ")
 
   /** Static entry for both interpreted and generated code paths. */
-  def shingle(tokens: ArrayData, k: Int): ArrayData = {
+  def shingle(tokens: ArrayData, k: Int, distinct: Boolean,
+      shortWhole: Boolean): ArrayData = {
     val n = tokens.numElements()
+    if (!shortWhole && n < k)
+      return new GenericArrayData(new Array[UTF8String](0))
     val last = math.max(n - k, 0)
     // LinkedHashSet: dedupe + first-occurrence order, one hash per shingle
-    val seen = new java.util.LinkedHashSet[UTF8String](math.max(last + 1, 4) * 2)
+    val out: java.util.Collection[UTF8String] =
+      if (distinct) new java.util.LinkedHashSet[UTF8String](math.max(last + 1, 4) * 2)
+      else new java.util.ArrayList[UTF8String](last + 1)
     val parts = new Array[UTF8String](k)
     var i = 0
     while (i <= last) {
       val m = math.min(i + k, n) - i
       var j = 0
       while (j < m) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
-      seen.add(UTF8String.concatWs(Space,
+      out.add(UTF8String.concatWs(Space,
         (if (m == k) parts else java.util.Arrays.copyOf(parts, m)): _*))
       i += 1
     }
-    new GenericArrayData(seen.toArray(new Array[UTF8String](seen.size)))
+    new GenericArrayData(out.toArray(new Array[UTF8String](out.size)))
   }
 
-  /** Column wrapper. */
+  /** Column wrapper — shingle semantics (distinct, short text → one
+    * whole-text shingle). */
   def shingles(tokens: Column, k: Int): Column =
     org.apache.spark.sql.GraftColumnBridge.column(ShinglesExpr(
       org.apache.spark.sql.GraftColumnBridge.expression(tokens), k))
+
+  /** Column wrapper — `wordNgrams` semantics (short text → empty). */
+  def ngrams(tokens: Column, n: Int, distinct: Boolean): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(ShinglesExpr(
+      org.apache.spark.sql.GraftColumnBridge.expression(tokens), n,
+      distinct, shortWhole = false))
 }

@@ -579,10 +579,7 @@ object Dedup {
     // than the cluster has slots (one unsplittable row group locally —
     // measured two ~1 s single-task stages), spread the DOCUMENTS first.
     // At real scale the input is already wide and this adds nothing.
-    val slots = documents.sparkSession.sparkContext.defaultParallelism
-    val spread = if (documents.rdd.getNumPartitions < slots / 2)
-      documents.repartition(slots, col("doc_id")) else documents
-    val post = spread
+    val post = Spread.wide(documents, Some(col("doc_id")))
       .select(col("doc_id"), tokens(col(textCol)).as("__t"))
       .select(col("doc_id"), explode(shinglesOf(col("__t"), k)).as("__sh"))
       .select(col("doc_id"), md5Long(col("__sh")).as("sh"))

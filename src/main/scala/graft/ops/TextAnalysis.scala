@@ -164,17 +164,13 @@ object TextAnalysis {
     * (distinct by default; `distinct = false` keeps the multiset for
     * frequency analysis); empty array below n tokens.
     *
-    * Takes tokens, not raw text, on purpose: expressions inside a
-    * `transform` lambda don't CSE with the outer plan, so tokenizing
-    * inline would re-run split() once PER GRAM INDEX — measured ~10× on
-    * the document corpus. Project `toks(lower(text))` into its own
-    * column first; an attribute reference inside the lambda is free. */
-  def wordNgrams(t: Column, n: Int, distinct: Boolean = true): Column = {
-    val grams = transform(sequence(lit(1), size(t) - (n - 1)),
-      i => concat_ws(" ", slice(t, i, lit(n))))
-    when(size(t) >= n, if (distinct) array_distinct(grams) else grams)
-      .otherwise(array().cast("array<string>"))
-  }
+    * Takes tokens, not raw text — one tokenize per row, shared across
+    * every consumer of the array. Now a native codegen expression: the
+    * declarative `transform()` form it replaces re-evaluated its lambda
+    * body per gram (interpreted; an inlined split() ran once PER GRAM
+    * INDEX, measured ~10×) and `array_distinct` compared pairwise. */
+  def wordNgrams(t: Column, n: Int, distinct: Boolean = true): Column =
+    graft.functions.ShinglesExpr.ngrams(t, n, distinct)
 
   /** Benchmark decontamination: flag training docs sharing any word
     * `n`-gram with the eval/held-out set — the standard pre-training
@@ -349,11 +345,9 @@ object TextAnalysis {
     * text for determinism. */
   def ngramTopK(documents: DataFrame, n: Int = 2, k: Int = 50,
       textCol: String = "text"): DataFrame =
-    documents
-      // tokens materialized in their OWN projection: transform() lambda
-      // bodies don't CSE with outer expressions, so inlining toks() here
-      // would re-split the document once per n-gram element (measured
-      // 12× on the bench before this split; same trap as decontaminate)
+    // Spread: the tokenize+gram map side must not serialize in one task
+    // when the scan arrives narrow (single local row group); no-op at scale
+    Spread.wide(documents)
       .select(toks(lower(col(textCol))).as("__t"))
       .select(explode(wordNgrams(col("__t"), n, distinct = false)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("freq"))
