@@ -118,7 +118,9 @@ object TextAnalysis {
     // ceil-div; counts are far below double's exact-integer range
     val lastChunk = when(col("__n") <= window, lit(0L))
       .otherwise(floor(((col("__n") - window) + (stride - 1)) / stride))
-    documents
+    // Spread: tokenize+slice+join per chunk must not serialize in one
+    // task on a narrow scan (single local row group); no-op at scale
+    Spread.wide(documents)
       .withColumn("__toks", toks(col(textCol)))
       .withColumn("__n", size(col("__toks")).cast("long"))
       .withColumn("chunk_id", explode(sequence(lit(0L), lastChunk.cast("long"))))
