@@ -267,6 +267,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), "pair counts must partial-aggregate")
   }
 
+  test("containment: df prune is a window on the sh exchange, not an agg+join") {
+    val p = planOf("dedup_containment")
+    // the r8 shape: ONE canonical repartition-by-sh exchange that the df
+    // window, the pair self-join, and the sizes agg all hang off — an
+    // agg+self-join df prune would add an aggregate pass and a join
+    assert(p.contains("windowspecdefinition(sh"),
+      "df prune must be a window count over the sh partitioning")
+    val reparts = p.split("REPARTITION_BY_COL").length - 1
+    assert(reparts >= 1, "postings must be explicitly partitioned by sh")
+    // shingle build must be the native expression (codegen), never the
+    // interpreted transform+array_distinct lambda
+    assert(p.contains("shingles("), "posting build must use ShinglesExpr")
+    assert(!p.contains("array_distinct(transform"),
+      "interpreted HOF shingle build crept back in")
+  }
+
   test("phash dedup: pigeonhole buckets equi-join, never cross-join") {
     val p = planOf("mm_phash_dedup")
     assert(!p.contains("CartesianProduct") &&
