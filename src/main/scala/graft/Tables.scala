@@ -31,7 +31,12 @@ object Tables {
     *    and we rebuild the (micro-precision, lossless) timestamp;
     *  - timestamp[us] without UTC adjustment: scans as TIMESTAMP_NTZ,
     *    which `unix_micros`/`timestamp_micros` reject — cast to TIMESTAMP,
-    *    lossless under the UTC session TZ every entrypoint sets. */
+    *    lossless under the UTC session TZ every entrypoint sets.
+    *
+    * Pushdown note: a literal predicate on the CAST column cannot reach
+    * the parquet scan. No current query filters events on a ts literal
+    * (they compare ts against window-derived columns); a future one
+    * should filter on the raw scan column first, then normalize. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = load(s, d, "events")
     df.schema("ts").dataType match {

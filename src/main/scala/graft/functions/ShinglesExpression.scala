@@ -103,4 +103,11 @@ object ShinglesExpr {
     org.apache.spark.sql.GraftColumnBridge.column(ShinglesExpr(
       org.apache.spark.sql.GraftColumnBridge.expression(tokens), n,
       distinct, shortWhole = false))
+
+  /** Column wrapper — full control (e.g. MinHash wants the multiset WITH
+    * the whole-text fallback: MIN over a multiset = MIN over its set). */
+  def of(tokens: Column, k: Int, distinct: Boolean, shortWhole: Boolean): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(ShinglesExpr(
+      org.apache.spark.sql.GraftColumnBridge.expression(tokens), k,
+      distinct, shortWhole))
 }

@@ -74,20 +74,16 @@ object Dedup {
     // set. mod 2^31-1 keeps h1 + i*h2 far from Long overflow (ANSI mode
     // errors on wraparound) while remaining a sound Carter-Wegman family.
     val p = lit(2147483647L)
-    // Shingles straight off the token array — a transform over the index
-    // range, no window `lead` (that formulation costs a full shuffle+sort
-    // per doc just to see the next two tokens). One narrow stage from scan
-    // to the aggregate's map side.
-    // `t` is materialized in its own projection first — inlining the
-    // split() into the lambda would re-tokenize the whole text once per
-    // shingle (no CSE across a lambda boundary).
-    val t = col("t")
-    val shingles = when(size(t) >= 3,
-      transform(sequence(lit(0), size(t) - 3), i =>
-        concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2),
-          element_at(t, i + 3))))
-      .otherwise(array(array_join(t, " "))) // short docs: whole text
-    val hashed = documents
+    // Shingles straight off the token array via the native codegen
+    // ShinglesExpr (multiset + whole-text fallback for short docs) — no
+    // window `lead` (a full shuffle+sort per doc just to see the next two
+    // tokens), no interpreted per-element transform lambda. One narrow
+    // stage from scan to the aggregate's map side; Spread parallelizes
+    // that stage when the scan arrives as one local row group (no-op on
+    // wide inputs).
+    val shingles = graft.functions.ShinglesExpr.of(col("t"), 3,
+      distinct = false, shortWhole = true)
+    val hashed = Spread.wide(documents, Some(col("doc_id")))
       .select(col("doc_id"), graft.functions.WsSplitExpr.wsSplit(trim(lower(col("text")))).as("t"))
       .select(col("doc_id"), explode(shingles).as("s"))
       // a null text yields one null shingle; in portable mode md5(null) is

@@ -116,9 +116,16 @@ class PlanSpec extends SparkSpec {
     val df = graft.ops.Dedup.minhashSignatures(
       Tables.documents(spark, sf("sf0.001")), perms = 64)
     val p = df.queryExecution.executedPlan.toString
-    // single ObjectHashAggregate pair (partial+final), one exchange
+    // single ObjectHashAggregate pair (partial+final), one exchange —
+    // Spread.wide hash-partitions the narrow local scan ON doc_id, which
+    // pre-satisfies the aggregation's clustering, so the spread REPLACES
+    // the agg exchange instead of adding one (at scale neither fires
+    // twice: wide input → no spread, agg plants its own exchange)
     assert(p.contains("ObjectHashAggregate"), "sketch agg should be object hash aggregate")
-    assert(p.split("Exchange").length - 1 == 1, "exactly one shuffle for signatures")
+    assert(p.split("Exchange").length - 1 == 1,
+      "exactly one shuffle for signatures")
+    // the shingle build must be the native expression, not the HOF lambda
+    assert(p.contains("shingles("), "minhash must shingle via ShinglesExpr")
   }
 
   test("q45 funnel: stacked stage windows reuse ONE user_id exchange") {
