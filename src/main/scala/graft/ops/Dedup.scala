@@ -166,7 +166,10 @@ object Dedup {
     * for the same codegen/compile-time reasons as [[minhashSignatures]]. */
   def simhashSignatures(documents: DataFrame, portable: Boolean = false): DataFrame = {
     val nBits = if (portable) 60 else 64
-    val hashed = documents
+    // spread on doc_id: parallelizes the tokenize+hash map side on a
+    // narrow local scan AND pre-satisfies the signature agg's clustering
+    // (same reasoning as minhashSignatures — still one exchange)
+    val hashed = Spread.wide(documents, Some(col("doc_id")))
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"),
         (if (portable) md5Long(col("tok")) else xxhash64(col("tok"))).as("h"))
