@@ -194,6 +194,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "per-value counts must hash-aggregate")
   }
 
+  test("q52b approx profile: one scan, GK sample cut in a codegen projection") {
+    val p = planOf("q52b_quantile_profile_approx")
+    // exactly one lineitem scan feeds min/max AND the sampled GK columns
+    assert(p.split("FileScan parquet").length - 1 == 1,
+      "q52b must profile all columns in one pass")
+    // the keep-hash is computed once per row in the projection, never
+    // re-evaluated per aggregate inside the interpreted GK update
+    assert(p.contains("Project") && p.contains("pmod(hash"),
+      "sample predicate must be a projection-level expression")
+  }
+
   test("column profile: no Expand multiplying rows before the partial agg") {
     val p = planOf("q38_column_profile")
     assert(!p.contains("Expand"), s"profile re-grew an Expand:\n${p.take(800)}")
