@@ -15,6 +15,11 @@ import org.apache.spark.sql.{Column, DataFrame}
   * a well-partitioned 100 TB input. */
 object Spread {
   def wide(df: DataFrame, key: Option[Column] = None): DataFrame = {
+    // a streaming frame has no .rdd to inspect (and its micro-batches
+    // get their parallelism from the source); ops called on streaming
+    // input — signatures under foreachBatch receive BATCH frames, but a
+    // direct streaming caller must pass through untouched, not throw
+    if (df.isStreaming) return df
     val slots = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < slots / 2)
       key.fold(df.repartition(slots))(k => df.repartition(slots, k))

@@ -30,6 +30,15 @@ class SpreadSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions == slots * 2)
   }
 
+  test("streaming frame passes through without planning (no .rdd throw)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Long].toDF().withColumnRenamed("value", "doc_id")
+    val out = Spread.wide(stream, Some(col("doc_id")))
+    assert(out.isStreaming && (out eq stream), "streaming input must be untouched")
+  }
+
   test("values survive the spread unchanged") {
     import spark.implicits._
     val narrow = (1L to 1000L).toDF("doc_id").coalesce(1)
