@@ -559,8 +559,25 @@ object Dedup {
     * postings, so the ratio is self-consistent. Both directions of every
     * co-shingled pair are emitted; the `tau` filter keeps the contained
     * ones. */
+  /** `skewSafe`: defuse the hot-shingle skew bomb. The exact df prune
+    * happens AFTER the repartition-by-sh, so a boilerplate shingle shared
+    * by 10⁸ docs would land all its postings in ONE reduce partition (a
+    * straggler sorting gigabytes it is about to discard). With
+    * `skewSafe = true`, a Count-Min sketch of shingle frequencies is
+    * built in one extra (skew-immune, partial-aggregated) pass,
+    * collected to the driver (`depth·width` longs — ~1 MB at the default
+    * eps, a control-plane artifact like the k-means centroids), and
+    * probed as a single array-literal expression so hot shingles are cut
+    * BEFORE the exchange. CMS never underestimates, so every truly-hot
+    * shingle is cut; overestimates (bounded by eps·postings) may cut a
+    * cool shingle early — the same heuristic family as `maxDf` itself.
+    * The declared oracle query keeps `skewSafe = false` (bit-exact
+    * DuckDB replay); ContainmentSkewSpec pins that both modes agree when
+    * the sketch is collision-free at test scale. */
   def containmentPairs(documents: DataFrame, k: Int = 3, tau: Double = 0.5,
-      maxDf: Int = 100, textCol: String = "text"): DataFrame = {
+      maxDf: Int = 100, textCol: String = "text",
+      skewSafe: Boolean = false, cmsEps: Double = 1e-4,
+      cmsDepth: Int = 4, cmsSeed: Int = 42): DataFrame = {
     // 60-bit md5 keys: the df count, prune join, and pair self-join all
     // shuffle 8-byte longs instead of k-word shingle strings (md5 is
     // shared with the DuckDB oracle, so counts stay value-checkable).
@@ -578,11 +595,35 @@ object Dedup {
     // than the cluster has slots (one unsplittable row group locally —
     // measured two ~1 s single-task stages), spread the DOCUMENTS first.
     // At real scale the input is already wide and this adds nothing.
-    val post = Spread.wide(documents, Some(col("doc_id")))
+    val post0 = Spread.wide(documents, Some(col("doc_id")))
       .select(col("doc_id"), tokens(col(textCol)).as("__t"))
       .select(col("doc_id"), explode(shinglesOf(col("__t"), k)).as("__sh"))
       .select(col("doc_id"), md5Long(col("__sh")).as("sh"))
-      .repartition(col("sh"))
+    val prefiltered = if (!skewSafe) post0 else {
+      val width = math.max(64L, math.ceil(math.E / cmsEps).toLong)
+      def bucket(d: Int, v: Column): Column =
+        pmod(xxhash64(lit(cmsSeed), lit(d), v), lit(width))
+      // CMS build: one skew-immune pass (groupBy(d,bucket) partial-aggs
+      // per map partition, so a hot shingle contributes ONE row per
+      // partition per depth, never its full posting volume)
+      val counters = post0
+        .select(explode(array((0 until cmsDepth).map(d =>
+          struct(lit(d).as("d"), bucket(d, col("sh")).as("b"))): _*)).as("db"))
+        .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect()
+      val dense = Array.fill(cmsDepth * width.toInt)(0L)
+      counters.foreach(r =>
+        dense(r.getInt(0) * width.toInt + r.getLong(1).toInt) = r.getLong(2))
+      // probe as ONE array literal: est = min over depths of the bucket
+      // counter — pure codegen builtins, evaluated map-side pre-exchange
+      val cmsLit = typedlit(dense.toSeq)
+      val est = least((0 until cmsDepth).map(d =>
+        element_at(cmsLit, (lit(d.toLong * width) + bucket(d, col("sh")))
+          .cast("int") + 1)): _*)
+      post0.filter(est <= maxDf)
+    }
+    val post = prefiltered.repartition(col("sh"))
     // df prune as a WINDOW count over the sh-partitioning, not a
     // count-agg + self-join: the window rides the exchange that already
     // exists, its sh-sort is exactly the order the pair SMJ needs next,
