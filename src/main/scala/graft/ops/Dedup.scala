@@ -413,9 +413,13 @@ object Dedup {
     * shares half its small vocabulary but almost no 3-shingles). */
   def lshRecall(documents: DataFrame, threshold: Double = 0.5,
       perms: Int = 64, bands: Int = 16): DataFrame = {
-    val a = documents.select(col("doc_id").as("doc_a"), tokens(col("text")).as("__t"))
+    // spread: the O(n²) truth join streams one side through every slot,
+    // but the per-doc shingle arrays (and the broadcast build side) are
+    // computed on the narrow scan first — parallelize that map work
+    val docs = Spread.wide(documents, Some(col("doc_id")))
+    val a = docs.select(col("doc_id").as("doc_a"), tokens(col("text")).as("__t"))
       .select(col("doc_a"), shinglesOf(col("__t"), 3).as("toks_a")) // already distinct
-    val b = documents.select(col("doc_id").as("doc_b"), tokens(col("text")).as("__t"))
+    val b = docs.select(col("doc_id").as("doc_b"), tokens(col("text")).as("__t"))
       .select(col("doc_b"), shinglesOf(col("__t"), 3).as("toks_b"))
     val truth = jaccardPairs(a.join(b, col("doc_a") < col("doc_b")))
       .filter(col("jaccard") >= threshold)
