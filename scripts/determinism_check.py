@@ -28,6 +28,8 @@ def canon(df):
         order = key.sort_values(by=list(df.columns), kind="mergesort").index
         return df.loc[order].reset_index(drop=True)
 
+for n in sorted(names_b - set(names)):
+    fails.append((n, "missing in A"))
 for n in names:
     if n not in names_b:
         fails.append((n, "missing in B")); continue

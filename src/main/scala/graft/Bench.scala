@@ -103,6 +103,10 @@ object Bench {
     // EXTERNAL contention — the r7 artifact recorded a 2.58× phantom
     // regression at during_max 4.93 that an idle re-run measured at 1.80×.
     // The old default (cpus+4 = 36) let every dirty run stamp "clean".
+    // NOTE: 4.0 is calibrated to THIS host's measured self-load. A host
+    // whose own bench work legitimately drives 1-minute load above 4
+    // must set SPARK_GRAFT_MAX_LOAD_DURING itself (e.g. self-load + 1.5)
+    // or every pass burns all retry attempts and stamps dirty.
     val duringMax = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD_DURING", "4.0").toDouble
     // load is re-sampled after every query, not only at the start: the r5
     // artifact was polluted by a spike that landed MID-run and the

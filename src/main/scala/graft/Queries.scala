@@ -1438,8 +1438,7 @@ object Queries {
         |a0 AS (SELECT vec_id, emb, cid FROM (
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
         |    FROM d0) WHERE rn = 1),
-        |m AS (SELECT cid, i,
-        |    list_reduce(list(emb[i] ORDER BY emb[i]), (x,y) -> x+y) / COUNT(*) AS mv
+        |m AS (SELECT cid, i, ROUND(SUM(emb[i]) / COUNT(*), 6) AS mv
         |  FROM a0 CROSS JOIN generate_series(1,64) g(i) GROUP BY cid, i),
         |mm AS (SELECT cid, list(mv ORDER BY i) AS emb FROM m GROUP BY cid),
         |cent AS (SELECT s.cid, COALESCE(mm.emb, s.emb) AS emb
@@ -1488,8 +1487,7 @@ object Queries {
         |a0 AS (SELECT vec_id, emb, cid FROM (
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
         |    FROM d0) WHERE rn = 1),
-        |m AS (SELECT cid, i,
-        |    list_reduce(list(emb[i] ORDER BY emb[i]), (x,y) -> x+y) / COUNT(*) AS mv
+        |m AS (SELECT cid, i, ROUND(SUM(emb[i]) / COUNT(*), 6) AS mv
         |  FROM a0 CROSS JOIN generate_series(1,64) g(i) GROUP BY cid, i),
         |mm AS (SELECT cid, list(mv ORDER BY i) AS emb FROM m GROUP BY cid),
         |cent AS (SELECT s.cid, COALESCE(mm.emb, s.emb) AS emb
@@ -1537,8 +1535,7 @@ object Queries {
         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
         |    FROM d0) WHERE rn = 1),
         |mn AS (SELECT a0.sub, a0.code, g.i,
-        |    list_reduce(list(v.se[g.i] ORDER BY v.se[g.i]), (x,y) -> x+y)
-        |      / COUNT(*) AS mv
+        |    ROUND(SUM(v.se[g.i]) / COUNT(*), 6) AS mv
         |  FROM a0 JOIN subv v ON a0.vec_id = v.vec_id AND a0.sub = v.sub
         |  CROSS JOIN generate_series(1,16) g(i) GROUP BY a0.sub, a0.code, g.i),
         |mm AS (SELECT sub, code, list(mv ORDER BY i) AS se FROM mn GROUP BY sub, code),

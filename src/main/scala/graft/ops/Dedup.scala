@@ -86,11 +86,13 @@ object Dedup {
     val hashed = Spread.wide(documents, Some(col("doc_id")))
       .select(col("doc_id"), graft.functions.WsSplitExpr.wsSplit(trim(lower(col("text")))).as("t"))
       .select(col("doc_id"), explode(shingles).as("s"))
-      // a null text yields one null shingle; in portable mode md5(null) is
-      // null, which the primitive-Long aggregator buffer can't encode
-      // (runtime NPE), while xxhash64 hashes null to the seed — the modes
-      // would disagree. No content ⇒ no signature ⇒ no candidates: drop
-      // null shingles before hashing so both modes agree on null-text docs.
+      // with ShinglesExpr a null token array yields a NULL shingle array,
+      // which explode() already drops — so null-text docs get no signature
+      // either way. The filter stays as belt-and-suspenders for the mode
+      // split downstream: in portable mode md5(null) would be null, which
+      // the primitive-Long aggregator buffer can't encode (runtime NPE),
+      // while xxhash64 hashes null to the seed — any future shingle source
+      // that CAN emit a null element would silently diverge the modes.
       .filter(col("s").isNotNull)
       .select(col("doc_id"),
         pmod(if (portable) md5Long(col("s"), 1) else xxhash64(col("s")), p).as("h1"),
@@ -605,6 +607,12 @@ object Dedup {
       .select(col("doc_id"), md5Long(col("__sh")).as("sh"))
     val prefiltered = if (!skewSafe) post0 else {
       val width = math.max(64L, math.ceil(math.E / cmsEps).toLong)
+      // the sketch is a dense driver-side Int-indexed array: an extreme
+      // eps would silently overflow the Int index space (negative
+      // indices / truncated allocation) instead of failing loudly
+      require(cmsDepth.toLong * width <= Int.MaxValue,
+        s"containmentPairs: cmsDepth=$cmsDepth × width=$width exceeds " +
+          s"Int.MaxValue — raise cmsEps (sketch must stay driver-sized)")
       def bucket(d: Int, v: Column): Column =
         pmod(xxhash64(lit(cmsSeed), lit(d), v), lit(width))
       // CMS build: one skew-immune pass (groupBy(d,bucket) partial-aggs

@@ -83,24 +83,29 @@ object Similarity {
       }.toSeq
     for (_ <- 0 until iters) {
       val assigned = c.withColumn("cid", assignExpr(col("emb"), centroids))
-      // mean per cluster = elementwise sum / count, via posexplode.
-      // The sum folds over the SORTED member values: avg()'s summation
-      // order is shuffle-arrival-dependent, and last-bit drift in a
-      // centroid can flip an argmin assignment — partition-count- and
-      // engine-dependent results from what should be a pure function.
+      // per-(cluster, dim) mean with O(1) aggregation state: a plain
+      // partially-aggregated double sum, ROUNDed to 6 dp — the PageRank
+      // determinism contract ([[graft.ops.Graph.pageRank]]): summation-
+      // order drift is O(1e-15) relative and the rounding collapses it,
+      // so the centroid is engine- and partitioning-reproducible while
+      // the agg carries one double per group instead of materializing
+      // every member value (the r8 array_sort(collect_list) form — the
+      // main cost of sim_ivf_ann's 4.8× local ratio). The k×dim mean
+      // matrix is assembled on the driver from the k·dim result rows —
+      // control-plane sized, same footprint as the centroids themselves.
       val means = assigned
         .select(col("cid"), posexplode(col("emb")).as(Seq("i", "x")))
         .groupBy("cid", "i")
-        .agg((aggregate(array_sort(collect_list(col("x"))), lit(0.0),
-          (a, v) => a + v) / count(lit(1))).as("m"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
-        .select(col("cid"), transform(col("im"), e => e.getField("m")).as("mean"))
+        .agg(round(sum(col("x")) / count(lit(1)), 6).as("m"))
         .collect()
-        .map(r => r.getInt(0) -> r.getAs[scala.collection.Seq[Double]]("mean").toSeq)
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
       // clusters that lost all members keep their previous centroid
-      val byId = means.toMap
-      centroids = centroids.map { case (cid, prev) => cid -> byId.getOrElse(cid, prev) }
+      centroids = centroids.map { case (cid, prev) =>
+        cid -> means.getOrElse(cid, prev)
+      }
     }
     centroids
   }
@@ -194,19 +199,16 @@ object Similarity {
           explode(subVectors(col("emb"), m, subDim)).as("sp"), col("cds"))
         .select(col("vec_id"), col("sp.sub").as("sub"), col("sp.se").as("se"),
           element_at(col("cds"), col("sp.sub") + 1).as("code"))
-      // sorted-fold mean — see ivfCentroids for why avg() won't do
+      // round-6 O(1)-state mean, driver-assembled — see ivfCentroids
       val means = assigned
         .select(col("sub"), col("code"), posexplode(col("se")).as(Seq("i", "x")))
         .groupBy("sub", "code", "i")
-        .agg((aggregate(array_sort(collect_list(col("x"))), lit(0.0),
-          (a, v) => a + v) / count(lit(1))).as("mv"))
-        .groupBy("sub", "code")
-        .agg(array_sort(collect_list(struct(col("i"), col("mv")))).as("im"))
-        .select(col("sub"), col("code"),
-          transform(col("im"), e => e.getField("mv")).as("mean"))
+        .agg(round(sum(col("x")) / count(lit(1)), 6).as("mv"))
         .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) ->
-          r.getAs[scala.collection.Seq[Double]]("mean").toSeq)
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (sc, rows) =>
+          sc -> rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+        }
       // subspace cells that lost all members keep their previous centroid
       cb = cb ++ means
     }
