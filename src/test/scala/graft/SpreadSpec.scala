@@ -39,6 +39,37 @@ class SpreadSpec extends SparkSpec {
     assert(out.isStreaming && (out eq stream), "streaming input must be untouched")
   }
 
+  test("parquet scan: plan-walk width agrees with the physical probe") {
+    // the r9 estimator must reproduce what df.rdd.getNumPartitions said,
+    // for the scan/project/filter shapes every caller passes — same
+    // spread/no-spread decision, without planning the frame twice
+    for (table <- Seq("documents", "lineitem", "region")) {
+      val scan = spark.read.parquet(sf(s"sf0.01/$table.parquet"))
+      val shapes = Seq(
+        scan,
+        scan.select(scan.columns.map(col): _*),
+        scan.filter(lit(true)))
+      for (df <- shapes) {
+        val out = Spread.wide(df)
+        val slots = spark.sparkContext.defaultParallelism
+        val physical = df.rdd.getNumPartitions
+        val spreadFired =
+          out.queryExecution.executedPlan.toString.contains("Exchange")
+        assert(spreadFired == (physical < slots / 2),
+          s"$table: physical=$physical slots=$slots fired=$spreadFired")
+      }
+    }
+  }
+
+  test("unrecognized plan shape falls back to the physical probe") {
+    import spark.implicits._
+    val agged = (1L to 100L).toDF("doc_id").coalesce(1)
+      .groupBy((col("doc_id") % 10).as("k")).count()
+    // behavior contract only: same decision the old probe made
+    val out = Spread.wide(agged)
+    assert(out.count() == 10)
+  }
+
   test("values survive the spread unchanged") {
     import spark.implicits._
     val narrow = (1L to 1000L).toDF("doc_id").coalesce(1)
