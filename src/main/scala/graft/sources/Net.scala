@@ -125,7 +125,8 @@ trait HttpTransport extends Serializable {
   * inside `mapPartitions` in [[graft.sources.DistributedFetch]]-style
   * flows); HttpClient keeps a small connection pool per instance, which
   * co-located per-host partitions reuse across a partition's URLs. */
-final class JdkHttpTransport(followRedirects: Boolean = true)
+final class JdkHttpTransport(followRedirects: Boolean = true,
+    robotsScheme: String = "https")
     extends HttpTransport {
   @transient private lazy val client = {
     val b = java.net.http.HttpClient.newBuilder()
@@ -157,7 +158,7 @@ final class JdkHttpTransport(followRedirects: Boolean = true)
     * the reference's robots semantics (`net.py:56-72`). */
   override def robots(host: String, ua: String): Option[String] =
     try {
-      val (status, body) = get(s"https://$host/robots.txt", ua, 10000)
+      val (status, body) = get(s"$robotsScheme://$host/robots.txt", ua, 10000)
       if (status == 200) Some(body) else None
     } catch { case _: NetworkError => None }
 }
@@ -175,7 +176,9 @@ final class Fetcher(
     clock: () => Long = System.currentTimeMillis) {
 
   def fetch(url: String, ua: String): FetchResult = {
-    val host = Option(new URI(url).getHost).getOrElse("")
+    // authority, not bare host: robots.txt scope and politeness are per
+    // netloc (host:port) — urlparse().netloc semantics, `net.py:56-72`
+    val host = Option(new URI(url).getAuthority).getOrElse("")
     val path = Option(new URI(url).getPath).filter(_.nonEmpty).getOrElse("/")
     if (!Robots.allowed(transport.robots(host, ua), ua, path))
       throw new RobotsDisallowedError("Robots policy forbids fetching URL",
