@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for the sf1 heavy-op proof (VERDICT r8 item 4):
+  * replicate the driver's sf0.1 tables `replicas`× with deterministic
+  * per-replica perturbation, so each heavy operator's WORKLOAD grows
+  * linearly and a superlinear wall-time reveals an engine problem, not a
+  * data artifact:
+  *
+  *  - documents/part text: every word is tagged with the replica id
+  *    (replica 0 keeps the original), so replicas share zero shingles —
+  *    posting lists, LSH buckets, and ER blocks each grow 10× in count,
+  *    not 10× in size (which would make Σ df² work grow 100× and no
+  *    partitioning could look linear);
+  *  - part blocks (p_brand) are replica-tagged for the same reason;
+  *  - embeddings get a deterministic hash jitter per (vec_id, dim) so
+  *    k-means cells keep their shape while replicas stay distinct;
+  *  - graph keys (orderkey/custkey/suppkey/partkey) are offset per
+  *    replica — 10 disconnected copies of the sf0.1 graph.
+  *
+  * Output goes under the repo's gitignored tmp/ — never to /root/testdata.
+  */
+object GenScale {
+
+  def main(args: Array[String]): Unit = {
+    val Array(inDir, outDir, replicasStr) = args
+    val replicas = replicasStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def reps(df: DataFrame): DataFrame =
+      df.crossJoin(spark.range(replicas).select(col("id").cast("int").as("__r")))
+
+    /** words tagged `r<k>-` except replica 0 (sf1 ⊇ sf0.1). */
+    def tagText(text: org.apache.spark.sql.Column) =
+      when(col("__r") === 0, text).otherwise(
+        array_join(transform(split(text, "\\s+"),
+          w => concat(concat(lit("r"), col("__r")), lit("-"), w)), " "))
+
+    val docs = spark.read.parquet(s"$inDir/documents.parquet")
+    val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
+    reps(docs)
+      .select((col("doc_id") + col("__r") * maxDoc).as("doc_id"),
+        tagText(col("text")).as("text"), col("lang"), col("source"),
+        col("__r"))
+      .withColumn("n_chars", length(col("text")))
+      .drop("__r")
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$inDir/embeddings.parquet")
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
+    reps(emb)
+      .select((col("vec_id") + col("__r") * maxVec).as("vec_id"),
+        when(col("__r") === 0, col("embedding")).otherwise(
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => (x + (pmod(xxhash64(col("__r"), i), lit(1000L))
+              .cast("double") / 1000.0 - 0.5) * 0.1).cast("float")))
+          .as("embedding"),
+        col("label"))
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    val part = spark.read.parquet(s"$inDir/part.parquet")
+    reps(part)
+      .select((col("p_partkey") + col("__r") * 1000000L).as("p_partkey"),
+        tagText(col("p_name")).as("p_name"),
+        when(col("__r") === 0, col("p_brand"))
+          .otherwise(concat(col("p_brand"), lit("#"), col("__r"))).as("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice"))
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/part.parquet")
+
+    val orders = spark.read.parquet(s"$inDir/orders.parquet")
+    reps(orders)
+      .select((col("o_orderkey") + col("__r") * 10000000L).as("o_orderkey"),
+        (col("o_custkey") + col("__r") * 1000000L).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    val li = spark.read.parquet(s"$inDir/lineitem.parquet")
+    reps(li)
+      .select((col("l_orderkey") + col("__r") * 10000000L).as("l_orderkey"),
+        (col("l_partkey") + col("__r") * 1000000L).as("l_partkey"),
+        (col("l_suppkey") + col("__r") * 100000L).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    println(s"[genscale] wrote $replicas× $inDir -> $outDir")
+    spark.stop()
+  }
+}
