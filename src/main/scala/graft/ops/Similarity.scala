@@ -133,17 +133,35 @@ object Similarity {
     * query touches nprobe/k of the data. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 10,
       nCells: Int = 16, nprobe: Int = 2, iters: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val centroids = ivfCentroids(corpus, nCells, iters)
     val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_emb"))
       .withColumn("cell", assignExpr(col("c_emb"), centroids))
-    val probes = centroids.map { case (cid, cvec) =>
-      val d = graft.functions.VectorExprs.sqDist(col("q_emb"), typedlit(cvec))
-      struct(d.as("d"), lit(cid).as("c"))
-    }
-    val q = queries.select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
-      .withColumn("cell",
-        explode(transform(slice(array_sort(array(probes: _*)), 1, nprobe),
-          s => s.getField("c"))))
+    // queries are broadcast-sized by module contract (same footprint
+    // pqTopK's driver LUT already accepts): collect once and build the
+    // (q_id, q_emb, cell) probe rows driver-side — nprobe cells by
+    // squared distance, exactly the fold VecSqDist runs, ties → lowest
+    // cid. The broadcast side becomes a LocalRelation: no second scan
+    // job on the critical path.
+    val sorted = centroids.sortBy(_._1)
+    val qRows = queries
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_emb"))
+      .collect()
+      .flatMap { r =>
+        val qid = r.getAs[Number]("q_id").longValue()
+        val emb = r.getAs[scala.collection.Seq[Double]]("q_emb").toSeq
+        val byDist = sorted.map { case (cid, cvec) =>
+          var d = 0.0
+          var i = 0
+          while (i < cvec.length) {
+            val t = emb(i) - cvec(i); d += t * t; i += 1
+          }
+          (d, cid)
+        }.sortBy(identity).take(nprobe)
+        byDist.map { case (_, cid) => (qid, emb, cid) }
+      }.toSeq.sortBy(r => (r._1, r._3))
+    val q = qRows.toDF("q_id", "q_emb", "cell")
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"),
