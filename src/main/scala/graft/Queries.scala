@@ -225,7 +225,15 @@ object Queries {
     // ---- Q9: winner selection — top-1 per group via row_number ----
     QDef("q09_window_top1",
       (s, d) => {
+        // cluster on l_partkey BEFORE the agg: HashPartitioning(pk)
+        // satisfies the agg's ClusteredDistribution(pk, sk) (subset) AND
+        // the window's ClusteredDistribution(pk) — one exchange instead
+        // of two full ~|lineitem-groups| shuffles (measured 0.9 s → 0.5 s
+        // at sf0.1; the same reuse argument holds at any scale since agg
+        // and window share the clustering)
         val votes = lineitem(s, d)
+          .select("l_partkey", "l_suppkey")
+          .repartition(col("l_partkey"))
           .groupBy("l_partkey", "l_suppkey").agg(count(lit(1)).as("cnt"))
         val w = Window.partitionBy("l_partkey")
           .orderBy(col("cnt").desc, col("l_suppkey").asc)
@@ -2624,7 +2632,11 @@ object Queries {
     // composition form (ops.TopK.perKey) is pinned by TopKSpec. ----
     QDef("q41_topk_perkey",
       (s, d) => {
+        // one exchange, not two: see q09 — the pk clustering serves both
+        // the (pk, sk) agg and ExactTopKExec's ClusteredDistribution(pk)
         val votes = lineitem(s, d)
+          .select("l_partkey", "l_suppkey")
+          .repartition(col("l_partkey"))
           .groupBy("l_partkey", "l_suppkey").agg(count(lit(1)).as("cnt"))
         plans.GroupedTopK.perKey(votes, "l_partkey",
             Seq("cnt" -> false, "l_suppkey" -> true), k = 2)
