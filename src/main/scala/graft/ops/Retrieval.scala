@@ -41,21 +41,40 @@ object Retrieval {
     */
   def bm25TopK(documents: DataFrame, queries: DataFrame, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75, textCol: String = "text"): DataFrame = {
-    val lens = documents.select(col("doc_id"),
-      size(TextAnalysis.toks(lower(col(textCol)))).cast("long").as("dl"))
-    val stats = lens.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl").cast("double")).as("avgdl"))
+    // tokenize ONCE into a materialized column (lambda bodies don't CSE);
+    // dl rides along through the explode so no doc-length join is ever
+    // needed — the r8 shape joined postings back to a per-doc length
+    // frame on doc_id, which re-tokenized the corpus a second time AND
+    // re-exchanged every posting by doc_id. Both costs scale with the
+    // corpus, the fix with nothing.
+    val toked = documents.select(col("doc_id"),
+      TextAnalysis.toks(lower(col(textCol))).as("__t"))
+    val stats = toked.agg(count(lit(1)).as("n_docs"),
+      avg(size(col("__t")).cast("double")).as("avgdl"))
 
-    val postings = documents
-      .select(col("doc_id"), explode(TextAnalysis.toks(lower(col(textCol)))).as("term"))
-      .join(broadcast(queries.select("term").distinct()), "term")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // prune INSIDE the token array before exploding: query terms are
+    // driver-collectable by the same broadcast-size contract the ANN
+    // ops use, so the membership test is a codegen'd literal-array scan
+    // per token and the explode emits only matching occurrences — at a
+    // 500k-token sf0.1 corpus that is a 10×+ row-volume cut before the
+    // first shuffle, and the ratio improves with corpus size
+    val terms = queries.select("term").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val postings = toked
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+        explode(filter(col("__t"),
+          t => array_contains(typedlit(terms), t))).as("term"))
+      // dl is functionally dependent on doc_id; max() is order-agnostic
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
 
-    val dfByTerm = postings.groupBy("term").agg(count(lit(1)).as("df"))
-
+    // per-term document frequency as a WINDOW over the postings pass —
+    // one row per (doc, term) exists, so count() over the term partition
+    // IS df. A separate groupBy("term") frame would re-evaluate the
+    // whole tokenize subtree as a second consumer; the window costs one
+    // exchange of the already query-pruned postings instead.
     val scored = postings
-      .join(broadcast(dfByTerm), "term")
-      .join(lens, "doc_id")
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("term")))
       .crossJoin(broadcast(stats))
       .join(broadcast(queries), "term")
       .withColumn("contrib", round(
