@@ -53,6 +53,13 @@ case class PartialTopKExec(keys: Seq[Attribute], ordering: Seq[SortOrder], k: In
   override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKExec =
     copy(child = newChild)
 
+  // per-partition row filter — partitioning is untouched. Without this
+  // forward, UnaryExecNode's UnknownPartitioning default hides an
+  // already-aligned child (e.g. an agg clustered on the top-k key) from
+  // EnsureRequirements, which then inserts a redundant full exchange
+  // above the partial prune (caught by PlanSpec's q41 pin, r9).
+  override def outputPartitioning = child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val boundKeys = keys.map(k =>
       BindReferences.bindReference(k: Expression, child.output))

@@ -84,6 +84,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "3-row agg join must broadcast")
   }
 
+  test("q41/q09: one hash exchange serves both the agg and the top-k/window") {
+    // r9: repartition(l_partkey) pre-satisfies the (pk, sk) aggregation
+    // AND the downstream ClusteredDistribution(pk) — a second full
+    // group-set shuffle would double the exchange count
+    for (name <- Seq("q41_topk_perkey", "q09_window_top1")) {
+      val p = planOf(name)
+      val hashEx = p.split("Exchange hashpartitioning").length - 1
+      assert(hashEx == 1, s"$name: expected exactly 1 hash exchange, got $hashEx")
+    }
+  }
+
+  test("bm25: corpus tokenized once per pass, no shuffle joins") {
+    val p = planOf("retrieval_bm25")
+    // two scans total: the postings pass and the 1-row corpus-stats agg;
+    // the r8 shape had a third (doc-length join) plus an SMJ on doc_id
+    val scans = p.split("Scan parquet").length - 1
+    assert(scans <= 2, s"bm25 reads the corpus $scans times")
+    assert(!p.contains("SortMergeJoin"), "bm25 must not shuffle-join")
+    val tokenizes = p.split("ws_split").length - 1
+    assert(tokenizes <= 2, s"bm25 tokenizes $tokenizes times")
+  }
+
+  test("sim_ivf_ann: probe side is a LocalRelation, corpus scanned once") {
+    val p = planOf("sim_ivf_ann")
+    val scans = p.split("Scan parquet").length - 1
+    assert(scans == 1, s"final IVF frame should scan the corpus once, got $scans")
+    assert(p.contains("LocalTableScan"), "query probes must be driver-built")
+  }
+
+  test("er fuzzy pairs: banded levenshtein inside a broadcast block join") {
+    val p = planOf("er_fuzzy_pairs")
+    assert(p.contains("levenshtein_banded"), "must use the native banded DP")
+    assert(p.contains("BroadcastHashJoin"), "block join should broadcast at this SF")
+  }
+
   test("dedup minhash: no cartesian product anywhere") {
     val p = planOf("dedup_minhash_lsh")
     assert(!p.contains("CartesianProduct"), "LSH must join on band hash, not cross")
