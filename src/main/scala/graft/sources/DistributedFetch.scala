@@ -18,8 +18,11 @@ object DistributedFetch {
 
   case class FetchTask(url: String, source_name: String, priority: Int,
       allow_total: Boolean, absent_as_zero: Boolean) {
+    // authority (host:port), matching Fetcher's robots/politeness scope —
+    // two ports on one host are distinct services and may be fetched in
+    // parallel, but one service must never be split across two groups
     def host: String =
-      Option(new java.net.URI(url).getHost).getOrElse("")
+      Option(new java.net.URI(url).getAuthority).getOrElse("")
   }
 
   case class FetchOutcome(

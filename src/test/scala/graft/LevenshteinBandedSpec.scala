@@ -38,6 +38,14 @@ class LevenshteinBandedSpec extends SparkSpec {
     })
   }
 
+  test("property: long strings, wide thresholds — band boundaries + early abandon") {
+    val long = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', ' ')).map(_.mkString))
+    check(Prop.forAll(long, long, Gen.chooseNum(0, 70)) { (a, b, k) =>
+      banded(a, b, k) == builtin(a, b, k)
+    })
+  }
+
   test("edges: empties, equals, just-over-threshold, k=0") {
     assert(banded("", "", 3) === 0)
     assert(banded("", "abc", 3) === 3)
