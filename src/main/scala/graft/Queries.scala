@@ -467,9 +467,12 @@ object Queries {
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
     // ---- Q24: profile sweep — per-table row counts ----
+    // Footer-served: each per-table COUNT(*) reads parquet row-group
+    // metadata, not data (PushedAggregation in the plan, pinned by
+    // FooterStatsSpec) — at 100 TB a profile sweep must not scan the lake.
     QDef("q24_table_counts",
       (s, d) => Tables.names.map(n =>
-          Tables.load(s, d, n).agg(count(lit(1)).as("n")).select(lit(n).as("t"), col("n")))
+          Tables.footerScan(s, d, n).agg(count(lit(1)).as("n")).select(lit(n).as("t"), col("n")))
         .reduce(_ unionAll _)
         .orderBy("t"),
       Some(Tables.names.map(n => s"SELECT '$n' AS t, COUNT(*) AS n FROM $n")
@@ -947,6 +950,27 @@ object Queries {
         .map(c => s"""SELECT '$c' AS "column", COUNT(*) AS n_rows, """ +
           s"COUNT(*) - COUNT($c) AS n_nulls, true AS approx_sane FROM orders")
         .mkString("", " UNION ALL ", """ ORDER BY "column""""))),
+
+    // ---- footer-stat datasheet: COUNT(*) + numeric MIN/MAX answered from
+    // parquet footer statistics (DSv2 PushedAggregation — plan pinned by
+    // FooterStatsSpec). The 100 TB shape of "what is in this table":
+    // row-group metadata only, zero data pages read. Timestamp/string
+    // min/max stay off this path on purpose (writers may truncate string
+    // stats; Spark's footer fast-path excludes timestamps). ----
+    QDef("profile_footer_stats",
+      (s, d) => Tables.footerScan(s, d, "lineitem")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_orderkey"),
+          max(col("l_orderkey")).as("max_orderkey"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price")),
+      Some("""SELECT COUNT(*) AS n_rows,
+        |MIN(l_orderkey) AS min_orderkey, MAX(l_orderkey) AS max_orderkey,
+        |MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+        |FROM lineitem""".stripMargin)),
 
     // ================= north-star: dedup =================
     QDef("dedup_exact",

@@ -49,4 +49,38 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Footer-served scan: a DSv2 parquet relation for `name`, so that an
+    * unfiltered COUNT(*)/MIN/MAX aggregate over it is answered from parquet
+    * footer statistics (`PushedAggregation` in the plan) instead of a data
+    * scan — at 100 TB that is the difference between reading row-group
+    * metadata and reading the table.
+    *
+    * Two confs cooperate, with different lifetimes:
+    *  - `spark.sql.sources.useV1SourceList` is consulted ONCE, inside
+    *    `DataFrameReader.load`, to pick the relation kind — so it is set
+    *    only for the duration of this call (the default V1 path keeps
+    *    serving every other scan, preserving bucketed-join support, which
+    *    is V1-only);
+    *  - `spark.sql.parquet.aggregatePushdown` is consulted at PLAN time by
+    *    `V2ScanRelationPushDown`, long after this method returns — so the
+    *    entrypoints (Verify/Bench/Main/specs) set it globally instead. It
+    *    is inert for V1 scans, which never consult it.
+    *
+    * Scope of validity (enforced by the caller, pinned by FooterStatsSpec):
+    * exact for COUNT(*) always; for MIN/MAX use numeric/date columns only —
+    * writers may truncate string statistics, and Spark's footer fast-path
+    * rejects such columns at runtime rather than silently using them.
+    * Synchronized because the conf flip is a session-global mutation. */
+  def footerScan(spark: SparkSession, dir: String, name: String): DataFrame =
+    synchronized {
+      val key = "spark.sql.sources.useV1SourceList"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "")
+      try load(spark, dir, name)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
 }
