@@ -33,6 +33,59 @@ class LayoutSpec extends SparkSpec {
       planStr.take(1500))
   }
 
+  test("star join prunes fact partitions at RUNTIME from the dim filter (DPP)") {
+    import spark.implicits._
+    val path = tmp()
+    Layout.writePartitioned(
+      Tables.documents(spark, sf("sf0.001")), path, partitionCols = Seq("lang"))
+    val fact = spark.read.parquet(path)
+    // dim: lang → group; the filter selects a group, not a lang — so at
+    // PLAN time no literal predicate exists on the partition column, and
+    // only dynamic partition pruning (subquery reusing the broadcast) can
+    // skip fact directories. This is the 100 TB star-join shape: the date
+    // dim's WHERE clause must prune the partitioned fact's directories.
+    // The dim must be a FILE relation: an in-memory Seq constant-folds to
+    // a LocalRelation, which PartitionPruning rejects (no scan-side
+    // selective predicate to justify the subquery).
+    val dimPath = tmp()
+    Seq(("en", "west"), ("de", "west"), ("fr", "east"),
+      ("es", "east"), ("zh", "east")).toDF("d_lang", "grp")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = fact
+      .join(broadcast(dim.filter($"grp" === "west")), $"lang" === $"d_lang")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val rows = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows == Map("en" -> 193L, "de" -> 71L), rows.toString)
+    // the join+agg plan is adaptive AND staged: collect() stops at both
+    // AdaptiveSparkPlanExec and materialized QueryStageExec boundaries, so
+    // walk through them explicitly to reach the fact-side file scan
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val here = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(s.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(scans)
+    }
+    val scan = scans(joined.queryExecution.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains(path)))
+      .head
+    assert(scan.partitionFilters.exists(
+        _.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]).isDefined),
+      s"expected a dynamicpruning partition filter: ${scan.partitionFilters}")
+    // runtime effect: only the 2 'west' lang directories were read (of 5)
+    assert(scan.metrics("numFiles").value == 2,
+      s"numFiles=${scan.metrics("numFiles").value}")
+  }
+
   test("clustered write yields the requested file count, sorted runs") {
     val path = tmp()
     Layout.writeClustered(
