@@ -411,6 +411,49 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter: selective dim join injects might_contain on the fact scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // DPP's sibling for NON-partition join columns: InjectRuntimeFilter
+    // builds a bloom filter from the filtered dim side and pushes a
+    // might_contain predicate into the fact scan, so a shuffle join over
+    // 100 TB ships only rows that can possibly match. Thresholds are
+    // sized for real lakes (creation side ≤ 10 MB plan-stat bytes, fact
+    // scan ≥ 10 GB), so scale them to toy data to pin the mechanism.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    val factDir = java.nio.file.Files.createTempDirectory("rtf-fact").toString
+    val dimDir = java.nio.file.Files.createTempDirectory("rtf-dim").toString
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join, the case that benefits
+      (0L until 20000L).map(i => (i % 997, s"payload_$i")).toDF("k", "v")
+        .write.mode("overwrite").parquet(factDir)
+      (0L until 997L).map(i => (i, if (i < 5) "hot" else "cold")).toDF("d_k", "tag")
+        .write.mode("overwrite").parquet(dimDir)
+      val fact = spark.read.parquet(factDir)
+      val dim = spark.read.parquet(dimDir).filter($"tag" === "hot")
+      val joined = fact.join(dim, $"k" === $"d_k")
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") && optimized.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n${optimized.take(2000)}")
+      // and it must not change results vs the plain join
+      assert(joined.count() ===
+        (0L until 20000L).count(i => i % 997 < 5).toLong)
+    } finally {
+      saved.foreach { case (k, v) =>
+        v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+      }
+    }
+  }
+
   test("streaming split sink routes publish vs quarantine batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
