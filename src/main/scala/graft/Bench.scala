@@ -67,9 +67,6 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // Inert for V1 scans; lets Tables.footerScan frames answer
-      // unfiltered COUNT/MIN/MAX from parquet footer statistics.
-      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

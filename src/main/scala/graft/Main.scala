@@ -35,9 +35,6 @@ object Main {
       .appName("pollaspark")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      // Inert for V1 scans; lets Tables.footerScan frames answer
-      // unfiltered COUNT/MIN/MAX from parquet footer statistics.
-      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -56,31 +56,38 @@ object Tables {
     * scan — at 100 TB that is the difference between reading row-group
     * metadata and reading the table.
     *
-    * Two confs cooperate, with different lifetimes:
-    *  - `spark.sql.sources.useV1SourceList` is consulted ONCE, inside
-    *    `DataFrameReader.load`, to pick the relation kind — so it is set
-    *    only for the duration of this call (the default V1 path keeps
-    *    serving every other scan, preserving bucketed-join support, which
-    *    is V1-only);
-    *  - `spark.sql.parquet.aggregatePushdown` is consulted at PLAN time by
-    *    `V2ScanRelationPushDown`, long after this method returns — so the
-    *    entrypoints (Verify/Bench/Main/specs) set it globally instead. It
-    *    is inert for V1 scans, which never consult it.
+    * Two confs cooperate, and BOTH live on a dedicated child session
+    * (`newSession()` shares the SparkContext — caches, executors — but
+    * owns its SQLConf), so the caller's session is never mutated and
+    * concurrent plain loads can never accidentally plan as V2:
+    *  - `spark.sql.sources.useV1SourceList=""` routes the read to DSv2
+    *    (the parent's default V1 path keeps serving every other scan,
+    *    preserving bucketed-join support, which is V1-only);
+    *  - `spark.sql.parquet.aggregatePushdown=true` is consulted at PLAN
+    *    time by `V2ScanRelationPushDown`, against the frame's OWN session
+    *    — the child — so no global conf is needed anywhere.
     *
     * Scope of validity (enforced by the caller, pinned by FooterStatsSpec):
     * exact for COUNT(*) always; for MIN/MAX use numeric/date columns only —
     * writers may truncate string statistics, and Spark's footer fast-path
-    * rejects such columns at runtime rather than silently using them.
-    * Synchronized because the conf flip is a session-global mutation. */
+    * rejects such columns at runtime rather than silently using them. */
   def footerScan(spark: SparkSession, dir: String, name: String): DataFrame =
-    synchronized {
-      val key = "spark.sql.sources.useV1SourceList"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "")
-      try load(spark, dir, name)
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
-    }
+    load(footerSession(spark), dir, name)
+
+  /** One footer-configured child per parent session. `newSession()` builds
+    * its SQLConf from the shared SparkContext conf only, so runtime-set
+    * session confs do NOT carry over — copy the ones the footer path's
+    * correctness depends on explicitly. */
+  private val footerSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def footerSession(parent: SparkSession): SparkSession =
+    footerSessions.computeIfAbsent(parent, p => {
+      val s = p.newSession()
+      // timeZone: timestamp rendering; nanosAsLong: events TIMESTAMP(NANOS)
+      Seq("spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong")
+        .foreach(k => p.conf.getOption(k).foreach(s.conf.set(k, _)))
+      s.conf.set("spark.sql.sources.useV1SourceList", "")
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s
+    })
 }

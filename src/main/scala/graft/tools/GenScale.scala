@@ -32,9 +32,6 @@ object GenScale {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
-      // Inert for V1 scans; lets Tables.footerScan frames answer
-      // unfiltered COUNT/MIN/MAX from parquet footer statistics.
-      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
