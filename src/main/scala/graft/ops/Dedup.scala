@@ -433,8 +433,12 @@ object Dedup {
       .agg(count("t").as("n_truth"), count("c").as("n_cand"),
         count(when(col("t").isNotNull && col("c").isNotNull, 1)).as("n_hit"))
       .select(col("n_truth"), col("n_cand"), col("n_hit"),
-        round(col("n_hit") / col("n_truth").cast("double"), 4).as("recall"),
-        round(col("n_hit") / col("n_cand").cast("double"), 4).as("precision"))
+        // NULL, not ANSI divide-by-zero, when a filtered corpus leaves an
+        // empty truth/candidate set — recall of nothing is undefined
+        round(when(col("n_truth") > 0,
+          col("n_hit") / col("n_truth").cast("double")), 4).as("recall"),
+        round(when(col("n_cand") > 0,
+          col("n_hit") / col("n_cand").cast("double")), 4).as("precision"))
   }
 
   /** Repeated-substring spans — substring-level dedup (the "Deduplicating

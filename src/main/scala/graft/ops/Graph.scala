@@ -66,6 +66,10 @@ object Graph {
     val degs = materialize(und.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg")))
     val n = degs.count() // driver scalar
+    // an empty graph (a pushed-down filter or pruned partition can
+    // legitimately leave zero edges) has no 1/n to take — return the
+    // (node, deg, rank) schema with zero rows instead of dividing
+    if (n == 0) return degs.withColumn("rank", lit(0.0))
     val small = n <= broadcastNodes
     def maybeBc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val base = (lit(1.0) - lit(damping)) / lit(n.toDouble)

@@ -223,15 +223,25 @@ object IncrementalDedup {
           r.getAs[Int]("cid") -> r.getAs[scala.collection.Seq[Double]]("emb").toSeq).toSeq
         case None =>
           val trained = Similarity.ivfCentroids(batch, nCells, iters)
-          val schema = StructType(Seq(StructField("cid", IntegerType, false),
-            StructField("emb", ArrayType(DoubleType, false), false)))
-          StateTable.upsert(spark, s"$stateRoot/centroids",
-            spark.createDataFrame(
-              java.util.Arrays.asList(trained.map { case (cid, e) =>
-                Row(cid, e) }: _*), schema),
-            Seq("cid"))
+          // never persist an EMPTY centroid table (an empty first batch
+          // trains none): freezing it would break every later ingest —
+          // cells are trained-once by design, and zero cells can assign
+          // nothing. Leave state absent so the next non-empty batch trains.
+          if (trained.nonEmpty) {
+            val schema = StructType(Seq(StructField("cid", IntegerType, false),
+              StructField("emb", ArrayType(DoubleType, false), false)))
+            StateTable.upsert(spark, s"$stateRoot/centroids",
+              spark.createDataFrame(
+                java.util.Arrays.asList(trained.map { case (cid, e) =>
+                  Row(cid, e) }: _*), schema),
+              Seq("cid"))
+          }
           trained
       }
+    // no cells (empty first batch, no prior state): nothing ingested, no
+    // state written — -1 mirrors forget's "no state" version convention
+    if (centroids.isEmpty)
+      return (batch.select(col("vec_id"), lit(0).as("cell")).limit(0), -1L)
     val assigned = Similarity.assignCells(batch, centroids).transform(Materialize(_))
     val knownDup = StateTable.read(spark, s"$stateRoot/kept") match {
       case None => assigned.limit(0).select(col("vec_id"))

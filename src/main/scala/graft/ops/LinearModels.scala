@@ -52,7 +52,10 @@ object LinearModels {
         round(avg(err * (if (j == 0) lit(1.0) else col(n))), 9).as(s"g$j")
       }
       val g = feats.agg(gradAggs.head, gradAggs.tail: _*).head()
-      w = w.indices.map(j => BigDecimal(w(j) - lr * g.getDouble(j))
+      // AVG over zero rows is NULL — treat it as a zero gradient so an
+      // empty training frame returns the (deterministic) init weights
+      def grad(j: Int): Double = if (g.isNullAt(j)) 0.0 else g.getDouble(j)
+      w = w.indices.map(j => BigDecimal(w(j) - lr * grad(j))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toVector
     }
     import spark.implicits._

@@ -81,6 +81,10 @@ object Similarity {
       .zipWithIndex.map { case (r, i) =>
         i -> r.getAs[scala.collection.Seq[Double]]("emb").toSeq
       }.toSeq
+    // an empty corpus seeds zero centroids; the Lloyd loop (and every
+    // caller's assignExpr) requires at least one — callers translate an
+    // empty centroid set into an empty result with their output schema
+    if (centroids.isEmpty) return Seq.empty
     for (_ <- 0 until iters) {
       val assigned = c.withColumn("cid", assignExpr(col("emb"), centroids))
       // per-(cluster, dim) mean with O(1) aggregation state: a plain
@@ -136,6 +140,13 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = ivfCentroids(corpus, nCells, iters)
+    // empty corpus ⇒ no cells to probe: the (q_id, c_id, sim, rank)
+    // schema with zero rows (queries and corpus share the embeddings
+    // shape by module contract, so vec_id's type carries over)
+    if (centroids.isEmpty)
+      return queries.select(col("vec_id").cast("long").as("q_id"),
+        col("vec_id").as("c_id"), lit(0.0).as("sim"), lit(1).as("rank"))
+        .limit(0)
     val c = corpus.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_emb"))
       .withColumn("cell", assignExpr(col("c_emb"), centroids))
     // queries are broadcast-sized by module contract (same footprint
@@ -197,7 +208,9 @@ object Similarity {
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
     val seedVecs = c.orderBy("vec_id").limit(codes).collect()
       .map(_.getAs[scala.collection.Seq[Double]]("emb").toSeq)
-    require(seedVecs.nonEmpty, "pqCodebooks: empty corpus")
+    // empty corpus ⇒ empty codebook; pqTopK translates it into an empty
+    // result (an UNDERSIZED corpus is still a loud error below)
+    if (seedVecs.isEmpty) return Seq.empty
     require(seedVecs.length >= codes,
       s"pqCodebooks: corpus has ${seedVecs.length} vectors < codes=$codes — " +
         "shrink `codes` (a codebook can't have more entries than training vectors)")
@@ -261,6 +274,12 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cb = pqCodebooks(corpus, m, codes, iters)
+    // empty corpus ⇒ nothing to encode or scan: the (q_id, c_id, adc,
+    // rank) schema with zero rows (see ivfTopK's empty-corpus note)
+    if (cb.isEmpty)
+      return queries.select(col("vec_id").cast("long").as("q_id"),
+        col("vec_id").as("c_id"), lit(0.0).as("adc"), lit(1).as("rank"))
+        .limit(0)
     val cbMap = cb.toMap
     val subDim = cb.head._2.length
     val cbFlat = cb.map(_._2) // already sorted (sub, code)
@@ -351,6 +370,11 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, tau: Double = 0.25,
       nCells: Int = 16, iters: Int = 1): DataFrame = {
     val centroids = ivfCentroids(corpus, nCells, iters)
+    // empty corpus ⇒ empty dedup verdict with the output schema intact
+    // (dup_of carries vec_id's type — it is a MIN over neighbor ids)
+    if (centroids.isEmpty)
+      return corpus.select(col("vec_id"), lit(0L).as("cell"),
+        col("vec_id").as("dup_of"), lit(true).as("kept")).limit(0)
     val c = assignCells(corpus, centroids)
     val nb = c.select(col("cell"), col("vec_id").as("nb_id"),
       col("emb").as("nb_emb"))

@@ -223,6 +223,25 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(StateTable.read(spark, s"$root/centroids").get.count() == 1)
   }
 
+  test("semantic ingest: an empty FIRST batch must not freeze empty cells") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-incsem-empty").toString
+    def vecs(rows: (Long, Seq[Double])*) = rows.toDF("vec_id", "embedding")
+    // empty first batch: nothing accepted, version -1, and — critically —
+    // NO centroid state persisted (an empty frozen cell structure would
+    // make every later assignCells impossible, forever)
+    val (a0, v0) = IncrementalDedup.ingestSemantic(spark, root,
+      vecs(), tau = 0.9, nCells = 1)
+    assert(a0.isEmpty && v0 == -1L)
+    assert(StateTable.read(spark, s"$root/centroids").isEmpty,
+      "empty batch persisted an empty centroid table")
+    // the next (non-empty) batch trains cells and ingests normally
+    val (a1, _) = IncrementalDedup.ingestSemantic(spark, root,
+      vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(0.99, 0.01)), tau = 0.9, nCells = 1)
+    assert(a1.select("vec_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(StateTable.read(spark, s"$root/centroids").get.count() == 1)
+  }
+
   test("near-dedup heals a band index left behind by a crash") {
     val root = java.nio.file.Files.createTempDirectory("graft-incnear-heal").toString
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
