@@ -3266,12 +3266,16 @@ object Queries {
         |FROM packed JOIN enc USING (doc_id)
         |GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin)),
 
-    // ---- Perceptual-hash media near-dup: thumbnail through the codec
-    // (mapPartitions — swap in a real decoder and nothing else moves),
-    // bit-threshold hash, then the SimHash chunk-pigeonhole hamming
-    // join (exact for r=1 with 2 chunks). The oracle replays the stub
-    // codec's cycle-pad resize arithmetically on the ASCII bytes and
-    // verifies with a brute-force pair scan. ----
+    // ---- Perceptual-hash media near-dup: 8×8 thumbnail through the
+    // codec (mapPartitions — swap in a real decoder and nothing else
+    // moves), 64-bit bit-threshold hash, then the SimHash
+    // chunk-pigeonhole hamming join (exact for r=1 with 2 chunks; the
+    // 32-bit chunk keys keep bucket occupancy — hence candidate volume —
+    // linear, where the original 16-bit hash went quadratic at sf1).
+    // The oracle replays the stub codec's cycle-pad resize
+    // arithmetically on the ASCII bytes (HUGEINT bit build, wrapped to
+    // BIGINT two's-complement to match the Long) and verifies with a
+    // brute-force pair scan. ----
     QDef("mm_phash_dedup",
       (s, d) => {
         val media = Multimodal.syntheticMedia(s, documents(s, d))
@@ -3281,12 +3285,13 @@ object Queries {
       },
       Some("""WITH px AS (SELECT doc_id AS media_id,
         |    [ascii(substr(text, ((i - 1) % length(text)) + 1, 1))
-        |     FOR i IN generate_series(1, 16)] AS p FROM documents),
-        |h AS (SELECT media_id, CAST(list_reduce(
-        |    [CASE WHEN p[i] > list_reduce(p, (a, b) -> a + b) / 16.0
-        |       THEN 1 << (i - 1) ELSE 0 END
-        |     FOR i IN generate_series(1, 16)], (a, b) -> a + b) AS BIGINT)
-        |    AS phash FROM px)
+        |     FOR i IN generate_series(1, 64)] AS p FROM documents),
+        |h0 AS (SELECT media_id, list_reduce(
+        |    [CASE WHEN p[i] > list_reduce(p, (a, b) -> a + b) / 64.0
+        |       THEN CAST(1 AS HUGEINT) << (i - 1) ELSE CAST(0 AS HUGEINT) END
+        |     FOR i IN generate_series(1, 64)], (a, b) -> a + b) AS s FROM px),
+        |h AS (SELECT media_id, CAST(CASE WHEN s >= 9223372036854775808
+        |    THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS phash FROM h0)
         |SELECT a.media_id AS media_a, b.media_id AS media_b,
         |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
         |FROM h a JOIN h b ON a.media_id < b.media_id

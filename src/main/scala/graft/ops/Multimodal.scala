@@ -115,9 +115,17 @@ object Multimodal {
     * 1 iff pixel > thumbnail mean. Near-identical media differ in few
     * bits — the hamming-ball neighbourhood [[phashPairs]] searches.
     * Imperative per-row work stays in `mapPartitions`; everything after
-    * the hash is relational. */
+    * the hash is relational.
+    *
+    * `side = 8` (64-bit hash) is a SCALE floor, not a quality knob: the
+    * pigeonhole join buckets on hash chunks, so chunk width must keep
+    * expected bucket occupancy O(near-dup cluster size). The original
+    * 4×4 default (16-bit hash, 8-bit chunks = 256 buckets) went
+    * quadratic the moment the corpus outgrew the key space — measured
+    * 0.6 s → 29.6 s for 10× data at sf1. 32-bit chunks defer that wall
+    * by a factor of 2³² ∕ 2⁸. */
   def perceptualHash(media: Dataset[MediaRow], codec: MediaCodec,
-      side: Int = 4): DataFrame = {
+      side: Int = 8): DataFrame = {
     import media.sparkSession.implicits._
     resizeAll(media, codec, side, side).map { r =>
       val px = r.bytes.map(b => (b & 0xff).toDouble)
@@ -134,15 +142,31 @@ object Multimodal {
     * agrees on ≥ 1 whole chunk — equi-join per (chunk index, value)
     * bucket, then verify exact `bit_count(xor)`. Never an all-pairs
     * product; candidate volume is bounded by bucket occupancy, and the
-    * explode adds r+1 rows per media, not per pair. */
-  def phashPairs(hashes: DataFrame, bits: Int = 16, r: Int = 1): DataFrame = {
+    * explode adds r+1 rows per media, not per pair.
+    *
+    * `maxBucket`: same hot-bucket escape hatch as
+    * [[Dedup.minhashCandidates]] — drop (chunk, value) buckets holding
+    * more than this many media before the self-join. A degenerate hash
+    * (whole-corpus black frames, one corrupt-decode byte pattern)
+    * otherwise goes quadratic in one task; media in an overflowing
+    * bucket still pair through the other r chunks. Default None keeps
+    * exact declared-query semantics. */
+  def phashPairs(hashes: DataFrame, bits: Int = 64, r: Int = 1,
+      maxBucket: Option[Int] = None): DataFrame = {
     val chunks = r + 1
     val width = bits / chunks
-    val mask = (1L << width) - 1
-    val keyed = hashes.select(col("media_id"), col("phash"),
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val keyedAll = hashes.select(col("media_id"), col("phash"),
         explode(sequence(lit(0), lit(chunks - 1))).as("ci"))
       .withColumn("ck", expr(s"shiftright(phash, ci * $width)")
         .bitwiseAND(lit(mask)))
+    val keyed = maxBucket match {
+      case None => keyedAll
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("ci", "ck")
+        keyedAll.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= cap).drop("__bn")
+    }
     keyed.select(col("ci"), col("ck"), col("media_id").as("media_a"),
         col("phash").as("ph_a"))
       .join(keyed.select(col("ci"), col("ck"), col("media_id").as("media_b"),

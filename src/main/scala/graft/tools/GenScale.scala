@@ -18,7 +18,15 @@ import org.apache.spark.sql.functions._
   *  - embeddings get a deterministic hash jitter per (vec_id, dim) so
   *    k-means cells keep their shape while replicas stay distinct;
   *  - graph keys (orderkey/custkey/suppkey/partkey) are offset per
-  *    replica — 10 disconnected copies of the sf0.1 graph.
+  *    replica — 10 disconnected copies of the sf0.1 graph;
+  *  - customer/supplier keys are offset to match the orders/lineitem FK
+  *    offsets, so every join keeps exactly its sf0.1 selectivity;
+  *  - events get replica-offset event_id/user_id (10× distinct users ⇒
+  *    sessionize/retention/funnel workloads grow linearly) with ts
+  *    unchanged (the time range is a property of the domain, not of SF);
+  *  - region/nation are copied AS-IS: true dimensions stay small while
+  *    facts grow — replicating them would distort the broadcast-join
+  *    behavior the scale proof is meant to exercise.
   *
   * Output goes under the repo's gitignored tmp/ — never to /root/testdata.
   */
@@ -94,6 +102,38 @@ object GenScale {
         col("l_discount"), col("l_tax"), col("l_returnflag"),
         col("l_linestatus"), col("l_shipdate"))
       .repartition(32).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
+    val cust = spark.read.parquet(s"$inDir/customer.parquet")
+    reps(cust)
+      .select((col("c_custkey") + col("__r") * 1000000L).as("c_custkey"),
+        when(col("__r") === 0, col("c_name"))
+          .otherwise(concat(col("c_name"), lit("#"), col("__r"))).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
+    val supp = spark.read.parquet(s"$inDir/supplier.parquet")
+    reps(supp)
+      .select((col("s_suppkey") + col("__r") * 100000L).as("s_suppkey"),
+        when(col("__r") === 0, col("s_name"))
+          .otherwise(concat(col("s_name"), lit("#"), col("__r"))).as("s_name"),
+        col("s_nationkey"), col("s_acctbal"))
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/supplier.parquet")
+
+    // Tables.events normalizes whatever physical ts type the driver wrote;
+    // our rewrite lands as plain TIMESTAMP (micros, UTC) — still covered.
+    val ev = graft.Tables.events(spark, inDir)
+    val maxEvent = ev.agg(max("event_id")).head().getLong(0) + 1
+    reps(ev)
+      .select((col("event_id") + col("__r") * maxEvent).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("__r") * 1000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .repartition(32).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    // true dims: unchanged (at any SF the dims stay broadcast-sized)
+    Seq("region", "nation").foreach(t =>
+      spark.read.parquet(s"$inDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet"))
 
     println(s"[genscale] wrote $replicas× $inDir -> $outDir")
     spark.stop()
