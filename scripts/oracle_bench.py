@@ -42,7 +42,12 @@ con = duckdb.connect()
 con.execute(f"SET threads TO {os.cpu_count()}")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    path = f"{sf_dir}/{t}.parquet"
+    # driver testdata is one file per table; Spark-written (e.g. tmp/sf1)
+    # is a directory of part files — glob in that case
+    if Path(path).is_dir():
+        path = f"{path}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
 oracle = json.loads(Path(sql_path).read_text())
 times = {}
@@ -81,9 +86,17 @@ if os.getloadavg()[0] > MAX_LOAD_AFTER:
 probes = [n for n, s in sorted(times.items(), key=lambda kv: -kv[1])
           if times[n] < 1.0][:3]
 for name in probes:
-    t0 = time.perf_counter()
-    con.execute(oracle[name]).fetchall()
-    replay = time.perf_counter() - t0
+    # min of 2, SAME hygiene as the recording loop: after the decay
+    # wait the host has idled for minutes and a single-shot replay
+    # absorbs CPU ramp-up / cold-state effects the recording never paid
+    # (measured 1.8× on an otherwise-idle host at sf1) — that is probe
+    # noise, not contamination
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        con.execute(oracle[name]).fetchall()
+        runs.append(time.perf_counter() - t0)
+    replay = min(runs)
     lo, hi = times[name] / 1.6 - 0.05, max(0.15, 1.6 * times[name])
     if not (lo <= replay <= hi):
         sys.exit(f"[oracle_bench] probe {name} replayed at {replay:.3f}s vs "

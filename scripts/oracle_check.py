@@ -16,7 +16,12 @@ sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    path = f"{sf_dir}/{t}.parquet"
+    # driver testdata is one file per table; Spark-written (e.g. tmp/sf1)
+    # is a directory of part files — glob in that case
+    if Path(path).is_dir():
+        path = f"{path}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
 oracle = json.loads(Path(f"{out_dir}/oracle_sql.json").read_text())
 fails, oks, rows_only = [], [], []

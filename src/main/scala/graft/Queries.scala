@@ -2890,8 +2890,11 @@ object Queries {
         |FROM sh ORDER BY doc_id""".stripMargin)),
 
     // ---- Flesch reading ease (vowel-group syllable proxy, [.!?]+ run
-    // sentence count, both floored at 1). Map-only; arithmetic order
-    // mirrored exactly in the oracle so doubles agree pre-round. ----
+    // sentence count, both floored at 1). Map-only. Both sides compute
+    // the score in EXACT integer space (N = 206835·s·w − 1015·w² −
+    // 84600·syl·s, flesch = round(N·10/(s·w))/10⁴) so the round input
+    // is the identical IEEE double in both engines — the naive per-term
+    // double form hit a 4-dp rounding boundary at sf1. ----
     QDef("text_readability",
       (s, d) => TextAnalysis.readability(documents(s, d)).orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id,
@@ -2905,8 +2908,10 @@ object Queries {
         |      (a, b) -> a + b) AS BIGINT) AS n_syllables
         |  FROM t)
         |SELECT doc_id, n_words, n_sentences, n_syllables,
-        |  ROUND(206.835 - 1.015 * n_words / CAST(n_sentences AS DOUBLE)
-        |    - 84.6 * n_syllables / CAST(n_words AS DOUBLE), 4) AS flesch
+        |  ROUND(CAST((206835 * n_sentences * n_words
+        |      - 1015 * n_words * n_words
+        |      - 84600 * n_syllables * n_sentences) * 10 AS DOUBLE)
+        |    / CAST(n_sentences * n_words AS DOUBLE)) / 10000.0 AS flesch
         |FROM c ORDER BY doc_id""".stripMargin)),
 
     // ---- Per-source corpus datasheet: map-side features, text dropped

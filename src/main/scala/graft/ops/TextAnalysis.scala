@@ -551,12 +551,24 @@ object TextAnalysis {
       aggregate(transform(col("__w"),
           w => greatest(regexp_count(w, lit("[aeiouy]+")), lit(1))),
         lit(0L), _ + _).as("n_syllables"))
+    // Flesch in EXACT integer space, divided once:
+    //   206.835 − 1.015·w/s − 84.6·syl/w  =  N / (1000·s·w)
+    //   N = 206835·s·w − 1015·w² − 84600·syl·s   (all BIGINT-exact)
+    // round(·, 4) = round(N·10/D)/10⁴ with D = s·w. N·10 ≤ ~2·10¹⁴ is
+    // exactly representable as a double, so BOTH engines divide the SAME
+    // two exact values and round the identical IEEE result at an INTEGER
+    // boundary — where k and k+0.5 are exactly representable and
+    // half-up/away-from-zero agree. The previous per-term double form
+    // diverged from DuckDB (decimal literals there, binary doubles here)
+    // on a 4-dp boundary row that first appeared at sf1.
     counted.select(col("doc_id"), col("n_words"), col("n_sentences"),
       col("n_syllables"),
-      round(lit(206.835)
-        - lit(1.015) * col("n_words") / col("n_sentences").cast("double")
-        - lit(84.6) * col("n_syllables") / col("n_words").cast("double"), 4)
-        .as("flesch"))
+      (round(((lit(206835L) * col("n_sentences") * col("n_words")
+          - lit(1015L) * col("n_words") * col("n_words")
+          - lit(84600L) * col("n_syllables") * col("n_sentences"))
+          * lit(10L)).cast("double")
+        / (col("n_sentences") * col("n_words")).cast("double"))
+        / lit(10000.0)).as("flesch"))
   }
 
   /** The Gopher required-stopword set (Rae et al. 2021 §A1.1.2): a doc
