@@ -63,9 +63,17 @@ object Bench {
     }
     val loadAvg = load()
     val gatePassed = loadAvg <= maxLoad
+    // Shuffle width defaults to the thread count (right for ≤ sf1 in
+    // this sandbox) but scales independently via env: at sf10 a 32-wide
+    // shuffle makes each partition 10× the sf1 size and the heavy aggs
+    // start spilling — on a real cluster partition count grows with
+    // data (AQE coalesces excess; it never splits an oversized
+    // non-skew-join partition, so the STATIC width must not undershoot).
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -476,6 +476,13 @@ object Dedup {
         col("toks"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         md5(array_join(slice(col("toks"), col("pos") + 1, lit(l)), " ")).as("h"))
+    // "shared by ≥ 2 distinct docs" as min/max window over ONE
+    // h-exchange. Deliberately NOT hash-agg + semi-join back: gram keys
+    // are mostly singletons, so the partial agg reduces nothing, the
+    // 50M-distinct-key HashAggregate spills to its sort fallback, and
+    // the join re-shuffles the whole gram table a second time — measured
+    // 2.5× SLOWER than this form at sf10 (78 s vs 32 s). One
+    // shuffle + per-partition sort is the floor for this marking.
     val byH = org.apache.spark.sql.expressions.Window.partitionBy("h")
     val marked = grams
       .withColumn("__lo", min("doc_id").over(byH))

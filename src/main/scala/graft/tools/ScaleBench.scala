@@ -30,6 +30,27 @@ object ScaleBench {
     val plain = time(skewSafe = false)
     val safe = time(skewSafe = true)
     println(f"""{"metric":"containment_modes","sf":"$sfDir","plain_sec":$plain%.3f,"skew_safe_sec":$safe%.3f,"runs":$runs}""")
+
+    // phash pair enumeration ± the maxBucket hot-bucket cap: on a corpus
+    // with large near-identical media clusters the pair OUTPUT is
+    // quadratic in cluster size — exact enumeration must pay it; the cap
+    // bounds each (chunk, value) bucket and is the declared 100 TB knob
+    // (same contract as Dedup.minhashCandidates's maxBucket).
+    def timePhash(cap: Option[Int]): (Double, Long) = {
+      val media = graft.ops.Multimodal.syntheticMedia(spark, docs)
+      val hashes = graft.ops.Multimodal.perceptualHash(
+        media, new graft.ops.Multimodal.StubCodec())
+      var n = 0L
+      val sec = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        n = graft.ops.Multimodal.phashPairs(hashes, maxBucket = cap).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (sec, n)
+    }
+    val (pOff, nOff) = timePhash(None)
+    val (pOn, nOn) = timePhash(Some(256))
+    println(f"""{"metric":"phash_cap_modes","sf":"$sfDir","uncapped_sec":$pOff%.3f,"uncapped_pairs":$nOff,"cap256_sec":$pOn%.3f,"cap256_pairs":$nOn,"runs":$runs}""")
     spark.stop()
   }
 }
