@@ -3213,6 +3213,39 @@ object Queries {
         |SELECT query_id, doc_id, score, n_terms_hit FROM r WHERE rn <= 10
         |ORDER BY query_id, doc_id""".stripMargin)),
 
+    // ---- Exact-phrase retrieval (Retrieval.phraseTopK): positional
+    // postings intersected by base position (base = pos − offset; a
+    // complete occurrence ⟺ hits == phrase length), so an n-token
+    // phrase costs ONE shuffle, not n−1 positional self-joins. Phrase
+    // vocabulary pruned inside the token array map-side; phrase table
+    // and lengths broadcast; GroupedTopK bounded heaps for the top-k.
+    // Integer counts — no float determinism surface. ----
+    QDef("retrieval_phrase",
+      (s, d) => Retrieval.phraseTopK(documents(s, d),
+          Retrieval.phraseFrame(s, Seq(
+            0 -> Seq("table", "hash"),
+            1 -> Seq("customer", "join"),
+            2 -> Seq("slow", "hash", "batch"))), k = 10)
+        .orderBy("phrase_id", "doc_id"),
+      Some("""WITH ph(phrase_id, off, term) AS (VALUES
+        |    (0, 0, 'table'), (0, 1, 'hash'),
+        |    (1, 0, 'customer'), (1, 1, 'join'),
+        |    (2, 0, 'slow'), (2, 1, 'hash'), (2, 2, 'batch')),
+        |t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |  FROM documents),
+        |p AS (SELECT doc_id, unnest(w) AS term,
+        |    unnest(generate_series(0, len(w) - 1)) AS pos FROM t),
+        |m AS (SELECT ph.phrase_id, p.doc_id, p.pos - ph.off AS base,
+        |    COUNT(*) AS hits FROM p JOIN ph USING (term) GROUP BY 1, 2, 3),
+        |pl AS (SELECT phrase_id, COUNT(*) AS plen FROM ph GROUP BY 1),
+        |occ AS (SELECT phrase_id, doc_id, CAST(COUNT(*) AS BIGINT)
+        |    AS n_occurrences FROM m JOIN pl USING (phrase_id)
+        |  WHERE hits = plen GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY phrase_id
+        |    ORDER BY n_occurrences DESC, doc_id) AS rn FROM occ)
+        |SELECT phrase_id, doc_id, n_occurrences FROM r WHERE rn <= 10
+        |ORDER BY phrase_id, doc_id""".stripMargin)),
+
     // ---- Leakage-safe split: hash split, then the n-gram gate pointed
     // at the split's own eval side. Eval grams broadcast; decision is
     // one left join on doc_id. ----

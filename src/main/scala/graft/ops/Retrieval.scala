@@ -96,4 +96,63 @@ object Retrieval {
     qs.flatMap { case (id, terms) => terms.map(t => (id, t)) }
       .toDF("query_id", "term")
   }
+
+  /** Exact-phrase retrieval over positional postings: top-`k` docs per
+    * phrase ranked by occurrence count — the capability bag-of-words
+    * BM25 cannot express ("slow hash batch" as consecutive tokens, not
+    * three independent terms).
+    *
+    * Positional intersection WITHOUT per-adjacent-term self-joins: each
+    * matching token occurrence is mapped to the phrase start it would
+    * belong to (`base = pos − offset`), so a complete occurrence is
+    * exactly a (phrase, doc, base) group whose hit count equals the
+    * phrase length — n-token phrases cost the SAME single shuffle as
+    * 2-token ones, instead of n−1 join stages. Per (base, offset) at
+    * most one row exists (the token at base+offset either is the
+    * offset's term or is not), so `hits == plen` cannot over-count.
+    *
+    * Scale shape (the bm25TopK contract): phrase vocabulary pruned
+    * INSIDE the token array map-side before posexplode — the shuffle
+    * carries only occurrences of phrase terms; the (term, phrase,
+    * offset) table and per-phrase lengths are broadcast; final top-k
+    * docs per phrase via [[graft.plans.GroupedTopK]] bounded heaps.
+    * Counts are integers — no float determinism concerns.
+    *
+    * @param phrases (phrase_id: int, offset: int, term: string) — one row
+    *                per token position, offsets 0..len−1 unique per
+    *                phrase (see [[phraseFrame]]); broadcast-sized.
+    */
+  def phraseTopK(documents: DataFrame, phrases: DataFrame, k: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    val toked = documents.select(col("doc_id"),
+      TextAnalysis.toks(lower(col(textCol))).as("__t"))
+    val vocab = phrases.select("term").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val positions = toked
+      .select(col("doc_id"), posexplode(col("__t")).as(Seq("pos", "term")))
+      .filter(array_contains(typedlit(vocab), col("term")))
+    val plens = phrases.groupBy("phrase_id")
+      .agg(count(lit(1)).as("__plen"))
+    val scored = positions
+      .join(broadcast(phrases), "term")
+      .select(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("offset")).cast("long").as("base"))
+      .groupBy("phrase_id", "doc_id", "base")
+      .agg(count(lit(1)).as("__hits"))
+      .join(broadcast(plens), "phrase_id")
+      .filter(col("__hits") === col("__plen"))
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+    GroupedTopK.perKey(scored, "phrase_id",
+        Seq(("n_occurrences", false), ("doc_id", true)), k)
+      .select("phrase_id", "doc_id", "n_occurrences")
+  }
+
+  /** Literal phrases as a (phrase_id, offset, term) frame — helper. */
+  def phraseFrame(spark: SparkSession, ps: Seq[(Int, Seq[String])]): DataFrame = {
+    import spark.implicits._
+    ps.flatMap { case (id, terms) =>
+        terms.zipWithIndex.map { case (t, i) => (id, i, t) } }
+      .toDF("phrase_id", "offset", "term")
+  }
 }

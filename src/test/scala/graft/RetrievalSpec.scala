@@ -81,4 +81,62 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Retrieval.queryFrame(spark, queries)).orderBy("query_id", "doc_id").collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  // ---- phraseTopK ----
+
+  /** Naive reference: count exact consecutive-token matches per doc. */
+  private def refPhrase(corpus: Seq[(Long, String)],
+      ps: Seq[(Int, Seq[String])], k: Int): Seq[(Int, Long, Long)] =
+    ps.flatMap { case (pid, phrase) =>
+      corpus.flatMap { case (did, text) =>
+        val ts = text.trim.toLowerCase.split("\\s+").toSeq
+        val n = ts.sliding(phrase.length).count(_ == phrase)
+        if (n == 0) None else Some((pid, did, n.toLong))
+      }.sortBy { case (_, did, n) => (-n, did) }.take(k)
+    }
+
+  private val phraseDocs = Seq(
+    (0L, "table hash table hash join"),      // 2× "table hash", 1× "hash table"
+    (1L, "a a a a"),                         // overlapping "a a" ×3
+    (2L, "hash table hash"),                 // 1× "hash table hash" (repeated term)
+    (3L, "table join hash"),                 // terms present, never consecutive
+    (4L, "nothing relevant")).toDF("doc_id", "text")
+
+  private val phrases = Seq(
+    0 -> Seq("table", "hash"),
+    1 -> Seq("a", "a"),
+    2 -> Seq("hash", "table", "hash"))
+
+  test("phraseTopK matches the naive sliding-window reference") {
+    val got = Retrieval.phraseTopK(phraseDocs,
+        Retrieval.phraseFrame(spark, phrases), k = 10)
+      .as[(Int, Long, Long)].collect().toSeq
+      .sortBy { case (p, d, _) => (p, d) }
+    val want = refPhrase(phraseDocs.as[(Long, String)].collect().toSeq,
+        phrases, k = 10)
+      .sortBy { case (p, d, _) => (p, d) }
+    assert(got == want)
+    // the cases that break naive positional-join implementations:
+    assert(got.contains((0, 0L, 2L))) // two disjoint occurrences
+    assert(got.contains((1, 1L, 3L))) // overlapping occurrences all count
+    assert(got.contains((2, 2L, 1L))) // same term at two phrase offsets
+    assert(!got.exists(_._2 == 3L))   // co-occurrence without adjacency ≠ match
+  }
+
+  test("phraseTopK broadcasts the phrase table and bounds top-k") {
+    val df = Retrieval.phraseTopK(phraseDocs,
+      Retrieval.phraseFrame(spark, phrases), k = 1)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"))
+    assert(s.contains("ExactTopK") || s.contains("PartialTopK"))
+    assert(df.collect().groupBy(_.getInt(0)).forall(_._2.length <= 1))
+  }
+
+  test("phraseTopK is partitioning-invariant") {
+    val a = Retrieval.phraseTopK(phraseDocs.repartition(1),
+      Retrieval.phraseFrame(spark, phrases)).orderBy("phrase_id", "doc_id").collect()
+    val b = Retrieval.phraseTopK(phraseDocs.repartition(7),
+      Retrieval.phraseFrame(spark, phrases)).orderBy("phrase_id", "doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
 }
