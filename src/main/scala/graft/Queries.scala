@@ -395,18 +395,29 @@ object Queries {
       Some("""SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin)),
 
-    // ---- Q19: snowflake multi-join; dims broadcast, fact never re-shuffled ----
+    // ---- Q19: snowflake multi-join; dims broadcast, and lineitem revenue
+    // is PRE-AGGREGATED per (orderkey, region) BELOW the fact-fact join —
+    // the only shuffle that carries lineitem carries one row per
+    // (order, region), not one per line (~4× fewer rows, 2 columns of
+    // payload), and the partial agg combines map-side before even that.
+    // Decimal sums are exact and associative, so the re-grouped
+    // sum-of-sums is hash-identical to the single-level aggregate. ----
     QDef("q19_snowflake_revenue",
-      (s, d) => lineitem(s, d)
-        .join(broadcast(supplier(s, d)
-            .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-            .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
-            .select("s_suppkey", "r_name")),
-          col("l_suppkey") === col("s_suppkey"))
-        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("y"))
-        .agg(decSum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
-        .orderBy("r_name", "y"),
+      (s, d) => {
+        val dims = supplier(s, d)
+          .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .select("s_suppkey", "r_name")
+        val perOrder = lineitem(s, d)
+          .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("l_orderkey", "r_name")
+          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("__rev"))
+        perOrder
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("y"))
+          .agg(round(sum("__rev"), 2).cast("double").as("rev"))
+          .orderBy("r_name", "y")
+      },
       Some("""SELECT r_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
         |CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2) AS DOUBLE) AS rev
         |FROM region JOIN nation ON n_regionkey = r_regionkey
@@ -2921,10 +2932,19 @@ object Queries {
         |      (a, b) -> a + b) AS BIGINT) AS n_syllables
         |  FROM t)
         |SELECT doc_id, n_words, n_sentences, n_syllables,
-        |  ROUND(CAST((206835 * n_sentences * n_words
+        |  CASE WHEN n_words <= 600000
+        |        AND n_sentences * n_words <= 4000000000
+        |        AND n_syllables * n_sentences <= 5000000000
+        |  THEN ROUND(CAST((206835 * n_sentences * n_words
         |      - 1015 * n_words * n_words
         |      - 84600 * n_syllables * n_sentences) * 10 AS DOUBLE)
-        |    / CAST(n_sentences * n_words AS DOUBLE)) / 10000.0 AS flesch
+        |    / CAST(n_sentences * n_words AS DOUBLE)) / 10000.0
+        |  ELSE ROUND((CAST(206835 AS DOUBLE) / 1000.0
+        |      - CAST(1015 AS DOUBLE) / 1000.0 * CAST(n_words AS DOUBLE)
+        |        / CAST(n_sentences AS DOUBLE)
+        |      - CAST(846 AS DOUBLE) / 10.0 * CAST(n_syllables AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE)) * 10000.0) / 10000.0
+        |  END AS flesch
         |FROM c ORDER BY doc_id""".stripMargin)),
 
     // ---- Per-source corpus datasheet: map-side features, text dropped

@@ -72,7 +72,17 @@ object Tables {
     * writers may truncate string statistics, and Spark's footer fast-path
     * rejects such columns at runtime rather than silently using them. */
   def footerScan(spark: SparkSession, dir: String, name: String): DataFrame =
-    load(footerSession(spark), dir, name)
+    footerFrames.computeIfAbsent((spark, dir, name),
+      _ => load(footerSession(spark), dir, name))
+
+  /** Footer-scan frames memoized per (parent session, dir, table): a
+    * DataFrame is an immutable plan, safe to reuse across actions, and
+    * re-building one pays driver-side parquet schema inference every
+    * time — ~40 ms × 10 tables made the q24 metadata sweep cost like a
+    * data query. The memo holds plans, not data; entries die with the
+    * session. */
+  private val footerFrames =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   /** One footer-configured child per parent session. `newSession()` builds
     * its SQLConf from the shared SparkContext conf only, so runtime-set

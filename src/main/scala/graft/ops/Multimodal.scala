@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * Media ride through the engine as opaque `binary` columns with typed
   * metadata; decode/feature-extract runs batched inside `mapPartitions`
   * (one codec instance per partition, amortized init — the Scala analog
-  * of a batched pandas UDF). The actual codec is behind [[MediaCodec]]:
-  * this container has no image/audio libraries, so the default impl is a
-  * clearly-marked deterministic fake — the Spark-side plumbing (schema,
-  * partitioning, batch shape, null-safety) is real and tested, and a real
-  * JNI/JavaCV codec drops in without touching the plan.
+  * of a batched pandas UDF). Codecs sit behind [[MediaCodec]]:
+  * [[ImageIoCodec]] is a REAL image decoder on the JDK's built-in
+  * `javax.imageio` (PNG/JPEG/BMP/GIF — no external dependency);
+  * [[StubCodec]] is the deterministic fake for media the JDK cannot
+  * decode (audio/video — no codec libraries in this container) and for
+  * oracle-replayable synthetic fixtures. The Spark-side plumbing
+  * (schema, partitioning, batch shape, null-safety) is identical either
+  * way, so a JNI/JavaCV audio/video codec drops in without touching the
+  * plan.
   */
 object Multimodal {
 
@@ -30,6 +34,14 @@ object Multimodal {
     /** Re-encode the blob at (w, h); None = undecodable. */
     def resize(kind: String, bytes: Array[Byte], meta: MediaMeta,
         w: Int, h: Int): Option[(Array[Byte], MediaMeta)]
+    /** Decode to a w×h grayscale thumbnail — one luminance byte per
+      * pixel, row-major — the input [[perceptualHash]] consumes. The
+      * default derives it from [[resize]]'s byte payload (correct for
+      * codecs whose resize emits raw pixels, like [[StubCodec]]); a real
+      * image codec overrides with decode + luminance ([[ImageIoCodec]]). */
+    def pixels(kind: String, bytes: Array[Byte], meta: MediaMeta,
+        w: Int, h: Int): Option[Array[Byte]] =
+      resize(kind, bytes, meta, w, h).map(_._1)
   }
 
   /** STUB codec — deterministic fake standing in for a real decoder
@@ -57,6 +69,103 @@ object Multimodal {
       val out = Array.tabulate(w * h)(i => bytes(i % bytes.length))
       Some((out, meta.copy(width = w, height = h)))
     }
+  }
+
+  /** REAL image codec on the JDK's built-in `javax.imageio` readers and
+    * writers (PNG/JPEG/BMP/GIF/WBMP — no external dependency, so it runs
+    * on any executor JVM as-is). The Spark-side plumbing is identical to
+    * [[StubCodec]]'s: one serializable instance per partition inside
+    * `mapPartitions`, corrupt blobs are data (`None`), never exceptions.
+    *
+    * Determinism: scaling is an explicit integer box-average (source
+    * pixels partitioned into target cells, channel sums divided once) —
+    * NOT `Image.getScaledInstance`, whose toolkit pipeline is
+    * asynchronous and implementation-dependent — so identical bytes give
+    * identical thumbnails on every JVM, partition, and cluster size.
+    * Luminance is integer BT.601 ((299·R + 587·G + 114·B) / 1000). */
+  final class ImageIoCodec(featureDim: Int = 16) extends MediaCodec {
+    import java.awt.image.BufferedImage
+
+    private def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      if (bytes == null || bytes.length < 4) None
+      else try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None } // corrupt blob = data, not error
+
+    /** Integer box-average scale; `f` folds one source RGB into the cell
+      * accumulator triple. Upscale cells sample their top-left source
+      * pixel (x1 = x0+1 floor) — still deterministic. */
+    private def boxScale(img: BufferedImage, w: Int, h: Int)(
+        cell: (Long, Long, Long, Int) => Int): Array[Int] = {
+      val sw = img.getWidth; val sh = img.getHeight
+      val out = new Array[Int](w * h)
+      var ty = 0
+      while (ty < h) {
+        val y0 = ty * sh / h; val y1 = math.max(y0 + 1, (ty + 1) * sh / h)
+        var tx = 0
+        while (tx < w) {
+          val x0 = tx * sw / w; val x1 = math.max(x0 + 1, (tx + 1) * sw / w)
+          var r = 0L; var g = 0L; var b = 0L; var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              r += (rgb >> 16) & 0xff; g += (rgb >> 8) & 0xff; b += rgb & 0xff
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          out(ty * w + tx) = cell(r, g, b, n)
+          tx += 1
+        }
+        ty += 1
+      }
+      out
+    }
+
+    private def grayThumb(img: BufferedImage, w: Int, h: Int): Array[Byte] =
+      boxScale(img, w, h)((r, g, b, n) =>
+        ((299 * (r / n) + 587 * (g / n) + 114 * (b / n)) / 1000).toInt)
+        .map(_.toByte)
+
+    /** Features = normalized luminance histogram of a 16×16 thumbnail —
+      * scale/format-invariant enough for near-dup grouping, and cheap. */
+    def features(kind: String, bytes: Array[Byte], meta: MediaMeta): Option[Array[Float]] =
+      decode(bytes).map { img =>
+        val px = grayThumb(img, 16, 16)
+        val hist = new Array[Float](featureDim)
+        var i = 0
+        while (i < px.length) {
+          hist(((px(i) & 0xff) * featureDim) / 256) += 1f; i += 1
+        }
+        hist.map(_ / px.length)
+      }
+
+    /** Still images are one frame; timed media fall back to the duration
+      * rule (metadata-only — the contract [[sampleFrames]] plans by). */
+    def frameCount(meta: MediaMeta): Int =
+      if (meta.durationMs <= 0) 1 else (meta.durationMs / 1000L).toInt.max(1)
+
+    /** Real resize: decode → box-average RGB → re-encode PNG (lossless,
+      * and the JDK PNG writer is deterministic for a given raster). */
+    def resize(kind: String, bytes: Array[Byte], meta: MediaMeta,
+        w: Int, h: Int): Option[(Array[Byte], MediaMeta)] =
+      decode(bytes).flatMap { img =>
+        val scaled = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val rgb = boxScale(img, w, h)((r, g, b, n) =>
+          (((r / n).toInt & 0xff) << 16) | (((g / n).toInt & 0xff) << 8) |
+            ((b / n).toInt & 0xff))
+        scaled.setRGB(0, 0, w, h, rgb, 0, w)
+        val bos = new java.io.ByteArrayOutputStream()
+        if (!javax.imageio.ImageIO.write(scaled, "png", bos)) None
+        else Some((bos.toByteArray, meta.copy(format = "png", width = w, height = h)))
+      }
+
+    /** The honest phash path: decode + box-average + luminance. */
+    override def pixels(kind: String, bytes: Array[Byte], meta: MediaMeta,
+        w: Int, h: Int): Option[Array[Byte]] =
+      decode(bytes).map(grayThumb(_, w, h))
   }
 
   /** Batched feature extraction: repartition for even work distribution,
@@ -127,12 +236,14 @@ object Multimodal {
   def perceptualHash(media: Dataset[MediaRow], codec: MediaCodec,
       side: Int = 8): DataFrame = {
     import media.sparkSession.implicits._
-    resizeAll(media, codec, side, side).map { r =>
-      val px = r.bytes.map(b => (b & 0xff).toDouble)
-      val mean = px.sum / px.length
-      var h = 0L
-      px.zipWithIndex.foreach { case (p, i) => if (p > mean) h |= 1L << i }
-      (r.media_id, r.kind, h)
+    media.flatMap { r =>
+      codec.pixels(r.kind, r.bytes, r.meta, side, side).map { thumb =>
+        val px = thumb.map(b => (b & 0xff).toDouble)
+        val mean = px.sum / px.length
+        var h = 0L
+        px.zipWithIndex.foreach { case (p, i) => if (p > mean) h |= 1L << i }
+        (r.media_id, r.kind, h)
+      }
     }.toDF("media_id", "kind", "phash")
   }
 

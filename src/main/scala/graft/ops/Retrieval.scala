@@ -11,68 +11,144 @@ import graft.plans.GroupedTopK
   * extension, same family as TF-IDF at
   * [[graft.ops.TextAnalysis.tfidf]]).
   *
+  * Both rankers consume ONE shared intermediate — vocabulary-pruned
+  * positional postings ([[positionalPostings]]): (doc_id, dl, pos, term)
+  * for query/phrase terms only. BM25 derives (tf, dl) from it by a
+  * count-aggregate; exact-phrase intersects it by base position. Running
+  * both in one session through [[SharedIndex]] tokenizes the corpus ONCE
+  * (the postings are persisted; they are vocabulary-pruned, so their size
+  * is O(matching occurrences), never O(corpus) — cache-safe at 100 TB as
+  * long as the vocabulary honors the broadcast-size contract below).
+  *
   * Scale shape (100 TB corpus, a handful-to-thousands of queries):
-  *   - the query set is broadcast (it is tiny by construction); the
-  *     corpus is scanned ONCE and the explode is filtered to query
-  *     terms map-side BEFORE the (doc, term) aggregation, so the first
-  *     shuffle carries only matching postings, not the whole corpus
-  *     vocabulary;
+  *   - the query/phrase set is broadcast (it is tiny by construction, and
+  *     [[maxVocabTerms]] ENFORCES it — a million-term "query set" would
+  *     silently degrade the literal-array prune, so it is rejected, not
+  *     absorbed);
+  *   - the corpus is scanned ONCE and the token stream is filtered to
+  *     query terms map-side BEFORE the first shuffle, so the shuffle
+  *     carries only matching postings, not the corpus vocabulary;
   *   - document length and the corpus-wide average length are one
   *     map-side projection and a 1-row broadcast aggregate;
-  *   - per-term document frequency is a partial-agg over the already
-  *     query-pruned postings (grouping by term restricted to query
-  *     terms still counts every matching doc, so df is exact);
-  *   - the final top-k per query runs on [[graft.plans.GroupedTopK]] —
-  *     bounded map-side heaps prune to ≤ k rows per query per
-  *     partition before the shuffle.
+  *   - per-term document frequency is a window over the already
+  *     query-pruned postings (grouping by term restricted to query terms
+  *     still counts every matching doc, so df is exact);
+  *   - the final top-k per key runs on [[graft.plans.GroupedTopK]] —
+  *     bounded map-side heaps prune to ≤ k rows per key per partition
+  *     before the shuffle.
   *
-  * Determinism: per-term contributions are rounded to 6 dp before the
-  * per-(query, doc) sum and the summed score is rounded again, so the
-  * ranking is bit-stable across partitionings and engines; ties break
-  * on doc_id.
+  * Determinism: per-term BM25 contributions are rounded to 6 dp before
+  * the per-(query, doc) sum and the summed score is rounded again, so the
+  * ranking is bit-stable across partitionings and engines; ties break on
+  * doc_id. Phrase counts are integers — no float surface at all.
   */
 object Retrieval {
+
+  /** Hard cap on the distinct retrieval vocabulary (query terms + phrase
+    * tokens). The pruning strategy embeds the vocabulary as a broadcast
+    * literal array scanned per token — correct and fast for the
+    * "handful-to-thousands of queries" contract, quietly degrading if a
+    * caller feeds a corpus-sized term table. Enforced, not assumed: the
+    * driver-side collect is LIMIT-bounded so an oversized input fails
+    * with this contract named, never an OOM. */
+  val maxVocabTerms: Int = 10000
+
+  /** Driver-side distinct vocabulary of a 1-column term frame, honoring
+    * [[maxVocabTerms]]. For a literal frame (the common case: queries and
+    * phrases are built with [[queryFrame]]/[[phraseFrame]]) the optimized
+    * plan is a `LocalRelation` and the terms are read straight out of it
+    * — zero Spark jobs, which is most of the small-SF constant of a
+    * retrieval query. Anything else pays one LIMIT-bounded distinct. */
+  private[graft] def collectVocab(terms: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val vals: Seq[String] = terms.queryExecution.optimizedPlan match {
+      case lr: LocalRelation if lr.output.size == 1 =>
+        lr.data.map(_.getUTF8String(0).toString)
+      case _ =>
+        terms.distinct().limit(maxVocabTerms + 1).collect()
+          .map(_.getString(0)).toSeq
+    }
+    val distinct = vals.distinct
+    require(distinct.size <= maxVocabTerms,
+      s"retrieval vocabulary exceeds the broadcast-size contract " +
+        s"($maxVocabTerms distinct terms) — pre-aggregate or shard the " +
+        "query set instead of feeding a corpus-sized term table")
+    distinct.sorted
+  }
+
+  /** Corpus-wide document count and average token length — the 1-row
+    * broadcast side of BM25. One map-side projection + final aggregate. */
+  def corpusStats(documents: DataFrame, textCol: String = "text"): DataFrame =
+    documents.select(TextAnalysis.toks(lower(col(textCol))).as("__t"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(size(col("__t")).cast("double")).as("avgdl"))
+
+  /** Vocabulary-pruned positional postings: one row per occurrence of a
+    * vocabulary term — (doc_id, dl, pos, term). The single corpus-scan
+    * intermediate BOTH rankers consume.
+    *
+    * The prune happens INSIDE the token array, before the explode:
+    * tokens are zipped with their index and filtered by the literal
+    * vocabulary array in one projection, so non-matching tokens never
+    * become rows at all. Exploding first and filtering after computes
+    * the same thing, but hands the optimizer an attribute-rooted
+    * generator — `InferFiltersFromGenerate` then pushes a
+    * `size(tokens) > 0` guard BELOW the tokenize projection, inlining
+    * the tokenizer into the filter and running it twice per row (the
+    * rule only skips non-attribute generator inputs, SPARK-36715).
+    * `dl` rides along on every posting, so no doc-length join is ever
+    * needed — a separate length frame would re-tokenize the corpus as a
+    * second consumer. */
+  def positionalPostings(documents: DataFrame, vocab: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    val terms = vocab.distinct.sorted
+    require(terms.size <= maxVocabTerms,
+      s"retrieval vocabulary exceeds the broadcast-size contract ($maxVocabTerms)")
+    val pruned = filter(
+      transform(col("__t"), (t, i) => struct(i.as("pos"), t.as("term"))),
+      s => array_contains(typedlit(terms), s.getField("term")))
+    documents
+      .select(col("doc_id"), TextAnalysis.toks(lower(col(textCol))).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+        explode(pruned).as("__pt"))
+      .select(col("doc_id"), col("dl"),
+        col("__pt.pos").as("pos"), col("__pt.term").as("term"))
+  }
 
   /** Okapi BM25 (Lucene idf form: ln(1 + (N − df + ½)/(df + ½)), always
     * positive) top-`k` docs per query.
     *
     * @param queries (query_id: int, term: string) — one row per query term,
-    *                broadcast-sized by construction.
+    *                broadcast-sized by construction (enforced via
+    *                [[maxVocabTerms]]).
     */
   def bm25TopK(documents: DataFrame, queries: DataFrame, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75, textCol: String = "text"): DataFrame = {
-    // tokenize ONCE into a materialized column (lambda bodies don't CSE);
-    // dl rides along through the explode so no doc-length join is ever
-    // needed — the r8 shape joined postings back to a per-doc length
-    // frame on doc_id, which re-tokenized the corpus a second time AND
-    // re-exchanged every posting by doc_id. Both costs scale with the
-    // corpus, the fix with nothing.
-    val toked = documents.select(col("doc_id"),
-      TextAnalysis.toks(lower(col(textCol))).as("__t"))
-    val stats = toked.agg(count(lit(1)).as("n_docs"),
-      avg(size(col("__t")).cast("double")).as("avgdl"))
+    val vocab = collectVocab(queries.select("term"))
+    bm25FromPostings(positionalPostings(documents, vocab, textCol),
+      corpusStats(documents, textCol), queries, k, k1, b)
+  }
 
-    // prune INSIDE the token array before exploding: query terms are
-    // driver-collectable by the same broadcast-size contract the ANN
-    // ops use, so the membership test is a codegen'd literal-array scan
-    // per token and the explode emits only matching occurrences — at a
-    // 500k-token sf0.1 corpus that is a 10×+ row-volume cut before the
-    // first shuffle, and the ratio improves with corpus size
-    val terms = queries.select("term").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    val postings = toked
-      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
-        explode(filter(col("__t"),
-          t => array_contains(typedlit(terms), t))).as("term"))
-      // dl is functionally dependent on doc_id; max() is order-agnostic
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-
-    // per-term document frequency as a WINDOW over the postings pass —
-    // one row per (doc, term) exists, so count() over the term partition
-    // IS df. A separate groupBy("term") frame would re-evaluate the
-    // whole tokenize subtree as a second consumer; the window costs one
+  /** BM25 over a prebuilt postings frame (see [[positionalPostings]]) —
+    * the shared-index path. `postings` may carry a broader vocabulary
+    * than `queries` (phrase terms, other query sets): df is computed
+    * per term, and the broadcast join on the query terms restricts the
+    * output, so extra terms cost window work proportional to THEIR
+    * postings and nothing else. */
+  def bm25FromPostings(postings: DataFrame, stats: DataFrame,
+      queries: DataFrame, k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    // tf per (doc, term); dl is functionally dependent on doc_id so
+    // max() is order-agnostic. The `pos` column dies in this projection,
+    // before the shuffle.
+    val tfs = postings.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    // per-term document frequency as a WINDOW over the tf pass — one row
+    // per (doc, term) exists, so count() over the term partition IS df.
+    // A separate groupBy("term") frame would re-evaluate the whole
+    // tokenize subtree as a second consumer; the window costs one
     // exchange of the already query-pruned postings instead.
-    val scored = postings
+    val scored = tfs
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("term")))
       .crossJoin(broadcast(stats))
@@ -111,29 +187,25 @@ object Retrieval {
     * most one row exists (the token at base+offset either is the
     * offset's term or is not), so `hits == plen` cannot over-count.
     *
-    * Scale shape (the bm25TopK contract): phrase vocabulary pruned
-    * INSIDE the token array map-side before posexplode — the shuffle
-    * carries only occurrences of phrase terms; the (term, phrase,
-    * offset) table and per-phrase lengths are broadcast; final top-k
-    * docs per phrase via [[graft.plans.GroupedTopK]] bounded heaps.
-    * Counts are integers — no float determinism concerns.
-    *
     * @param phrases (phrase_id: int, offset: int, term: string) — one row
     *                per token position, offsets 0..len−1 unique per
-    *                phrase (see [[phraseFrame]]); broadcast-sized.
+    *                phrase (see [[phraseFrame]]); broadcast-sized
+    *                (enforced via [[maxVocabTerms]]).
     */
   def phraseTopK(documents: DataFrame, phrases: DataFrame, k: Int = 10,
       textCol: String = "text"): DataFrame = {
-    val toked = documents.select(col("doc_id"),
-      TextAnalysis.toks(lower(col(textCol))).as("__t"))
-    val vocab = phrases.select("term").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    val positions = toked
-      .select(col("doc_id"), posexplode(col("__t")).as(Seq("pos", "term")))
-      .filter(array_contains(typedlit(vocab), col("term")))
+    val vocab = collectVocab(phrases.select("term"))
+    phraseFromPostings(positionalPostings(documents, vocab, textCol),
+      phrases, k)
+  }
+
+  /** Exact-phrase top-k over a prebuilt postings frame — the shared-index
+    * path. Terms outside this phrase set die in the broadcast join. */
+  def phraseFromPostings(postings: DataFrame, phrases: DataFrame,
+      k: Int = 10): DataFrame = {
     val plens = phrases.groupBy("phrase_id")
       .agg(count(lit(1)).as("__plen"))
-    val scored = positions
+    val scored = postings
       .join(broadcast(phrases), "term")
       .select(col("phrase_id"), col("doc_id"),
         (col("pos") - col("offset")).cast("long").as("base"))
@@ -154,5 +226,39 @@ object Retrieval {
     ps.flatMap { case (id, terms) =>
         terms.zipWithIndex.map { case (t, i) => (id, i, t) } }
       .toDF("phrase_id", "offset", "term")
+  }
+
+  /** One corpus pass serving BOTH rankers: positional postings for the
+    * UNION vocabulary (query terms + phrase tokens) plus the 1-row
+    * corpus stats, persisted, so `bm25(...)` and `phrase(...)` in the
+    * same session tokenize the corpus exactly once between them.
+    *
+    * Cache safety at 100 TB: the persisted frame is vocabulary-pruned —
+    * its size is O(occurrences of the ≤ [[maxVocabTerms]] vocabulary
+    * terms), not O(corpus) — and MEMORY_AND_DISK spills rather than
+    * evicts under pressure. Call [[close]] when done. */
+  final class SharedIndex(documents: DataFrame, vocab: Seq[String],
+      textCol: String = "text") {
+    import org.apache.spark.storage.StorageLevel
+    val postings: DataFrame =
+      positionalPostings(documents, vocab, textCol)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats: DataFrame =
+      corpusStats(documents, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    def bm25(queries: DataFrame, k: Int = 10, k1: Double = 1.2,
+        b: Double = 0.75): DataFrame =
+      bm25FromPostings(postings, stats, queries, k, k1, b)
+    def phrase(phrases: DataFrame, k: Int = 10): DataFrame =
+      phraseFromPostings(postings, phrases, k)
+    def close(): Unit = { postings.unpersist(); stats.unpersist() }
+  }
+
+  object SharedIndex {
+    /** Build from the query + phrase tables themselves (union vocab). */
+    def apply(documents: DataFrame, queries: DataFrame, phrases: DataFrame,
+        textCol: String = "text"): SharedIndex =
+      new SharedIndex(documents,
+        (collectVocab(queries.select("term")) ++
+          collectVocab(phrases.select("term"))).distinct.sorted, textCol)
   }
 }

@@ -554,21 +554,40 @@ object TextAnalysis {
     // Flesch in EXACT integer space, divided once:
     //   206.835 − 1.015·w/s − 84.6·syl/w  =  N / (1000·s·w)
     //   N = 206835·s·w − 1015·w² − 84600·syl·s   (all BIGINT-exact)
-    // round(·, 4) = round(N·10/D)/10⁴ with D = s·w. N·10 ≤ ~2·10¹⁴ is
-    // exactly representable as a double, so BOTH engines divide the SAME
-    // two exact values and round the identical IEEE result at an INTEGER
-    // boundary — where k and k+0.5 are exactly representable and
-    // half-up/away-from-zero agree. The previous per-term double form
-    // diverged from DuckDB (decimal literals there, binary doubles here)
-    // on a 4-dp boundary row that first appeared at sf1.
-    counted.select(col("doc_id"), col("n_words"), col("n_sentences"),
-      col("n_syllables"),
-      (round(((lit(206835L) * col("n_sentences") * col("n_words")
+    // round(·, 4) = round(N·10/D)/10⁴ with D = s·w. While every integer
+    // term fits BIGINT and N·10 fits a double's 53-bit mantissa, BOTH
+    // engines divide the SAME two exact values and round the identical
+    // IEEE result at an INTEGER boundary — where k and k+0.5 are exactly
+    // representable and half-up/away-from-zero agree. The previous
+    // per-term double form diverged from DuckDB (decimal literals there,
+    // binary doubles here) on a 4-dp boundary row at sf1.
+    //
+    // The exactness precondition is ENFORCED, not assumed (r9 ADVICE):
+    // w ≤ 6·10⁵, s·w ≤ 4·10⁹, syl·s ≤ 5·10⁹ keep every term ≤ ~8.3·10¹⁴
+    // (so N·10 ≤ 2⁵³ and nothing near BIGINT range — Spark would wrap
+    // silently where DuckDB raises). A pathological doc beyond the bound
+    // falls back to the double form built from the IDENTICAL expression
+    // tree in both engines (double literals only — decimal literals were
+    // the original divergence), so the engines still agree there up to
+    // the usual 4-dp-boundary caveat the exact path exists to remove.
+    val exactOk = col("n_words") <= lit(600000L) &&
+      col("n_sentences") * col("n_words") <= lit(4000000000L) &&
+      col("n_syllables") * col("n_sentences") <= lit(5000000000L)
+    val exact =
+      round(((lit(206835L) * col("n_sentences") * col("n_words")
           - lit(1015L) * col("n_words") * col("n_words")
           - lit(84600L) * col("n_syllables") * col("n_sentences"))
           * lit(10L)).cast("double")
-        / (col("n_sentences") * col("n_words")).cast("double"))
-        / lit(10000.0)).as("flesch"))
+        / (col("n_sentences") * col("n_words")).cast("double")) / lit(10000.0)
+    val fallback =
+      round((lit(206835.0) / lit(1000.0)
+          - lit(1015.0) / lit(1000.0) * col("n_words").cast("double")
+            / col("n_sentences").cast("double")
+          - lit(846.0) / lit(10.0) * col("n_syllables").cast("double")
+            / col("n_words").cast("double")) * lit(10000.0)) / lit(10000.0)
+    counted.select(col("doc_id"), col("n_words"), col("n_sentences"),
+      col("n_syllables"),
+      when(exactOk, exact).otherwise(fallback).as("flesch"))
   }
 
   /** The Gopher required-stopword set (Rae et al. 2021 §A1.1.2): a doc

@@ -120,6 +120,91 @@ class ObsMultimodalSpec extends SparkSpec {
     rows.foreach(r => assert(again(r.media_id) == r.bytes.toSeq))
   }
 
+  // ---- real javax.imageio decode path (ImageIoCodec) ----
+
+  /** Deterministic tiny PNG: a smooth two-axis gradient (resize-stable,
+    * so a scaled re-encode phash-matches), inverted for odd seeds and
+    * phase-shifted by seed — structurally different images for different
+    * (seed % 2, seed / 2) and bit-identical bytes for equal seeds. */
+  private def makePng(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (x * 255 / w + y * 128 / h + (seed / 2) * 31) % 256
+      val v = if (seed % 2 == 0) g else 255 - g
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def mediaOf(rows: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    spark.createDataset(rows.map { case (id, b) =>
+      Multimodal.MediaRow(id, "image", b, Multimodal.MediaMeta("png", 0, 0, 0L)) })
+  }
+
+  test("ImageIoCodec really decodes PNGs: features ok, garbage flagged, " +
+      "partition-count invariant") {
+    val rows = (0L until 20L).map(i => i -> makePng(16, 16, i.toInt)) :+
+      (99L -> "this is not an image".getBytes("UTF-8"))
+    val codec = new Multimodal.ImageIoCodec()
+    val f1 = Multimodal.extractFeatures(mediaOf(rows), codec, partitions = 4)
+      .collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(mediaOf(rows), codec, partitions = 1)
+      .collect().sortBy(_.media_id)
+    assert(f1.count(_.ok) == 20 && !f1.find(_.media_id == 99L).get.ok)
+    f1.filter(_.ok).foreach { f =>
+      assert(f.features.length == 16)
+      assert(math.abs(f.features.sum - 1f) < 1e-5, "histogram must normalize")
+    }
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+  }
+
+  test("ImageIoCodec resize re-encodes a real PNG at the target size") {
+    val codec = new Multimodal.ImageIoCodec()
+    val resized = Multimodal.resizeAll(
+      mediaOf(Seq(1L -> makePng(32, 24, 3))), codec, w = 8, h = 8).collect().head
+    assert(resized.meta.width == 8 && resized.meta.height == 8)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.bytes))
+    assert(back != null && back.getWidth == 8 && back.getHeight == 8,
+      "resize output must itself be a decodable image")
+    // undecodable blobs pass through unchanged, never error the partition
+    val junk = Multimodal.resizeAll(
+      mediaOf(Seq(2L -> "junk".getBytes)), codec, 8, 8).collect().head
+    assert(junk.bytes.toSeq == "junk".getBytes.toSeq)
+  }
+
+  test("ImageIoCodec phash: identical bytes hamming 0, resized+re-encoded " +
+      "copy near, distinct image far, garbage dropped") {
+    val codec = new Multimodal.ImageIoCodec()
+    val base = makePng(32, 32, 1)
+    // a resized (48×48) re-encode of the same image — the classic
+    // near-dup a byte-hash can never catch
+    val resized = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+      val c = new Multimodal.ImageIoCodec()
+      c.resize("image", base, Multimodal.MediaMeta("png", 32, 32, 0), 48, 48).get._1
+    }
+    val other = makePng(32, 32, 2) // opposite gradient family — far in phash
+    val media = mediaOf(Seq(1L -> base, 2L -> base.clone(), 3L -> resized,
+      4L -> other, 5L -> "garbage not an image".getBytes))
+    val hashes = Multimodal.perceptualHash(media, codec)
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getAs[Long]("phash")).toMap
+    assert(!hs.contains(5L), "undecodable media must drop out of the hash frame")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hs(a) ^ hs(b))
+    assert(ham(1L, 2L) == 0, "identical bytes must collide exactly")
+    assert(ham(1L, 3L) <= 4, s"resized re-encode too far: ${ham(1L, 3L)}")
+    assert(ham(1L, 4L) > 8, s"distinct images too close: ${ham(1L, 4L)}")
+    // and the pigeonhole join finds the real-decode near-dups
+    val pairs = Multimodal.phashPairs(hashes, r = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
   test("multimodal: phash pigeonhole join equals brute force at r=1") {
     val docs = Tables.documents(spark, sf("sf0.001"))
     val media = Multimodal.syntheticMedia(spark, docs)

@@ -29,6 +29,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") ||
       p.split("SortMergeJoin").length - 1 <= 1,
       "more than the fact-fact join is sort-merge")
+    // lineitem revenue pre-aggregates per (orderkey, region) BELOW the
+    // orders join (whatever physical strategy the SF picks for it):
+    // in the optimized logical plan, an Aggregate grouped by l_orderkey
+    // must be a descendant of the Join on o_orderkey
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = Queries.all.find(_.name == "q19_snowflake_revenue").get
+      .fn(spark, sf("sf0.001")).queryExecution.optimizedPlan
+    val ordersJoins = plan.collect {
+      case j: Join if j.condition.exists(_.references.exists(
+        _.name == "o_orderkey")) => j
+    }
+    assert(ordersJoins.exists(_.collect {
+      case a: Aggregate if a.groupingExpressions.exists(
+        _.references.exists(_.name == "l_orderkey")) => a
+    }.nonEmpty), s"no per-order pre-aggregate below the orders join:\n$plan")
   }
 
   test("q13 top-k: TakeOrderedAndProject, no global sort") {

@@ -139,4 +139,59 @@ class RetrievalSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Retrieval.phraseFrame(spark, phrases)).orderBy("phrase_id", "doc_id").collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  // ---- shared index: one corpus pass for both rankers ----
+
+  test("SharedIndex results are identical to the direct rankers") {
+    val qf = Retrieval.queryFrame(spark, Seq(1 -> Seq("table", "join"),
+      2 -> Seq("hash", "nothing")))
+    val pf = Retrieval.phraseFrame(spark, phrases)
+    val idx = Retrieval.SharedIndex(phraseDocs, qf, pf)
+    try {
+      val bmShared = idx.bm25(qf).orderBy("query_id", "doc_id").collect().toSeq
+      val bmDirect = Retrieval.bm25TopK(phraseDocs, qf)
+        .orderBy("query_id", "doc_id").collect().toSeq
+      assert(bmShared == bmDirect)
+      val phShared = idx.phrase(pf).orderBy("phrase_id", "doc_id").collect().toSeq
+      val phDirect = Retrieval.phraseTopK(phraseDocs, pf)
+        .orderBy("phrase_id", "doc_id").collect().toSeq
+      assert(phShared == phDirect)
+    } finally idx.close()
+  }
+
+  test("SharedIndex plans read the cached postings — one tokenize subtree") {
+    val qf = Retrieval.queryFrame(spark, queries)
+    val pf = Retrieval.phraseFrame(spark, phrases)
+    val idx = Retrieval.SharedIndex(docs, qf, pf)
+    try {
+      idx.postings.count() // materialize the single corpus pass
+      for (df <- Seq(idx.bm25(qf), idx.phrase(pf))) {
+        val exec = df.queryExecution.executedPlan
+        // downstream plans consume the in-memory postings; the corpus
+        // tokenize (a live posexplode GenerateExec) runs in NEITHER
+        // consumer — it exists only inside the cached relation's build
+        // plan, which already ran once
+        assert(collectWithSubqueries(exec) {
+          case s if s.getClass.getSimpleName.startsWith("InMemoryTableScan") => s
+        }.nonEmpty, exec.toString)
+        assert(collectWithSubqueries(exec) {
+          case g: org.apache.spark.sql.execution.GenerateExec => g
+        }.isEmpty, exec.toString)
+      }
+    } finally idx.close()
+  }
+
+  test("vocabulary cap is enforced, not silently absorbed") {
+    import spark.implicits._
+    val big = spark.range(Retrieval.maxVocabTerms + 10)
+      .selectExpr("concat('t', id) AS term")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.collectVocab(big)
+    }
+    assert(e.getMessage.contains("broadcast-size contract"))
+    // literal frames short-circuit driver-side: no job, same cap
+    val okTerms = Retrieval.collectVocab(
+      Seq("b", "a", "b").toDF("term"))
+    assert(okTerms == Seq("a", "b"))
+  }
 }
