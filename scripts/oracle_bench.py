@@ -105,7 +105,9 @@ for name in probes:
 
 out = {
     "_meta": {
-        "sf_dir": sf_dir,
+        # absolute: a cwd-relative path (r9's "tmp/sf1") is not
+        # reproducible from the artifact alone
+        "sf_dir": str(Path(sf_dir).resolve()),
         "recorded_unix": int(time.time()),
         "load_avg": round(os.getloadavg()[0], 2),
         "duckdb": duckdb.__version__,

@@ -23,6 +23,25 @@ class ReadabilitySpec extends SparkSpec {
     assert(w1 == 5L && s1 == 1L && sy1 >= 20L && f1 < 0.0)
   }
 
+  test("pathological doc beyond the integer-exact bound takes the " +
+      "double fallback instead of overflowing") {
+    // 700k one-syllable words, one sentence: n_words > 600000 violates
+    // the exactness precondition (1015·w²·10 would pass 2^53), so the
+    // guard must route to the double form — same value the formula gives
+    val big = ("a " * 700000).trim
+    val got = TextAnalysis.readability(Seq((0L, big)).toDF("doc_id", "text"))
+      .collect().head
+    val w = got.getAs[Long]("n_words")
+    assert(w == 700000L && got.getAs[Long]("n_sentences") == 1L)
+    val expected = math.rint(
+      (206835.0 / 1000.0 - 1015.0 / 1000.0 * w / 1.0
+        - 846.0 / 10.0 * got.getAs[Long]("n_syllables").toDouble / w)
+        * 10000.0) / 10000.0
+    val f = got.getAs[Double]("flesch")
+    assert(!f.isNaN && !f.isInfinite)
+    assert(math.abs(f - expected) < 1e-9, s"$f vs $expected")
+  }
+
   test("simple prose scores higher than dense prose") {
     val docs = Seq(
       (0L, "I like to eat. You like to play. We all have fun."),

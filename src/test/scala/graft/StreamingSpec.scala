@@ -370,6 +370,98 @@ class StreamingSpec extends SparkSpec {
     assert(alarm2 && psi2 > 1.0, s"collapsed batch must alarm hard: $psi2")
   }
 
+  test("trending sink: crashed batch replays to identical final state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // downstream keyed by window start — the idempotence unit: a closed
+    // window arrives complete in one batch, so a replay after a crash
+    // overwrites the same key with the same rows
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    def run(crash: Boolean): Map[Timestamp, Seq[(String, Long)]] = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-trend-ckpt").toString
+      val state = scala.collection.mutable.Map[Timestamp, Seq[(String, Long)]]()
+      @volatile var failNext = false
+      val inner = EventStreams.trendingSink(2, df => {
+        val rows = df.collect().map(r =>
+          (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        // crash AFTER the top-k is computed, BEFORE the downstream
+        // effect lands — the replay window
+        if (failNext) { failNext = false; throw new RuntimeException("sink crash") }
+        rows.groupBy(_._1).foreach { case (w, rs) =>
+          state(w) = rs.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+      })
+      val in = MemoryStream[Doc]
+      def start() = EventStreams.trendingTerms(in.toDF(), window_ = "1 hour",
+          lateness = "10 minutes")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(inner).start()
+      val q1 = start()
+      try {
+        in.addData(
+          Doc(ts(10, 5), 1L, "spark spark flink"),
+          Doc(ts(10, 20), 2L, "spark duck duck duck"))
+        q1.processAllAvailable()
+        failNext = crash
+        in.addData(Doc(ts(12, 30), 3L, "later later words")) // closes 10:00
+        if (crash) intercept[Exception] { q1.processAllAvailable() }
+        else q1.processAllAvailable()
+      } finally q1.stop()
+      if (crash) { // restart from the SAME checkpoint: batch replays
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+      }
+      state.toMap
+    }
+    val clean = run(crash = false)
+    val replayed = run(crash = true)
+    assert(clean(ts(10, 0)) == Seq(("duck", 3L), ("spark", 3L)), clean)
+    assert(replayed == clean, s"crash replay diverged: $replayed vs $clean")
+  }
+
+  test("drift monitor sink: crashed batch replays once, keyed by batch id") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    def run(crash: Boolean): Map[Long, (Double, Boolean, Long)] = {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-drift-ckpt").toString
+      // batch_id IS the exactly-once marker: a replayed batch carries the
+      // same id, so the keyed upsert cannot double-report
+      val reports = scala.collection.mutable.Map[Long, (Double, Boolean, Long)]()
+      @volatile var failNext = false
+      val base = EventStreams.driftMonitorSink(ref, "v", lo = 0, hi = 100,
+        bins = 10, threshold = 0.25,
+        onReport = df => {
+          val r = df.collect().head
+          if (failNext) { failNext = false; throw new RuntimeException("sink crash") }
+          reports(r.getLong(0)) = (r.getAs[Double]("psi"),
+            r.getAs[Boolean]("alarm"), r.getAs[Long]("n_cur"))
+        })
+      val in = MemoryStream[(Long, Double)]
+      def start() = in.toDF().toDF("id", "v").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch(base).outputMode("append").start()
+      val q1 = start()
+      try {
+        in.addData((0 until 100).map(i => (1000L + i, i.toDouble)): _*)
+        q1.processAllAvailable()
+        failNext = crash
+        in.addData((0 until 100).map(i => (2000L + i, 5.0)): _*) // drifted batch
+        if (crash) intercept[Exception] { q1.processAllAvailable() }
+        else q1.processAllAvailable()
+      } finally q1.stop()
+      if (crash) {
+        val q2 = start()
+        try q2.processAllAvailable() finally q2.stop()
+      }
+      reports.toMap
+    }
+    val clean = run(crash = false)
+    val replayed = run(crash = true)
+    assert(clean.size == 2 && clean(1L)._2, s"drifted batch must alarm: $clean")
+    assert(replayed == clean, s"crash replay diverged: $replayed vs $clean")
+  }
+
   test("semantic dedup sink: cell state survives micro-batches and restarts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
