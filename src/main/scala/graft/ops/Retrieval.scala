@@ -84,36 +84,46 @@ object Retrieval {
         avg(size(col("__t")).cast("double")).as("avgdl"))
 
   /** Vocabulary-pruned positional postings: one row per occurrence of a
-    * vocabulary term — (doc_id, dl, pos, term). The single corpus-scan
-    * intermediate BOTH rankers consume.
+    * vocabulary term — (doc_id, dl, pos, term). The positional
+    * intermediate the phrase ranker (and the [[SharedIndex]]) consume.
     *
-    * The prune happens INSIDE the token array, before the explode:
-    * tokens are zipped with their index and filtered by the literal
-    * vocabulary array in one projection, so non-matching tokens never
-    * become rows at all. Exploding first and filtering after computes
-    * the same thing, but hands the optimizer an attribute-rooted
-    * generator — `InferFiltersFromGenerate` then pushes a
-    * `size(tokens) > 0` guard BELOW the tokenize projection, inlining
-    * the tokenizer into the filter and running it twice per row (the
-    * rule only skips non-attribute generator inputs, SPARK-36715).
-    * `dl` rides along on every posting, so no doc-length join is ever
-    * needed — a separate length frame would re-tokenize the corpus as a
-    * second consumer. */
+    * Shape, MEASURED at sf0.1 (r10): posexplode then filter. Pruning
+    * inside the array instead (zip each token with its index into a
+    * struct, filter, then explode — tried in r10 to dodge the
+    * `InferFiltersFromGenerate` tokenize duplication) allocates a second
+    * struct array per document and benched 0.23 s SLOWER per corpus pass
+    * than eating the duplicated `size(tokens) > 0` guard, whose
+    * re-tokenize costs ~0.08 s after codegen subexpression elimination.
+    * The generator streams; rows die in the fused filter before anything
+    * downstream. `dl` rides along on every posting, so no doc-length
+    * join is ever needed — a separate length frame would re-tokenize the
+    * corpus as a second consumer. */
   def positionalPostings(documents: DataFrame, vocab: Seq[String],
       textCol: String = "text"): DataFrame = {
     val terms = vocab.distinct.sorted
     require(terms.size <= maxVocabTerms,
       s"retrieval vocabulary exceeds the broadcast-size contract ($maxVocabTerms)")
-    val pruned = filter(
-      transform(col("__t"), (t, i) => struct(i.as("pos"), t.as("term"))),
-      s => array_contains(typedlit(terms), s.getField("term")))
     documents
       .select(col("doc_id"), TextAnalysis.toks(lower(col(textCol))).as("__t"))
       .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
-        explode(pruned).as("__pt"))
-      .select(col("doc_id"), col("dl"),
-        col("__pt.pos").as("pos"), col("__pt.term").as("term"))
+        posexplode(col("__t")).as(Seq("pos", "term")))
+      .filter(array_contains(typedlit(terms), col("term")))
   }
+
+  /** NON-positional occurrence rows — (doc_id, dl, term), one row per
+    * matching occurrence. What standalone BM25 consumes: without the
+    * position column the prune CAN live inside the token array (a plain
+    * string-array filter, no struct zip), which keeps the generator
+    * input a HOF expression, so `InferFiltersFromGenerate` leaves the
+    * tokenize alone (SPARK-36715) — one tokenizer run per row and no
+    * per-token struct allocation. */
+  private def occurrenceRows(documents: DataFrame, vocab: Seq[String],
+      textCol: String): DataFrame =
+    documents
+      .select(col("doc_id"), TextAnalysis.toks(lower(col(textCol))).as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+        explode(filter(col("__t"),
+          t => array_contains(typedlit(vocab), t))).as("term"))
 
   /** Okapi BM25 (Lucene idf form: ln(1 + (N − df + ½)/(df + ½)), always
     * positive) top-`k` docs per query.
@@ -125,16 +135,18 @@ object Retrieval {
   def bm25TopK(documents: DataFrame, queries: DataFrame, k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75, textCol: String = "text"): DataFrame = {
     val vocab = collectVocab(queries.select("term"))
-    bm25FromPostings(positionalPostings(documents, vocab, textCol),
+    bm25FromPostings(occurrenceRows(documents, vocab, textCol),
       corpusStats(documents, textCol), queries, k, k1, b)
   }
 
-  /** BM25 over a prebuilt postings frame (see [[positionalPostings]]) —
-    * the shared-index path. `postings` may carry a broader vocabulary
-    * than `queries` (phrase terms, other query sets): df is computed
-    * per term, and the broadcast join on the query terms restricts the
-    * output, so extra terms cost window work proportional to THEIR
-    * postings and nothing else. */
+  /** BM25 over a prebuilt occurrence frame — one row per matching
+    * occurrence, (doc_id, dl, term) at minimum; extra columns (pos)
+    * are ignored, so [[positionalPostings]] output (the shared-index
+    * path) and [[occurrenceRows]] both work. `postings` may carry a
+    * broader vocabulary than `queries` (phrase terms, other query
+    * sets): df is computed per term, and the broadcast join on the
+    * query terms restricts the output, so extra terms cost window work
+    * proportional to THEIR postings and nothing else. */
   def bm25FromPostings(postings: DataFrame, stats: DataFrame,
       queries: DataFrame, k: Int = 10, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
@@ -200,7 +212,16 @@ object Retrieval {
   }
 
   /** Exact-phrase top-k over a prebuilt postings frame — the shared-index
-    * path. Terms outside this phrase set die in the broadcast join. */
+    * path. Terms outside this phrase set die in the broadcast join.
+    *
+    * ONE exchange for both aggregation levels: the explicit repartition
+    * on (phrase_id, doc_id) — a SUBSET of the first grouping key and
+    * exactly the second — satisfies the clustering requirement of the
+    * per-(phrase, doc, base) count AND the per-(phrase, doc) occurrence
+    * count, so neither adds its own shuffle (the q08/q41 trick). Letting
+    * each groupBy plan independently costs two full exchanges of the
+    * same rows. Skew-safe: the key includes doc_id, so even a phrase
+    * matching the whole corpus spreads across every partition. */
   def phraseFromPostings(postings: DataFrame, phrases: DataFrame,
       k: Int = 10): DataFrame = {
     val plens = phrases.groupBy("phrase_id")
@@ -209,6 +230,7 @@ object Retrieval {
       .join(broadcast(phrases), "term")
       .select(col("phrase_id"), col("doc_id"),
         (col("pos") - col("offset")).cast("long").as("base"))
+      .repartition(col("phrase_id"), col("doc_id"))
       .groupBy("phrase_id", "doc_id", "base")
       .agg(count(lit(1)).as("__hits"))
       .join(broadcast(plens), "phrase_id")

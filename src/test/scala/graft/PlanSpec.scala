@@ -29,10 +29,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") ||
       p.split("SortMergeJoin").length - 1 <= 1,
       "more than the fact-fact join is sort-merge")
-    // lineitem revenue pre-aggregates per (orderkey, region) BELOW the
-    // orders join (whatever physical strategy the SF picks for it):
-    // in the optimized logical plan, an Aggregate grouped by l_orderkey
-    // must be a descendant of the Join on o_orderkey
+    // and NO pre-aggregate below the orders join: the r10 sf1 sweep
+    // measured every pre-agg variant SLOWER than the direct shape (see
+    // the q19 QDef comment) — this pin keeps the negative result from
+    // being silently re-introduced
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     val plan = Queries.all.find(_.name == "q19_snowflake_revenue").get
       .fn(spark, sf("sf0.001")).queryExecution.optimizedPlan
@@ -40,10 +40,10 @@ class PlanSpec extends SparkSpec {
       case j: Join if j.condition.exists(_.references.exists(
         _.name == "o_orderkey")) => j
     }
-    assert(ordersJoins.exists(_.collect {
-      case a: Aggregate if a.groupingExpressions.exists(
-        _.references.exists(_.name == "l_orderkey")) => a
-    }.nonEmpty), s"no per-order pre-aggregate below the orders join:\n$plan")
+    assert(ordersJoins.nonEmpty, s"orders join missing:\n$plan")
+    assert(!ordersJoins.exists(_.collect {
+      case a: Aggregate => a
+    }.nonEmpty), s"unexpected aggregate below the orders join:\n$plan")
   }
 
   test("q13 top-k: TakeOrderedAndProject, no global sort") {
