@@ -585,12 +585,24 @@ object Dedup {
     * collected to the driver (`depth·width` longs — ~1 MB at the default
     * eps, a control-plane artifact like the k-means centroids), and
     * probed as a single array-literal expression so hot shingles are cut
-    * BEFORE the exchange. CMS never underestimates, so every truly-hot
-    * shingle is cut; overestimates (bounded by eps·postings) may cut a
-    * cool shingle early — the same heuristic family as `maxDf` itself.
-    * The declared oracle query keeps `skewSafe = false` (bit-exact
-    * DuckDB replay); ContainmentSkewSpec pins that both modes agree when
-    * the sketch is collision-free at test scale. */
+    * BEFORE the exchange.
+    *
+    * The cut is NOISE-AWARE (r10 fix): CMS never underestimates, and
+    * overestimates are bounded by eps·N (N = total postings) w.h.p., so
+    * the prefilter drops a shingle only when `est > maxDf + eps·N` —
+    * which implies its TRUE df exceeds maxDf, i.e. the exact window
+    * prune downstream would discard it anyway. Both modes therefore
+    * compute the SAME result at every scale (up to the CMS δ ≈
+    * e^−depth failure probability). The r9 shape cut at `est > maxDf`
+    * directly; once eps·N crossed maxDf (~1M postings at the default
+    * eps — sf1 in this sandbox) collision noise false-dropped COOL
+    * shingles, silently shrinking denominators and shifting ratios
+    * (measured at sf1: 5477 vs 5320 pairs) — and the r9 sf10 "6×
+    * skewSafe win" was largely that drift computing less, not a real
+    * crossover. The corrected prefilter still kills genuine boilerplate
+    * (df ≫ maxDf + eps·N: the 10⁸-doc case it exists for) but now
+    * passes mid-frequency shingles through to the exact prune.
+    * ContainmentSkewSpec pins mode agreement AND the hot-shingle cut. */
   def containmentPairs(documents: DataFrame, k: Int = 3, tau: Double = 0.5,
       maxDf: Int = 100, textCol: String = "text",
       skewSafe: Boolean = false, cmsEps: Double = 1e-4,
@@ -644,7 +656,13 @@ object Dedup {
       val est = least((0 until cmsDepth).map(d =>
         element_at(cmsLit, (lit(d.toLong * width) + bucket(d, col("sh")))
           .cast("int") + 1)): _*)
-      post0.filter(est <= maxDf)
+      // noise-aware cut (see Scaladoc): est > maxDf + eps·N ⇒ true df >
+      // maxDf w.h.p. — only shingles the exact prune would drop anyway.
+      // N is free: each depth row of the sketch sums to the posting
+      // count, so read it off depth 0 driver-side.
+      val totalPostings = dense.view.slice(0, width.toInt).sum
+      val noiseFloor = math.ceil(cmsEps * totalPostings).toLong
+      post0.filter(est <= lit(maxDf.toLong + noiseFloor))
     }
     val post = prefiltered.repartition(col("sh"))
     // df prune as a WINDOW count over the sh-partitioning, not a

@@ -31,6 +31,21 @@ class ContainmentSkewSpec extends SparkSpec {
     assert(safe == exact, "CMS prefilter changed results on a collision-free corpus")
   }
 
+  test("noise-aware cut: collision-saturated sketch must NOT false-drop " +
+      "cool shingles (modes agree even when eps*N >> maxDf)") {
+    // cmsEps = 1.0 -> 64 buckets for thousands of distinct shingles:
+    // every bucket's counter dwarfs maxDf, so the r9 `est <= maxDf` cut
+    // dropped EVERYTHING cool (measured at sf1: 5477 vs 5320 pairs) —
+    // the noise-aware threshold (maxDf + eps*N) must keep agreement
+    val exact = Dedup.containmentPairs(corpus, k = 3, tau = 0.3, maxDf = 10)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    val saturated = Dedup.containmentPairs(corpus, k = 3, tau = 0.3,
+        maxDf = 10, skewSafe = true, cmsEps = 1.0)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    assert(saturated == exact,
+      "saturated CMS false-dropped cool shingles — noise floor not honored")
+  }
+
   test("CMS prefilter cuts hot postings before the exchange") {
     // the hot shingle appears in all 60 docs; with maxDf = 10 the
     // prefiltered posting table must not contain its hash at all
