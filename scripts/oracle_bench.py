@@ -40,6 +40,14 @@ if os.getloadavg()[0] > MAX_LOAD:
 
 con = duckdb.connect()
 con.execute(f"SET threads TO {os.cpu_count()}")
+# Big-SF hygiene (the sf10 recording died on a bad allocation without
+# these): cap resident memory below the host and give DuckDB a spill
+# directory so a heavy self-join degrades to disk instead of aborting
+# the whole recording.
+con.execute("SET memory_limit='96GB'")
+spill = os.environ.get("ORACLE_BENCH_SPILL", "/tmp/duckdb_spill")
+os.makedirs(spill, exist_ok=True)
+con.execute(f"SET temp_directory='{spill}'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     path = f"{sf_dir}/{t}.parquet"
@@ -51,12 +59,18 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.loads(Path(sql_path).read_text())
 times = {}
+errors = {}
 for name, sql in sorted(oracle.items()):
     runs = []
-    for _ in range(2):  # min of 2, same hygiene as graft.Bench
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        runs.append(time.perf_counter() - t0)
+    try:
+        for _ in range(2):  # min of 2, same hygiene as graft.Bench
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            runs.append(time.perf_counter() - t0)
+    except Exception as e:  # one pathological query must not kill the file
+        errors[name] = f"{type(e).__name__}: {e}"[:200]
+        print(f"[oracle_bench] {name} FAILED: {errors[name]}", file=sys.stderr)
+        continue
     times[name] = round(min(runs), 6)
 
 # A spike can also land MID-run (it did): check again before writing.
@@ -117,6 +131,7 @@ out = {
         "load_avg": load_at_gate,
         "duckdb": duckdb.__version__,
         "threads": os.cpu_count(),
+        "errors": errors,
     },
     "times": times,
 }

@@ -3369,6 +3369,44 @@ object Queries {
         |WHERE bit_count(xor(a.phash, b.phash)) <= 1
         |ORDER BY media_a, media_b""".stripMargin)),
 
+    // ---- REAL-decode perceptual hash: text bytes painted into genuine
+    // PNG blobs (syntheticPngMedia), decoded back through the JDK
+    // ImageIoCodec (real ImageIO.read, integer box-average 16×16 → 8×8,
+    // BT.601 luminance — identity on gray), hashed, pigeonhole-joined.
+    // The oracle cannot read PNG; it replays the pixel → 2×2 block
+    // floor-average → mean-threshold → bit chain from the TEXT, so the
+    // query is green only if the PNG encode→decode roundtrip is
+    // lossless and the codec arithmetic is exactly as documented — the
+    // real decode path sits inside the correctness gate, not just a
+    // spec. ----
+    QDef("mm_real_phash_dedup",
+      (s, d) => {
+        val media = Multimodal.syntheticPngMedia(s, documents(s, d))
+        Multimodal.phashPairs(
+            Multimodal.perceptualHash(media, new Multimodal.ImageIoCodec()))
+          .orderBy("media_a", "media_b")
+      },
+      Some("""WITH px AS (SELECT doc_id AS media_id,
+        |    [ascii(substr(text, ((i - 1) % length(text)) + 1, 1))
+        |     FOR i IN generate_series(1, 256)] AS p FROM documents),
+        |th AS (SELECT media_id,
+        |    [CAST((p[32*((j-1)//8) + 2*((j-1)%8) + 1]
+        |         + p[32*((j-1)//8) + 2*((j-1)%8) + 2]
+        |         + p[32*((j-1)//8) + 2*((j-1)%8) + 17]
+        |         + p[32*((j-1)//8) + 2*((j-1)%8) + 18]) // 4 AS BIGINT)
+        |     FOR j IN generate_series(1, 64)] AS t FROM px),
+        |h0 AS (SELECT media_id, list_reduce(
+        |    [CASE WHEN t[j] > list_reduce(t, (a, b) -> a + b) / 64.0
+        |       THEN CAST(1 AS HUGEINT) << (j - 1) ELSE CAST(0 AS HUGEINT) END
+        |     FOR j IN generate_series(1, 64)], (a, b) -> a + b) AS s FROM th),
+        |h AS (SELECT media_id, CAST(CASE WHEN s >= 9223372036854775808
+        |    THEN s - 18446744073709551616 ELSE s END AS BIGINT) AS phash FROM h0)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 1
+        |ORDER BY media_a, media_b""".stripMargin)),
+
     // Multimodal frame-sampling plumbing (relational half: metadata →
     // ragged frame explosion → stride filter). The codec stub's frame
     // counts are pure arithmetic on the synthetic metadata, so DuckDB

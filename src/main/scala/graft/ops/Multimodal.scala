@@ -290,6 +290,37 @@ object Multimodal {
       .filter(col("hamming") <= r)
   }
 
+  /** REAL-PNG synthetic media: each document's UTF-8 bytes painted as a
+    * `side`×`side` grayscale raster and encoded through the JDK PNG
+    * writer — genuine compressed image blobs (magic bytes, zlib
+    * streams, the works) whose PIXEL content is still pure arithmetic
+    * on the text. That makes the real decode path oracle-checkable: a
+    * SQL engine that cannot read PNG replays the pixel → thumbnail →
+    * hash chain from the text directly, so the query only matches if
+    * the PNG encode→decode roundtrip is lossless and the codec's
+    * box-average/luminance arithmetic is exactly as specified. Pixel
+    * (x, y) = text byte ((y·side + x) mod len), gray so BT.601
+    * luminance is the identity on the value. */
+  def syntheticPngMedia(spark: SparkSession, documents: DataFrame,
+      side: Int = 16): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val img = new java.awt.image.BufferedImage(side, side,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < side * side) {
+          val v = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xff
+          img.setRGB(i % side, i / side, (v << 16) | (v << 8) | v)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, "image", bos.toByteArray, MediaMeta("png", side, side, 0L))
+      }
+  }
+
   /** Build a synthetic media table from any text corpus (UTF-8 bytes as
     * blobs) — lets the plumbing be exercised against driver test data.
     * Audio durations vary by id (500 + (id mod 6)·1000 ms ⇒ frameCount
