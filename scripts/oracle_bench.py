@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Time every oracle SQL in DuckDB and write a per-query seconds file.
 
-Usage: oracle_bench.py <sf_dir> <oracle_sql.json> <out_json>
+Usage: oracle_bench.py <sf_dir> <oracle_sql.json> <out_json> [--one NAME]
 
 `graft.Bench` loads the committed output (scripts/oracle_times_<sf>.json)
 and stamps per-query Spark/DuckDB ratios into its JSON line, so a
@@ -14,13 +14,74 @@ a judge re-run. Regenerate whenever oracle SQL changes:
 
 (The oracle SQL dump is scale-independent; the timing SF dir is what
 matters and must match what Bench runs at.)
+
+Process model: every query runs in its OWN subprocess (`--one NAME`).
+This is not optional hygiene — at sf10 a single OOM-ing query poisons
+DuckDB's process-global allocator so thoroughly that even a fresh
+`duckdb.connect()` in the same process fails on a 2 KB allocation;
+every query after the first failure then "fails" spuriously. A child
+process takes the damage alone, the parent records the error in
+`_meta.errors`, and the remaining queries time in clean processes.
+Timing starts inside the child around `execute()` only, so interpreter
+and view-setup overhead never contaminates the numbers.
 """
-import json, os, sys, time
+import json, os, subprocess, sys, time
 from pathlib import Path
 
 import duckdb
 
 sf_dir, sql_path, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
+
+RUNS = 2  # min of N, same hygiene as graft.Bench
+
+
+def connect():
+    c = duckdb.connect()
+    c.execute(f"SET threads TO {os.cpu_count()}")
+    # cap below host RAM + give a spill dir so heavy self-joins degrade
+    # to disk where possible instead of aborting
+    c.execute(f"SET memory_limit='{os.environ.get('ORACLE_BENCH_MEM', '80GB')}'")
+    spill = os.environ.get("ORACLE_BENCH_SPILL", "/tmp/duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    c.execute(f"SET temp_directory='{spill}'")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        path = f"{sf_dir}/{t}.parquet"
+        # driver testdata is one file per table; Spark-written (e.g.
+        # tmp/sf1) is a directory of part files — glob in that case
+        if Path(path).is_dir():
+            path = f"{path}/*.parquet"
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return c
+
+
+# ---- child mode: time ONE query, print min seconds, exit ----
+if len(sys.argv) >= 6 and sys.argv[4] == "--one":
+    name = sys.argv[5]
+    sql = json.loads(Path(sql_path).read_text())[name]
+    con = connect()
+    runs = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        runs.append(time.perf_counter() - t0)
+    print(json.dumps({"sec": round(min(runs), 6)}))
+    sys.exit(0)
+
+
+def time_one(name):
+    """Run one query in a subprocess; (seconds, None) or (None, error)."""
+    r = subprocess.run(
+        [sys.executable, __file__, sf_dir, sql_path, out_path, "--one", name],
+        capture_output=True, text=True)
+    if r.returncode == 0:
+        try:
+            return json.loads(r.stdout.strip().splitlines()[-1])["sec"], None
+        except Exception:
+            return None, f"unparseable child output: {r.stdout[-200:]}"
+    err = (r.stderr.strip().splitlines() or ["killed"])[-1][:200]
+    return None, err
+
 
 # Quiet-host gate, same policy as graft.Bench: REFUSE to record times on
 # a loaded host (a load-20 spike once inflated a committed times file by
@@ -38,40 +99,16 @@ if os.getloadavg()[0] > MAX_LOAD:
     sys.exit(f"[oracle_bench] host still loaded after {MAX_WAIT}s — "
              "refusing to record a contaminated times file")
 
-con = duckdb.connect()
-con.execute(f"SET threads TO {os.cpu_count()}")
-# Big-SF hygiene (the sf10 recording died on a bad allocation without
-# these): cap resident memory below the host and give DuckDB a spill
-# directory so a heavy self-join degrades to disk instead of aborting
-# the whole recording.
-con.execute("SET memory_limit='96GB'")
-spill = os.environ.get("ORACLE_BENCH_SPILL", "/tmp/duckdb_spill")
-os.makedirs(spill, exist_ok=True)
-con.execute(f"SET temp_directory='{spill}'")
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    path = f"{sf_dir}/{t}.parquet"
-    # driver testdata is one file per table; Spark-written (e.g. tmp/sf1)
-    # is a directory of part files — glob in that case
-    if Path(path).is_dir():
-        path = f"{path}/*.parquet"
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
-
 oracle = json.loads(Path(sql_path).read_text())
 times = {}
 errors = {}
-for name, sql in sorted(oracle.items()):
-    runs = []
-    try:
-        for _ in range(2):  # min of 2, same hygiene as graft.Bench
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            runs.append(time.perf_counter() - t0)
-    except Exception as e:  # one pathological query must not kill the file
-        errors[name] = f"{type(e).__name__}: {e}"[:200]
-        print(f"[oracle_bench] {name} FAILED: {errors[name]}", file=sys.stderr)
-        continue
-    times[name] = round(min(runs), 6)
+for name in sorted(oracle):
+    sec, err = time_one(name)
+    if err is not None:
+        errors[name] = err
+        print(f"[oracle_bench] {name} FAILED: {err}", file=sys.stderr)
+    else:
+        times[name] = sec
 
 # A spike can also land MID-run (it did): check again before writing.
 # The check must be DECAY-AWARE: this script's own 32-thread run drives
@@ -98,24 +135,17 @@ load_at_gate = round(os.getloadavg()[0], 2)
 
 # Decay can't distinguish a transient external spike that ENDED mid-run
 # from our own (ended) work, so validate by reproducibility: replay the
-# largest sub-second queries once on the now-quiet host. A recorded time
-# a spike INFLATED (the dangerous direction — it flatters every
-# downstream vs_oracle ratio) replays much faster; a still-noisy host
-# replays much slower. Refuse on either.
+# largest sub-second queries once on the now-quiet host (each in its own
+# subprocess, same as the recording). A recorded time a spike INFLATED
+# (the dangerous direction — it flatters every downstream vs_oracle
+# ratio) replays much faster; a still-noisy host replays much slower.
+# Refuse on either.
 probes = [n for n, s in sorted(times.items(), key=lambda kv: -kv[1])
           if times[n] < 1.0][:3]
 for name in probes:
-    # min of 2, SAME hygiene as the recording loop: after the decay
-    # wait the host has idled for minutes and a single-shot replay
-    # absorbs CPU ramp-up / cold-state effects the recording never paid
-    # (measured 1.8× on an otherwise-idle host at sf1) — that is probe
-    # noise, not contamination
-    runs = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        con.execute(oracle[name]).fetchall()
-        runs.append(time.perf_counter() - t0)
-    replay = min(runs)
+    replay, err = time_one(name)
+    if err is not None:
+        sys.exit(f"[oracle_bench] probe {name} failed on replay: {err}")
     lo, hi = times[name] / 1.6 - 0.05, max(0.15, 1.6 * times[name])
     if not (lo <= replay <= hi):
         sys.exit(f"[oracle_bench] probe {name} replayed at {replay:.3f}s vs "
@@ -137,4 +167,5 @@ out = {
 }
 Path(out_path).write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
 print(f"wrote {out_path}: {len(times)} queries, "
-      f"total {sum(times.values()):.2f}s, load {out['_meta']['load_avg']}")
+      f"total {sum(times.values()):.2f}s, load {out['_meta']['load_avg']}, "
+      f"errors {len(errors)}")
