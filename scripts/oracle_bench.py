@@ -38,9 +38,12 @@ RUNS = 2  # min of N, same hygiene as graft.Bench
 def connect():
     c = duckdb.connect()
     c.execute(f"SET threads TO {os.cpu_count()}")
-    # cap below host RAM + give a spill dir so heavy self-joins degrade
-    # to disk where possible instead of aborting
-    c.execute(f"SET memory_limit='{os.environ.get('ORACLE_BENCH_MEM', '80GB')}'")
+    # DuckDB's own default (80% of RAM = 100 GB here) — set explicitly
+    # for reproducibility, NOT lower: an 80 GB trial run forced
+    # graph_pagerank at sf1 to spill (96.8 s → 293 s), unfairly
+    # penalizing the baseline. The spill dir keeps heavy self-joins
+    # degrading to disk where possible instead of aborting.
+    c.execute(f"SET memory_limit='{os.environ.get('ORACLE_BENCH_MEM', '100GB')}'")
     spill = os.environ.get("ORACLE_BENCH_SPILL", "/tmp/duckdb_spill")
     os.makedirs(spill, exist_ok=True)
     c.execute(f"SET temp_directory='{spill}'")
