@@ -2,10 +2,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark driver: times every declared query at the SF directory in
-  * `SPARK_GRAFT_SF_DIR` and prints one JSON line — also written whole to
-  * `bench_out.json` (`SPARK_GRAFT_BENCH_OUT`), because a stdout-tail
-  * capture truncates the line once the per-query map grows (it did, in
-  * round 5, destroying the Spark half of the artifact).
+  * `SPARK_GRAFT_SF_DIR`. Prints ONE compact JSON line sized to fit the
+  * driver's ~2 kB stdout-tail capture whole (headline scalars +
+  * vs_oracle + per-query seconds as a values array in query-name
+  * order); the full name-keyed artifact is written to `bench_out.json`
+  * (`SPARK_GRAFT_BENCH_OUT`) — a stdout-tail capture truncates that
+  * line once the per-query map grows (it did, rounds 5–10).
   *
   * Measurement hygiene (bench noise burned round 2 — see VERDICT.md):
   *  - untimed warmup actions initialize JVM/codegen/parquet/shuffle
@@ -44,6 +46,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // every f"...%.Nf" below builds JSON: a comma-decimal default locale
+    // would emit invalid JSON, so pin the root locale process-wide
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
@@ -121,6 +126,16 @@ object Bench {
     // load is re-sampled after every query, not only at the start: the r5
     // artifact was polluted by a spike that landed MID-run and the
     // start-only gate could not see it. `load_max` makes that visible.
+    // per-query hygiene (r10 verdict item 4): a 139-query pass in ONE
+    // JVM accumulates session state — persisted frames a query left
+    // behind (SharedIndex postings), localCheckpoint blocks from the CC
+    // rounds (freed only when the driver GC runs ContextCleaner) — and
+    // the sf10 full-suite read measurably higher than isolated per-op
+    // probes from the GC pressure. Between queries (never between the
+    // runs of one query — that would distort min-of-2): drop the cache,
+    // and nudge a GC so ContextCleaner releases dead checkpoint/shuffle
+    // state. Untimed. SPARK_GRAFT_NO_HYGIENE=1 restores the old packing.
+    val hygiene = !sys.env.contains("SPARK_GRAFT_NO_HYGIENE")
     def timedPass(): (Seq[(String, (Double, Double))], Double) = {
       var loadMax = load()
       val rs = selected.map { case (name, fn) =>
@@ -134,6 +149,7 @@ object Bench {
         drainListeners()
         loadMax = math.max(loadMax, load())
         val shuffleMb = (shuffleBytes.get() - s0) / 1e6 / runs
+        if (hygiene) { spark.catalog.clearCache(); System.gc() }
         // a query is failed only if EVERY run failed; one bad run must not
         // discard the other run's valid timing
         (name, times.filter(_ >= 0).minOption.getOrElse(-1.0), shuffleMb)
@@ -171,27 +187,43 @@ object Bench {
     // queries break; they remain visible as -1 in the per-query map
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val gateJson = f""","load_gate":{"threshold":$maxLoad%.1f,"initial":$initialLoad%.2f,"at_start":$loadAvg%.2f,"waited_sec":$waitedSec,"passed":$gatePassed,"during_max":$loadMax%.2f,"during_threshold":$duringMax%.1f,"during_clean":$duringClean,"attempts":$attempt}"""
-    val oracleJson = oracleTimes(sfDir) match {
-      case Some(times) =>
-        val matched = results.filter { case (k, (v, _)) => v >= 0 && times.contains(k) }
-        val oq = matched.map { case (k, _) => s"\"" + k + "\":" + times(k) }
-          .mkString("{", ",", "}")
-        val oTotal = matched.map { case (k, _) => times(k) }.sum
-        val mTotal = matched.map(_._2._1).sum
-        val ratio = if (oTotal > 0) mTotal / oTotal else -1.0
+    val oracleStats = oracleTimes(sfDir).map { times =>
+      val matched = results.filter { case (k, (v, _)) => v >= 0 && times.contains(k) }
+      val oq = matched.map { case (k, _) => s"\"" + k + "\":" + times(k) }
+        .mkString("{", ",", "}")
+      val oTotal = matched.map { case (k, _) => times(k) }.sum
+      val mTotal = matched.map(_._2._1).sum
+      val ratio = if (oTotal > 0) mTotal / oTotal else -1.0
+      (oq, oTotal, ratio)
+    }
+    val oracleJson = oracleStats match {
+      case Some((oq, oTotal, ratio)) =>
         f""","oracle":$oq,"oracle_total":$oTotal%.3f,"vs_oracle":$ratio%.2f"""
       case None => ""
     }
-    // field order matters for the DRIVER's artifact: it captures only the
-    // stdout TAIL, i.e. the END of this line survives truncation. The
-    // per-query map — the part the judge diffs round-over-round — goes
-    // LAST so it is what survives; headline scalars lead (they also
-    // appear in the durable file copy regardless).
     val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","load_avg":$loadAvg,"runs_per_query":$runs$gateJson$oracleJson,"shuffle_mb":$shJson,"queries":$qs}"""
-    println(line)
-    // durable copy: the driver's artifact captures only the stdout TAIL,
-    // and this line outgrew it in r5 — the per-query map was truncated
-    // away. A file survives whole regardless of the capture window.
+    // The DRIVER keeps only the last ~2 kB of stdout and tries to parse a
+    // JSON line out of it. The full line above is ~11 kB — the per-query
+    // NAME-keyed map alone can never fit (139 names are 2.2 kB before a
+    // single value) — so r5–r10 driver artifacts were all truncated
+    // mid-map. What stdout gets instead is a COMPLETE compact line
+    // (~1.3 kB, verified against the 2 kB window): headline scalars,
+    // the load gate verdict, vs_oracle, and every per-query time as a
+    // values ARRAY in query-NAME order ("q_order":"name_asc" — the name
+    // list is `SparkEntry.queries.keys.toSeq.sorted`, reconstructible
+    // from Queries.scala). The full name-keyed line goes to the durable
+    // file copy, committed per round as bench_r{N}_full.json.
+    val qv = results.map { case (_, (v, _)) => if (v < 0) "-1" else f"$v%.3f" }
+      .mkString("[", ",", "]")
+    val compactOracle = oracleStats match {
+      case Some((_, oTotal, ratio)) =>
+        f""","oracle_total":$oTotal%.3f,"vs_oracle":$ratio%.2f"""
+      case None => ""
+    }
+    val compact = f"""{"metric":"total","format":"compact","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"load_gate_passed":$gatePassed,"during_clean":$duringClean$compactOracle,"q_order":"name_asc","qv":$qv}"""
+    println(compact)
+    // durable copy: the full artifact survives whole in a file regardless
+    // of the driver's stdout capture window.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))

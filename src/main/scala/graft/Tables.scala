@@ -71,33 +71,48 @@ object Tables {
     * exact for COUNT(*) always; for MIN/MAX use numeric/date columns only —
     * writers may truncate string statistics, and Spark's footer fast-path
     * rejects such columns at runtime rather than silently using them. */
-  def footerScan(spark: SparkSession, dir: String, name: String): DataFrame =
-    footerFrames.computeIfAbsent((spark, dir, name),
-      _ => load(footerSession(spark), dir, name))
+  def footerScan(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val cache = footerState.synchronized {
+      var c = footerState.get(spark)
+      if (c == null) { c = new FooterCache(mkFooterSession(spark)); footerState.put(spark, c) }
+      c
+    }
+    cache.frames.computeIfAbsent((dir, name), _ => load(cache.session, dir, name))
+  }
 
   /** Footer-scan frames memoized per (parent session, dir, table): a
     * DataFrame is an immutable plan, safe to reuse across actions, and
     * re-building one pays driver-side parquet schema inference every
     * time — ~40 ms × 10 tables made the q24 metadata sweep cost like a
-    * data query. The memo holds plans, not data; entries die with the
-    * session. */
-  private val footerFrames =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    * data query. The memo holds plans, not data. The parent-session key
+    * is WEAK (and the cached values reference only the child session),
+    * so a stopped/dropped session's entries are collectable rather than
+    * pinned for the JVM lifetime.
+    *
+    * Staleness contract: the memoized plan captures the parquet FILE
+    * INDEX as of first use — a table directory rewritten mid-session is
+    * served stale by this path (exactly like Spark's own catalog cache).
+    * The driver's tables are written once per round, before any query
+    * runs; a caller that rewrites a dir mid-session must use a fresh
+    * session (or plain [[load]], which re-infers per call). */
+  private final class FooterCache(val session: SparkSession) {
+    val frames =
+      new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+  }
+  private val footerState =
+    new java.util.WeakHashMap[SparkSession, FooterCache]()
 
   /** One footer-configured child per parent session. `newSession()` builds
     * its SQLConf from the shared SparkContext conf only, so runtime-set
     * session confs do NOT carry over — copy the ones the footer path's
     * correctness depends on explicitly. */
-  private val footerSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
-  private def footerSession(parent: SparkSession): SparkSession =
-    footerSessions.computeIfAbsent(parent, p => {
-      val s = p.newSession()
-      // timeZone: timestamp rendering; nanosAsLong: events TIMESTAMP(NANOS)
-      Seq("spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong")
-        .foreach(k => p.conf.getOption(k).foreach(s.conf.set(k, _)))
-      s.conf.set("spark.sql.sources.useV1SourceList", "")
-      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-      s
-    })
+  private def mkFooterSession(parent: SparkSession): SparkSession = {
+    val s = parent.newSession()
+    // timeZone: timestamp rendering; nanosAsLong: events TIMESTAMP(NANOS)
+    Seq("spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong")
+      .foreach(k => parent.conf.getOption(k).foreach(s.conf.set(k, _)))
+    s.conf.set("spark.sql.sources.useV1SourceList", "")
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s
+  }
 }

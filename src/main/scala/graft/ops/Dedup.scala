@@ -603,10 +603,35 @@ object Dedup {
     * (df ≫ maxDf + eps·N: the 10⁸-doc case it exists for) but now
     * passes mid-frequency shingles through to the exact prune.
     * ContainmentSkewSpec pins mode agreement AND the hot-shingle cut. */
+  /** r11 pair-stage anatomy (measured at sf10, tmp/cprobe2_sf10.log +
+    * DuckDB df profile): posting build 0.44 s, window df prune 3.3 s —
+    * the other ~34 s of the 37 s probe was the PAIR tail: 126.6 M
+    * pair-stream rows aggregate to 113 M DISTINCT pairs (partial agg
+    * reduces only 10% — co-shingled pairs rarely repeat across
+    * partitions), of which 99.95% are noise a tau filter kills — but
+    * the old shape mirrored ALL of them first (226 M rows) and joined
+    * sizes AFTER, and that join silently flipped from broadcast-hash
+    * (sf1: 50 k sizes ≈ 1 MB) to sort-merge (sf10: 500 k ≈ 12 MB >
+    * the 10 MB threshold) — a full 226 M-row sort appearing exactly
+    * between sf1 and sf10 was the "14× wall for 10× data".
+    * Two candidate redesigns MEASURED AND REJECTED (kept in
+    * tools/ContainmentProbe): exact hot-shingle broadcast-anti prune
+    * (39.1 s vs 37.3 s — the window prune was never the cost) and
+    * SHUFFLE_HASH pair-join hints (60.6 s — hash build beats nothing
+    * when the SMJ sort rides the existing exchange).
+    * The shape that ships: join BOTH directions' n_sh onto the
+    * one-direction agg output (113 M rows, still in the agg's stage),
+    * filter `max(ca, cb) ≥ tau` THERE, and mirror only the survivors
+    * (~0.05%). The n_sh lookups broadcast when the corpus is small
+    * enough to know it is safe (footer-served `documents.count()` ≤
+    * `broadcastSizesMaxDocs`, 12 bytes/doc ⇒ ~200 MB at the 16 M
+    * default) and fall back to shuffled joins beyond — still early-
+    * filtered, never the post-mirror 2× volume. */
   def containmentPairs(documents: DataFrame, k: Int = 3, tau: Double = 0.5,
       maxDf: Int = 100, textCol: String = "text",
       skewSafe: Boolean = false, cmsEps: Double = 1e-4,
-      cmsDepth: Int = 4, cmsSeed: Int = 42): DataFrame = {
+      cmsDepth: Int = 4, cmsSeed: Int = 42,
+      broadcastSizesMaxDocs: Long = 16000000L): DataFrame = {
     // 60-bit md5 keys: the df count, prune join, and pair self-join all
     // shuffle 8-byte longs instead of k-word shingle strings (md5 is
     // shared with the DuckDB oracle, so counts stay value-checkable).
@@ -682,17 +707,33 @@ object Dedup {
       .join(kept.select(col("sh"), col("doc_id").as("doc_b")), "sh")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
-    oneDir.select(explode(array(
-        struct(col("doc_a"), col("doc_b"), col("shared")),
+    // n_sh for BOTH directions joined onto the one-direction agg, tau
+    // filtered BEFORE the mirror — 99.95% of aggregated pairs die here
+    // (see the Scaladoc anatomy). The n_sh table is 12 bytes/doc:
+    // broadcast it when the (footer-served, milliseconds) corpus count
+    // says it fits, else shuffled joins — never let the planner flip
+    // silently on a size estimate, which is how the 226 M-row SMJ sort
+    // appeared between sf1 and sf10.
+    val sizesA = sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_sh_a"))
+    val sizesB = sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_sh_b"))
+    val bcast = documents.count() <= broadcastSizesMaxDocs
+    val withSizes =
+      if (bcast) oneDir.join(broadcast(sizesA), "doc_a")
+        .join(broadcast(sizesB), "doc_b")
+      else oneDir.join(sizesA, "doc_a").join(sizesB, "doc_b")
+    withSizes
+      .withColumn("__ca", round(col("shared") / col("n_sh_a").cast("double"), 4))
+      .withColumn("__cb", round(col("shared") / col("n_sh_b").cast("double"), 4))
+      .filter(col("__ca") >= tau || col("__cb") >= tau)
+      .select(explode(array(
+        struct(col("doc_a"), col("doc_b"), col("shared"),
+          col("n_sh_a"), col("__ca").as("containment")),
         struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
-          col("shared")))).as("__p"))
+          col("shared"), col("n_sh_b").as("n_sh_a"),
+          col("__cb").as("containment")))).as("__p"))
       .select(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"),
-        col("__p.shared").as("shared"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_sh_a")),
-        "doc_a")
-      .withColumn("containment",
-        round(col("shared") / col("n_sh_a").cast("double"), 4))
+        col("__p.shared").as("shared"), col("__p.n_sh_a").as("n_sh_a"),
+        col("__p.containment").as("containment"))
       .filter(col("containment") >= tau)
-      .select("doc_a", "doc_b", "shared", "n_sh_a", "containment")
   }
 }

@@ -61,11 +61,14 @@ object Retrieval {
     * retrieval query. Anything else pays one LIMIT-bounded distinct. */
   private[graft] def collectVocab(terms: DataFrame): Seq[String] = {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    // null terms are dropped, not matched: a null can never equal a token,
+    // and letting one through NPEs here (getUTF8String / .sorted) with no
+    // mention of the actual problem
     val vals: Seq[String] = terms.queryExecution.optimizedPlan match {
       case lr: LocalRelation if lr.output.size == 1 =>
-        lr.data.map(_.getUTF8String(0).toString)
+        lr.data.flatMap(r => Option(r.getUTF8String(0)).map(_.toString))
       case _ =>
-        terms.distinct().limit(maxVocabTerms + 1).collect()
+        terms.na.drop().distinct().limit(maxVocabTerms + 1).collect()
           .map(_.getString(0)).toSeq
     }
     val distinct = vals.distinct
@@ -276,11 +279,22 @@ object Retrieval {
   }
 
   object SharedIndex {
-    /** Build from the query + phrase tables themselves (union vocab). */
+    /** Build from the query + phrase tables themselves (union vocab).
+      * The [[maxVocabTerms]] contract is on the UNION — two sets that
+      * individually pass can still exceed it combined; enforce here with
+      * the union named, so the failure points at the right knob instead
+      * of surfacing as a generic reject inside [[positionalPostings]]. */
     def apply(documents: DataFrame, queries: DataFrame, phrases: DataFrame,
-        textCol: String = "text"): SharedIndex =
-      new SharedIndex(documents,
-        (collectVocab(queries.select("term")) ++
-          collectVocab(phrases.select("term"))).distinct.sorted, textCol)
+        textCol: String = "text"): SharedIndex = {
+      val union = (collectVocab(queries.select("term")) ++
+        collectVocab(phrases.select("term"))).distinct.sorted
+      require(union.size <= maxVocabTerms,
+        s"shared retrieval vocabulary (query terms ∪ phrase tokens, " +
+          s"${union.size} distinct) exceeds the broadcast-size contract " +
+          s"($maxVocabTerms) — the cap applies to the UNION when sharing " +
+          "one index; shard the query/phrase sets or build per-ranker " +
+          "indexes (bm25TopK / phraseTopK) instead")
+      new SharedIndex(documents, union, textCol)
+    }
   }
 }

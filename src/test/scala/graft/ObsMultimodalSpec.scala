@@ -230,4 +230,150 @@ class ObsMultimodalSpec extends SparkSpec {
       Multimodal.perceptualHash(dup, new Multimodal.StubCodec())).collect()
     assert(dupPairs.exists(_.getLong(2) == 0L))
   }
+
+  // ---- real javax.sound.sampled decode path (AudioPcmCodec) ----
+
+  /** Deterministic 16-bit test waveform — distinct per seed. */
+  private def testWave(seed: Int, n: Int = 256): Array[Int] =
+    Array.tabulate(n)(i => (((i * 37 + seed * 101) % 201) - 100) * 64)
+
+  /** Encode samples as a genuine 16-bit LE PCM mono WAV blob. */
+  private def wavOf(samples: Array[Int], rate: Float = 8000f): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    encode(pcm, new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false),
+      samples.length, javax.sound.sampled.AudioFileFormat.Type.WAVE)
+  }
+
+  /** Same samples as a big-endian 16-bit AIFF — exercises endianness. */
+  private def aiffOf(samples: Array[Int], rate: Float = 8000f): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcm(2 * i) = ((v >> 8) & 0xff).toByte
+      pcm(2 * i + 1) = (v & 0xff).toByte
+    }
+    encode(pcm, new javax.sound.sampled.AudioFormat(rate, 16, 1, true, true),
+      samples.length, javax.sound.sampled.AudioFileFormat.Type.AIFF)
+  }
+
+  private def encode(pcm: Array[Byte], fmt: javax.sound.sampled.AudioFormat,
+      frames: Int, typ: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, typ, bos)
+    bos.toByteArray
+  }
+
+  private def audioMediaOf(rows: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    spark.createDataset(rows.map { case (id, b) =>
+      Multimodal.MediaRow(id, "audio", b, Multimodal.MediaMeta("wav", 0, 0, 0L)) })
+  }
+
+  test("AudioPcmCodec really decodes WAV: block energies exact, garbage " +
+      "flagged, partition-count invariant") {
+    val rows = (0L until 12L).map(i => i -> wavOf(testWave(i.toInt))) :+
+      (99L -> "this is not audio".getBytes("UTF-8"))
+    val codec = new Multimodal.AudioPcmCodec(8)
+    val f1 = Multimodal.extractFeatures(audioMediaOf(rows), codec, partitions = 4)
+      .collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(audioMediaOf(rows), codec, partitions = 1)
+      .collect().sortBy(_.media_id)
+    assert(f1.count(_.ok) == 12 && !f1.find(_.media_id == 99L).get.ok)
+    // exact arithmetic: block j = integer mean of |sample| over [32j, 32j+32)
+    val expect0 = (0 until 8).map { j =>
+      (testWave(0).slice(j * 32, (j + 1) * 32)
+        .map(v => math.abs(v.toLong)).sum / 32).toFloat
+    }
+    assert(f1.find(_.media_id == 0L).get.features.toSeq == expect0)
+    assert(f1.map(_.features.toSeq).toSeq == f2.map(_.features.toSeq).toSeq)
+  }
+
+  test("AudioPcmCodec format matrix: big-endian AIFF and 8-bit unsigned " +
+      "WAV decode consistently with 16-bit LE WAV") {
+    val s16 = testWave(3)
+    val codec = new Multimodal.AudioPcmCodec(8)
+    val meta = Multimodal.MediaMeta("wav", 0, 0, 0L)
+    val fWav = codec.features("audio", wavOf(s16), meta).get.toSeq
+    assert(codec.features("audio", aiffOf(s16), meta).get.toSeq == fWav,
+      "AIFF (big-endian) must decode to the same waveform")
+    // 8-bit unsigned: the top byte survives — expect energies of the
+    // byte-quantized waveform ((v >> 8) << 8), computed independently
+    val q = s16.map(v => (((v >> 8) + 128) & 0xff).toByte)
+    val wav8 = encode(q,
+      new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false),
+      q.length, javax.sound.sampled.AudioFileFormat.Type.WAVE)
+    val f8 = codec.features("audio", wav8, meta).get.toSeq
+    val expect8 = (0 until 8).map { j =>
+      (s16.slice(j * 32, (j + 1) * 32)
+        .map(v => math.abs((v >> 8).toLong << 8)).sum / 32).toFloat
+    }
+    assert(f8 == expect8)
+  }
+
+  test("AudioPcmCodec resize resamples to the target count and re-encodes " +
+      "a decodable WAV; junk passes through resizeAll") {
+    val codec = new Multimodal.AudioPcmCodec()
+    val resized = Multimodal.resizeAll(
+      audioMediaOf(Seq(1L -> wavOf(testWave(5)))), codec, w = 4, h = 3)
+      .collect().head
+    assert(resized.meta.format == "wav")
+    val back = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(resized.bytes))
+    assert(back.getFrameLength == 12L,
+      "resize output must itself be a decodable 12-sample WAV")
+    back.close()
+    val junk = Multimodal.resizeAll(
+      audioMediaOf(Seq(2L -> "junk".getBytes)), codec, 4, 3).collect().head
+    assert(junk.bytes.toSeq == "junk".getBytes.toSeq)
+  }
+
+  test("AudioPcmCodec phash: identical bytes collide, distinct audio far, " +
+      "garbage dropped; pigeonhole join finds the dup") {
+    val codec = new Multimodal.AudioPcmCodec()
+    val base = wavOf(testWave(1))
+    // small amplitude offset — near in block-energy space
+    val near = wavOf(testWave(1).map(v => v + 64))
+    val other = wavOf(testWave(2))
+    val media = audioMediaOf(Seq(1L -> base, 2L -> base.clone(),
+      3L -> near, 4L -> other, 5L -> "garbage not audio".getBytes))
+    val hashes = Multimodal.perceptualHash(media, codec)
+    val hs = hashes.collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("phash")).toMap
+    assert(!hs.contains(5L), "undecodable media must drop out of the hash frame")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(hs(a) ^ hs(b))
+    assert(ham(1L, 2L) == 0, "identical bytes must collide exactly")
+    assert(ham(1L, 3L) <= 8, s"offset copy too far: ${ham(1L, 3L)}")
+    assert(ham(1L, 4L) > 8, s"distinct audio too close: ${ham(1L, 4L)}")
+    val pairs = Multimodal.phashPairs(hashes, r = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("syntheticWavMedia: genuine RIFF blobs whose decode replays the " +
+      "text arithmetic; empty text is silence, not a drop") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello wav world"), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticWavMedia(spark, docs).collect()
+      .sortBy(_.media_id)
+    assert(media.forall(m =>
+      new String(m.bytes.take(4), "US-ASCII") == "RIFF"))
+    val codec = new Multimodal.AudioPcmCodec(8)
+    val meta = Multimodal.MediaMeta("wav", 0, 0, 0L)
+    val f1 = codec.features("audio", media(0).bytes, meta).get.toSeq
+    val b = "hello wav world".getBytes("UTF-8")
+    val expect = (0 until 8).map { j =>
+      ((j * 32 until (j + 1) * 32)
+        .map(i => math.abs(((b(i % b.length) & 0xff) - 128).toLong * 256))
+        .sum / 32).toFloat
+    }
+    assert(f1 == expect, "WAV roundtrip must be lossless on the samples")
+    val f2 = codec.features("audio", media(1).bytes, meta).get.toSeq
+    assert(f2 == Seq.fill(8)(0f), "empty text ⇒ silence ⇒ zero energies")
+  }
 }
