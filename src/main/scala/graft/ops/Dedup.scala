@@ -614,11 +614,19 @@ object Dedup {
     * (sf1: 50 k sizes ≈ 1 MB) to sort-merge (sf10: 500 k ≈ 12 MB >
     * the 10 MB threshold) — a full 226 M-row sort appearing exactly
     * between sf1 and sf10 was the "14× wall for 10× data".
-    * Two candidate redesigns MEASURED AND REJECTED (kept in
+    * Three candidate redesigns MEASURED AND REJECTED (probe harness in
     * tools/ContainmentProbe): exact hot-shingle broadcast-anti prune
-    * (39.1 s vs 37.3 s — the window prune was never the cost) and
+    * (39.1 s vs 37.3 s — the window prune was never the cost);
     * SHUFFLE_HASH pair-join hints (60.6 s — hash build beats nothing
-    * when the SMJ sort rides the existing exchange).
+    * when the SMJ sort rides the existing exchange); and the
+    * AllPairs/PPJoin df-ascending PREFIX FILTER (index only each doc's
+    * rarest ⌊(1−tau)·n⌋+1 shingles, verify candidates) — its candidate
+    * stream MEASURED LARGER than the full pair stream on this corpus
+    * (169 M prefix×full products vs 127 M unordered pairs at sf10,
+    * DuckDB profile): at tau = 0.3 prefixes keep 70% of every doc and
+    * the df distribution is too flat (avg df ≈ 10, no Zipf head) for
+    * rarest-first ordering to bite. Prefix filtering pays off at high
+    * tau on Zipfian corpora — not here, and not worth +3 exchanges.
     * The shape that ships: join BOTH directions' n_sh onto the
     * one-direction agg output (113 M rows, still in the agg's stage),
     * filter `max(ca, cb) ≥ tau` THERE, and mirror only the survivors

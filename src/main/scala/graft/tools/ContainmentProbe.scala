@@ -102,10 +102,46 @@ object ContainmentProbe {
       finish(kept, sizes, pairJoin)
     }
 
+    /** Current shape but the pair-agg key is ONE packed long
+      * ((doc_a << 32) | doc_b — ids must fit 32 bits): single-column
+      * long hash-agg fast path + 8 fewer key bytes per shuffled row. */
+    def packed(): DataFrame = {
+      val post = post0().repartition(col("sh"))
+      val kept = post
+        .withColumn("__df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+        .filter(col("__df") <= maxDf).drop("__df")
+      val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val oneDir = kept.select(col("sh"), col("doc_id").as("doc_a"))
+        .join(kept.select(col("sh"), col("doc_id").as("doc_b")), "sh")
+        .filter(col("doc_a") < col("doc_b"))
+        .select((shiftleft(col("doc_a"), 32) + col("doc_b")).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("shared"))
+        .select(shiftright(col("pk"), 32).as("doc_a"),
+          col("pk").bitwiseAND(lit(4294967295L)).as("doc_b"), col("shared"))
+      val sizesA = sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_sh_a"))
+      val sizesB = sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_sh_b"))
+      oneDir.join(broadcast(sizesA), "doc_a").join(broadcast(sizesB), "doc_b")
+        .withColumn("__ca", round(col("shared") / col("n_sh_a").cast("double"), 4))
+        .withColumn("__cb", round(col("shared") / col("n_sh_b").cast("double"), 4))
+        .filter(col("__ca") >= tau || col("__cb") >= tau)
+        .select(explode(array(
+          struct(col("doc_a"), col("doc_b"), col("shared"),
+            col("n_sh_a"), col("__ca").as("containment")),
+          struct(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+            col("shared"), col("n_sh_b").as("n_sh_a"),
+            col("__cb").as("containment")))).as("__p"))
+        .select(col("__p.doc_a").as("doc_a"), col("__p.doc_b").as("doc_b"),
+          col("__p.shared").as("shared"), col("__p.n_sh_a").as("n_sh_a"),
+          col("__p.containment").as("containment"))
+        .filter(col("containment") >= tau)
+    }
+
     def build(v: String): DataFrame = v match {
       case "current" => graft.ops.Dedup.containmentPairs(docs, k = k,
         tau = tau, maxDf = maxDf)
       case "old" => old()
+      case "packed" => packed()
       case "anti" => anti(hashHint = false)
       case "antihash" => anti(hashHint = true)
     }
@@ -136,10 +172,15 @@ object ContainmentProbe {
       .withColumn("__df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("sh")))
       .filter(col("__df") <= maxDf))
-    val hot = post.groupBy("sh").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDf).select("sh")
-    val tAntiPrune = stepTime(post.join(broadcast(hot), Seq("sh"), "left_anti"))
-    println(f"""{"metric":"containment_steps","sf":"$sfDir","post_build_sec":$tPost%.2f,"window_prune_sec":$tWindowPrune%.2f,"anti_prune_sec":$tAntiPrune%.2f}""")
+    val keptS = post
+      .withColumn("__df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .filter(col("__df") <= maxDf).drop("__df")
+    val tOneDir = stepTime(keptS.select(col("sh"), col("doc_id").as("doc_a"))
+      .join(keptS.select(col("sh"), col("doc_id").as("doc_b")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared")))
+    println(f"""{"metric":"containment_steps","sf":"$sfDir","post_build_sec":$tPost%.2f,"window_prune_sec":$tWindowPrune%.2f,"pair_agg_sec":$tOneDir%.2f}""")
     spark.stop()
   }
 }
