@@ -233,9 +233,18 @@ class ObsMultimodalSpec extends SparkSpec {
 
   // ---- real javax.sound.sampled decode path (AudioPcmCodec) ----
 
-  /** Deterministic 16-bit test waveform — distinct per seed. */
+  /** Deterministic 16-bit test waveform — 16-sample loud/quiet stripes
+    * (block energies sit FAR from the corpus mean, so the mean-threshold
+    * phash bits are decisive — a flat wave would put half the blocks at
+    * the mean and flip bits under any perturbation), stripe phase and
+    * jitter vary by seed: distinct seeds are far in phash space. */
   private def testWave(seed: Int, n: Int = 256): Array[Int] =
-    Array.tabulate(n)(i => (((i * 37 + seed * 101) % 201) - 100) * 64)
+    Array.tabulate(n) { i =>
+      val loud = ((i / 16) + seed) % 2 == 0
+      val base = if (loud) 4000 else 500
+      val jitter = ((i * 37 + seed * 101) % 201) - 100
+      (base + jitter) * (if (i % 2 == 0) 1 else -1)
+    }
 
   /** Encode samples as a genuine 16-bit LE PCM mono WAV blob. */
   private def wavOf(samples: Array[Int], rate: Float = 8000f): Array[Byte] = {
@@ -336,8 +345,10 @@ class ObsMultimodalSpec extends SparkSpec {
       "garbage dropped; pigeonhole join finds the dup") {
     val codec = new Multimodal.AudioPcmCodec()
     val base = wavOf(testWave(1))
-    // small amplitude offset — near in block-energy space
-    val near = wavOf(testWave(1).map(v => v + 64))
+    // slightly louder copy (uniform ~1.6% gain): block energies scale
+    // together, so bits-vs-mean barely move — near in phash space
+    // (a DC offset would NOT be near: |v| shifts asymmetrically)
+    val near = wavOf(testWave(1).map(v => v * 65 / 64))
     val other = wavOf(testWave(2))
     val media = audioMediaOf(Seq(1L -> base, 2L -> base.clone(),
       3L -> near, 4L -> other, 5L -> "garbage not audio".getBytes))
