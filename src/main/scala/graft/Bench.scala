@@ -76,14 +76,37 @@ object Bench {
     // non-skew-join partition, so the STATIC width must not undershoot).
     val shufflePartitions =
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    // Disk-footprint knobs for the big-SF probes (learned at sf100:
+    // graph_pagerank's und build died on local disk — uncompressed
+    // localCheckpoint blocks + lz4 shuffles exceeded the volume).
+    // rdd/checkpoint block compression is always on: it only touches
+    // materialized blocks (persist/localCheckpoint/reliable checkpoint),
+    // never the per-query shuffle path the sf0.1 timings compare across
+    // rounds. The shuffle IO codec stays lz4 (the measured default) and
+    // scales via env exactly like SPARK_GRAFT_SHUFFLE_PARTITIONS: zstd
+    // halves shuffle-file bytes for some CPU — the trade a real cluster
+    // makes when shuffle storage, not cores, is the binding constraint.
+    val ioCodec = sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.rdd.compress", "true")
+      .config("spark.checkpoint.compress", "true")
+      .config("spark.io.compression.codec", ioCodec)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CHECKPOINT_DIR switches every Materialize pin from
+    // localCheckpoint (executor-memory blocks) to RELIABLE compressed
+    // checkpoints — the 1000-executor configuration (Graph.pageRank's
+    // Scaladoc) and the big-SF survival knob on this box: at sf100 the
+    // und edge pin unrolled ~600 MB deserialized per partition × 32
+    // concurrent tasks through MemoryStore and OOM'd a 64 g heap, where
+    // the reliable path streams each partition straight to disk.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+      .foreach(d => spark.conf.set(graft.ops.Materialize.ConfKey, d))
     // Untimed warmup: JVM/codegen/parquet-driver init would otherwise be
     // charged to whichever query happens to run first.
     spark.range(1000000).selectExpr("sum(id * 2)").collect()

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph compute over edge DataFrames — the family next to
@@ -41,13 +42,25 @@ object Graph {
     * threshold every join shuffles — the 100 TB path.
     *
     * `checkpointEvery`: lazy chaining doubles the logical plan per
-    * iteration — fine at the default depth 5, but analysis/codegen time
-    * and stack depth blow up past ~20 — so ranks are MATERIALIZED every
-    * k iterations, truncating lineage exactly as
-    * [[Dedup.connectedComponents]] does per round. `checkpointDir`
-    * selects reliable `checkpoint()` over executor-local blocks
-    * (`localCheckpoint`): local blocks die with an executor, and on a
-    * 1000-executor run losing one mid-power-iteration kills the job. */
+    * iteration — fine analysis-wise to ~20 deep — but the REAL scale
+    * reason to materialize is SHUFFLE-FILE LIFETIME (learned at sf100,
+    * r11): every iteration's contribution exchange stays referenced by
+    * the lazy plan until the final action, so a 5-iteration run over a
+    * 1.2 B-edge list accumulated 43 GB of live shuffle files and died
+    * on disk. On a BIG graph (nodes > `broadcastNodes` — the same size
+    * signal the broadcast decision uses) the cadence is clamped to
+    * every 2 iterations and each materialization is followed by a
+    * driver-GC nudge: lineage truncation makes the superseded
+    * iterations' ShuffleDependencies unreachable, and ContextCleaner
+    * deletes their files WHILE the query runs — the same
+    * periodic-checkpoint discipline GraphX's Pregel documents. The
+    * ranks frame is O(nodes), so the extra materializations are noise
+    * next to any one edge pass; at small SF neither the clamp nor the
+    * GC runs (measured +2 s of pure GC wall on the 0.6 s sf0.1 query).
+    * `checkpointDir` selects reliable `checkpoint()` over executor-local
+    * blocks (`localCheckpoint`): local blocks die with an executor, and
+    * on a 1000-executor run losing one mid-power-iteration kills the
+    * job. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, damping: Double = 0.85,
       broadcastNodes: Long = 1000000L, checkpointEvery: Int = 8,
@@ -57,12 +70,34 @@ object Graph {
     // materialized once: every iteration joins against these, and the
     // lazy lineage would re-derive the upstream edge join per iteration
     // (the op is already eager — n below is an action — so this adds no
-    // extra job, it just pins the frame the loop reuses)
+    // extra job, it just pins the frame the loop reuses).
+    // PARTITIONED BY src BEFORE the checkpoint (r11): checkpoint
+    // preserves partitioning, so the per-iteration rank join and the
+    // degree aggregate both consume the edge list exchange-free — the
+    // single biggest shuffle (the full symmetrized edge list) happens
+    // once at build time and its files are GC-freed right after, instead
+    // of living inside the iteration plan for the whole query.
+    //
+    // ONE exchange, not two (r11, learned at sf100): `distinct()` hashes
+    // on (src, dst) and a `repartition(src)` after it is a SECOND full
+    // edge-sized exchange — and every shuffle in this build chain stays
+    // live until the materialize action completes, so at sf100 the
+    // distinct+repartition pair alone held ~30 GB of shuffle files the
+    // cleaner could not touch mid-job. Instead: repartition by src once,
+    // then dedupe with a window that NEEDS only src-clustering — the
+    // planner satisfies `Window.partitionBy("src")` with the existing
+    // hashpartitioning(src), so dedup costs an in-partition sort, zero
+    // extra exchange. Rows with equal (src, dst) are identical 2-column
+    // rows, so keep-first is deterministic whatever physical row wins.
+    val dedupW = Window.partitionBy("src").orderBy("dst")
     val und = materialize(edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct())
+      .repartition(col("src"))
+      .withColumn("_prev", lag("dst", 1).over(dedupW))
+      .filter(col("_prev").isNull || col("_prev") =!= col("dst"))
+      .drop("_prev"))
     val degs = materialize(und.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg")))
     val n = degs.count() // driver scalar
@@ -72,6 +107,16 @@ object Graph {
     if (n == 0) return degs.withColumn("rank", lit(0.0))
     val small = n <= broadcastNodes
     def maybeBc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // The shuffle-lifetime discipline below (frequent materialization +
+    // driver-GC nudges so ContextCleaner frees superseded shuffle files
+    // MID-query) earns its keep only when an edge pass is disk-scale —
+    // at small SF the same nudges are pure overhead (a full GC costs
+    // ~0.1-1 s; measured +2 s on the 0.6 s sf0.1 query when they ran
+    // unconditionally). Gate on the node-count scalar already in hand:
+    // the same size signal the broadcast decision uses.
+    val big = !small
+    val ckptEvery = if (big) math.min(checkpointEvery, 2) else checkpointEvery
+    if (big) System.gc() // release the und/degs build shuffles' files
     val base = (lit(1.0) - lit(damping)) / lit(n.toDouble)
     var ranks = degs.withColumn("rank", round(lit(1.0) / lit(n.toDouble), 6))
     for (i <- 1 to iters) {
@@ -86,8 +131,14 @@ object Graph {
             .as("rank"))
       // lineage truncation: without it the plan doubles per iteration
       // (rounding makes the materialized values bit-stable, so this
-      // cannot change the result — only the plan)
-      if (i % checkpointEvery == 0 && i < iters) ranks = materialize(ranks)
+      // cannot change the result — only the plan). The GC nudge is what
+      // actually RELEASES the superseded iterations' shuffle files
+      // mid-query (see the checkpointEvery Scaladoc) — ContextCleaner
+      // acts on reference collection, which needs a driver GC to happen.
+      if (i % ckptEvery == 0 && i < iters) {
+        ranks = materialize(ranks)
+        if (big) System.gc()
+      }
     }
     ranks
   }
