@@ -78,22 +78,25 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     // Disk-footprint knobs for the big-SF probes (learned at sf100:
     // graph_pagerank's und build died on local disk — uncompressed
-    // localCheckpoint blocks + lz4 shuffles exceeded the volume).
-    // rdd/checkpoint block compression is always on: it only touches
-    // materialized blocks (persist/localCheckpoint/reliable checkpoint),
-    // never the per-query shuffle path the sf0.1 timings compare across
-    // rounds. The shuffle IO codec stays lz4 (the measured default) and
-    // scales via env exactly like SPARK_GRAFT_SHUFFLE_PARTITIONS: zstd
+    // localCheckpoint blocks + lz4 shuffles exceeded the volume). All
+    // env-scaled like SPARK_GRAFT_SHUFFLE_PARTITIONS:
+    // SPARK_GRAFT_BLOCK_COMPRESS (default true) controls rdd +
+    // checkpoint block compression — A/B'd interleaved at sf0.1
+    // (71.1 s on vs 72.9 s off, per-query deltas within host noise)
+    // and required at sf100 (the uncompressed und pin alone was
+    // ~40 GB), so on is the default; SPARK_GRAFT_IO_CODEC=zstd
     // halves shuffle-file bytes for some CPU — the trade a real cluster
     // makes when shuffle storage, not cores, is the binding constraint.
     val ioCodec = sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4")
+    val blockCompress =
+      sys.env.getOrElse("SPARK_GRAFT_BLOCK_COMPRESS", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.rdd.compress", "true")
-      .config("spark.checkpoint.compress", "true")
+      .config("spark.rdd.compress", blockCompress)
+      .config("spark.checkpoint.compress", blockCompress)
       .config("spark.io.compression.codec", ioCodec)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

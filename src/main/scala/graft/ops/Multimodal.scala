@@ -187,15 +187,85 @@ object Multimodal {
     * — so identical bytes give identical features on every JVM,
     * partition, and cluster size, and a SQL engine can replay the whole
     * chain from synthetic PCM ([[syntheticWavMedia]]). */
+  /** Per-JVM cache of the `javax.sound.sampled` SPI providers (measured,
+    * r11): `AudioSystem.getAudioInputStream`/`write` re-resolve their
+    * providers on EVERY call through a synchronized static registry
+    * (JDK 17 `JDK13Services`), which (a) costs ~28 of the ~31 µs per
+    * decode and (b) serializes every executor task thread through one
+    * global lock — decode throughput measured NEGATIVE-scaling on 32
+    * threads (27 k op/s at 1 thread → 17 k aggregate at 32;
+    * `tools/AudioProbe`). Resolving the providers ONCE per JVM via the
+    * public `ServiceLoader` API and reusing the instances — exactly the
+    * singletons AudioSystem itself would hand every thread — removes
+    * both. The lazy vals live per executor JVM; provider instances are
+    * stateless parsers designed for concurrent use (AudioSystem shares
+    * them globally). Falls back to AudioSystem if the service loader
+    * sees no providers (exotic classloader layouts). */
+  private[graft] object AudioSpi {
+    import javax.sound.sampled.{AudioInputStream, AudioSystem}
+    import javax.sound.sampled.spi.{AudioFileReader, AudioFileWriter}
+    import scala.jdk.CollectionConverters._
+    /** Sampled-container readers only, WAVE first. Two measured reasons
+      * (jstack'd, `tools/AudioProbe`): (1) the JDK registers
+      * `SoftMidiAudioFileReader` — a MIDI-to-PCM SYNTH — as an audio
+      * reader, and its probe calls `MidiSystem.getSequence`, which
+      * re-runs the synchronized `JDK13Services` MIDI provider lookup
+      * (plus jar scanning) on EVERY blob: that lock, not the WAV parse,
+      * was ~28 of the ~31 µs per decode and serialized all 32 task
+      * threads (negative scaling: 27 k op/s at 1 thread → 13 k at 32).
+      * This codec's contract is integer-PCM WAV/AIFF/AU (Scaladoc) —
+      * a synth is not a decoder, so it is excluded, not merely
+      * deprioritized. (2) WAVE ordered first spares two
+      * fillInStackTrace'd probe exceptions per blob on the dominant
+      * container. */
+    lazy val readers: Vector[AudioFileReader] =
+      java.util.ServiceLoader
+        .load(classOf[AudioFileReader], classOf[AudioFileReader].getClassLoader)
+        .iterator().asScala.toVector
+        .filterNot(_.getClass.getName.toLowerCase.contains("midi"))
+        .sortBy(r => if (r.getClass.getName.toLowerCase.contains("wave")) 0 else 1)
+    lazy val writers: Vector[AudioFileWriter] =
+      java.util.ServiceLoader
+        .load(classOf[AudioFileWriter], classOf[AudioFileWriter].getClassLoader)
+        .iterator().asScala.toVector
+
+    /** AudioSystem.getAudioInputStream minus the per-call registry scan:
+      * try each cached reader; the SPI contract requires a failing
+      * reader to reset the stream (ByteArrayInputStream marks at 0, so
+      * the defensive reset is total either way). Throws
+      * UnsupportedAudioFileException like the original. */
+    def read(bytes: Array[Byte]): AudioInputStream = {
+      val in = new java.io.ByteArrayInputStream(bytes)
+      if (readers.isEmpty) return AudioSystem.getAudioInputStream(in)
+      readers.foreach { r =>
+        try return r.getAudioInputStream(in)
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException =>
+            in.reset()
+        }
+      }
+      throw new javax.sound.sampled.UnsupportedAudioFileException(
+        "no cached provider accepts the stream")
+    }
+
+    /** AudioSystem.write for WAVE minus the per-call registry scan. */
+    def writeWave(ais: AudioInputStream, out: java.io.OutputStream): Unit = {
+      val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      writers.find(_.isFileTypeSupported(t, ais)) match {
+        case Some(w) => w.write(ais, t, out)
+        case None => AudioSystem.write(ais, t, out)
+      }
+    }
+  }
+
   final class AudioPcmCodec(featureDim: Int = 8) extends MediaCodec {
-    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFormat, AudioInputStream}
 
     /** Mono 16-bit-range samples + sample rate; None = undecodable. */
     private def samples(bytes: Array[Byte]): Option[(Array[Int], Float)] = {
       if (bytes == null || bytes.length < 12) return None
       try {
-        val ais = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val ais = AudioSpi.read(bytes)
         try {
           val fmt = ais.getFormat
           val enc = fmt.getEncoding
@@ -291,7 +361,7 @@ object Multimodal {
         val ais = new AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
         val bos = new java.io.ByteArrayOutputStream()
-        AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        AudioSpi.writeWave(ais, bos)
         Some((bos.toByteArray,
           meta.copy(format = "wav", width = w, height = h)))
       }
@@ -501,8 +571,7 @@ object Multimodal {
         val ais = new javax.sound.sampled.AudioInputStream(
           new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
         val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        AudioSpi.writeWave(ais, bos)
         MediaRow(id, "audio", bos.toByteArray,
           MediaMeta("wav", 0, 0, nSamples * 1000L / 8000L))
       }
