@@ -83,13 +83,42 @@ object Multimodal {
     * asynchronous and implementation-dependent — so identical bytes give
     * identical thumbnails on every JVM, partition, and cluster size.
     * Luminance is integer BT.601 ((299·R + 587·G + 114·B) / 1000). */
+  /** Memory-backed ImageIO streams (measured, r11 — `tools/ImageProbe`):
+    * `ImageIO.read(InputStream)` / `write(…, OutputStream)` route
+    * through `createImageInput/OutputStream`, which with the default
+    * `useCache = true` backs every call with a `FileCacheImage*Stream`
+    * — a TEMP FILE created, written, and deleted PER BLOB. Decode
+    * measured 65.7 µs/op with the file cache vs 12.1 µs memory-backed,
+    * and 32-thread aggregate 62 k vs 482 k op/s (the filesystem, not
+    * the PNG parse, was the cost AND the contention). Passing explicit
+    * `MemoryCacheImage*Stream`s fixes both withOUT mutating the
+    * JVM-global `ImageIO.setUseCache` flag — a library should not
+    * reconfigure ImageIO for its host process. Bytes are unchanged:
+    * the wrapper only decides where intermediate bits live. */
+  private[graft] object ImageMem {
+    def read(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // ImageIO.read(ImageInputStream) closes the stream itself on exit
+      // (unlike most ImageIO entry points), and a second close() throws
+      // IOException("closed") — swallow it so the belt-and-braces close
+      // for the exception path can't mask a successful decode.
+      try javax.imageio.ImageIO.read(iis)
+      finally try iis.close() catch { case _: java.io.IOException => () }
+    }
+    def writePng(img: java.awt.image.RenderedImage,
+        out: java.io.OutputStream): Boolean = {
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
+    }
+  }
+
   final class ImageIoCodec(featureDim: Int = 16) extends MediaCodec {
     import java.awt.image.BufferedImage
 
     private def decode(bytes: Array[Byte]): Option[BufferedImage] =
       if (bytes == null || bytes.length < 4) None
-      else try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(bytes)))
+      else try Option(ImageMem.read(bytes))
       catch { case _: Exception => None } // corrupt blob = data, not error
 
     /** Integer box-average scale; `f` folds one source RGB into the cell
@@ -158,7 +187,7 @@ object Multimodal {
             ((b / n).toInt & 0xff))
         scaled.setRGB(0, 0, w, h, rgb, 0, w)
         val bos = new java.io.ByteArrayOutputStream()
-        if (!javax.imageio.ImageIO.write(scaled, "png", bos)) None
+        if (!ImageMem.writePng(scaled, bos)) None
         else Some((bos.toByteArray, meta.copy(format = "png", width = w, height = h)))
       }
 
@@ -539,7 +568,7 @@ object Multimodal {
           i += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        ImageMem.writePng(img, bos)
         MediaRow(id, "image", bos.toByteArray, MediaMeta("png", side, side, 0L))
       }
   }
