@@ -387,4 +387,52 @@ class ObsMultimodalSpec extends SparkSpec {
     val f2 = codec.features("audio", media(1).bytes, meta).get.toSeq
     assert(f2 == Seq.fill(8)(0f), "empty text ⇒ silence ⇒ zero energies")
   }
+
+  test("AudioSpi provider cache: MIDI synth excluded, WAVE ordered first, " +
+      "cached read decodes what AudioSystem decodes") {
+    // the r11 contention fix rests on these three properties — pin them
+    // so a JDK provider-list change resurfaces loudly, not as a silent
+    // 9x slowdown (the MIDI synth's per-blob probe re-ran a synchronized
+    // registry lookup and serialized every executor thread; SCALE.md r11)
+    val names = Multimodal.AudioSpi.readers.map(_.getClass.getName.toLowerCase)
+    assert(names.nonEmpty, "JDK must provide sampled-audio readers")
+    assert(!names.exists(_.contains("midi")), s"synth must be excluded: $names")
+    assert(names.head.contains("wave"), s"WAVE first: $names")
+    val blob = {
+      import spark.implicits._
+      Multimodal.syntheticWavMedia(spark,
+        Seq((1L, "cached reader parity")).toDF("doc_id", "text"))
+        .collect().head.bytes
+    }
+    val a = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(blob)).readAllBytes().toSeq
+    val b = Multimodal.AudioSpi.read(blob).readAllBytes().toSeq
+    assert(a == b, "cached provider must hand back the same PCM bytes")
+  }
+
+  test("ImageMem: memory-backed read survives ImageIO's self-closing " +
+      "stream; write bytes identical to the OutputStream entry point") {
+    // ImageIO.read(ImageInputStream) closes the stream ITSELF — the
+    // first cut double-closed and turned every successful decode into
+    // None (3 tests red). Pin the roundtrip at the helper level too.
+    val img = new java.awt.image.BufferedImage(7, 5,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 5; x <- 0 until 7)
+      img.setRGB(x, y, (x * 40 + y) << 8)
+    val viaStream = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val viaMem = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(Multimodal.ImageMem.writePng(img, bos)); bos.toByteArray
+    }
+    assert(viaStream.toSeq == viaMem.toSeq,
+      "memory-backed writer must emit byte-identical PNGs")
+    val back = Multimodal.ImageMem.read(viaMem)
+    assert(back != null && back.getWidth == 7 && back.getHeight == 5)
+    assert((0 until 5).forall(y => (0 until 7).forall(x =>
+      (back.getRGB(x, y) & 0xffffff) == ((x * 40 + y) << 8))),
+      "PNG roundtrip through memory streams is lossless")
+  }
 }
