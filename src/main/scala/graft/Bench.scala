@@ -246,7 +246,15 @@ object Bench {
         f""","oracle_total":$oTotal%.3f,"vs_oracle":$ratio%.2f"""
       case None => ""
     }
-    val compact = f"""{"metric":"total","format":"compact","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"load_gate_passed":$gatePassed,"during_clean":$duringClean$compactOracle,"q_order":"name_asc","qv":$qv}"""
+    // `qv` aligns to the SELECTED set: when SPARK_GRAFT_ONLY subsets the
+    // run, reconstructing against the full sorted name list would silently
+    // misattribute every time — so a filtered run stamps q_filter with the
+    // selected names and a consumer must join on THOSE (r11 ADVICE).
+    val filterJson =
+      if (only.isEmpty) ""
+      else results.map(r => "\"" + r._1 + "\"")
+        .mkString(""","q_filter":[""", ",", "]")
+    val compact = f"""{"metric":"total","format":"compact","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"load_gate_passed":$gatePassed,"during_clean":$duringClean$compactOracle$filterJson,"q_order":"name_asc","qv":$qv}"""
     println(compact)
     // durable copy: the full artifact survives whole in a file regardless
     // of the driver's stdout capture window.

@@ -3045,7 +3045,11 @@ object Queries {
     // over the same pruned postings so the ratio is self-consistent. ----
     QDef("dedup_containment",
       (s, d) => Dedup.containmentPairs(documents(s, d), k = 3, tau = 0.3,
-        maxDf = 100).orderBy("doc_a", "doc_b"),
+        maxDf = 100,
+        // broadcast-gate count from parquet footer metadata, driver-side:
+        // zero extra Spark jobs on the declared path (r11 ADVICE)
+        corpusDocs = Some(Tables.footerRowCount(s, d, "documents")))
+        .orderBy("doc_a", "doc_b"),
       Some("""WITH tk AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
         |shs AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3

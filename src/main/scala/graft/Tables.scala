@@ -115,4 +115,33 @@ object Tables {
     s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     s
   }
+
+  /** Exact row count of table `name` read DRIVER-SIDE from parquet footer
+    * metadata — no Spark job at all (the [[footerScan]] path still launches
+    * a one-task job; this opens the footers directly). Use it for
+    * plan-construction decisions (broadcast gates, width sizing) where even
+    * a footer-served job per call is a visible cost on the SQL tab.
+    *
+    * Reads row-group metadata only: O(files) driver round trips, bytes
+    * read independent of table size — the same footers every scan's split
+    * planning already touches. Memoized per (dir, name) for the JVM: the
+    * value is one Long keyed by two Strings, and the driver's tables are
+    * written once per round (same staleness contract as [[footerScan]]). */
+  def footerRowCount(spark: SparkSession, dir: String, name: String): Long =
+    rowCountMemo.computeIfAbsent((dir, name), { _ =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = root.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(root).isFile) Array(fs.getFileStatus(root))
+        else fs.listStatus(root).filter(st => st.isFile &&
+          st.getPath.getName.endsWith(".parquet"))
+      files.map { st =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        try rd.getRecordCount finally rd.close()
+      }.sum
+    })
+  private val rowCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
 }

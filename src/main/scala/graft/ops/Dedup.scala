@@ -631,15 +631,19 @@ object Dedup {
     * one-direction agg output (113 M rows, still in the agg's stage),
     * filter `max(ca, cb) ≥ tau` THERE, and mirror only the survivors
     * (~0.05%). The n_sh lookups broadcast when the corpus is small
-    * enough to know it is safe (footer-served `documents.count()` ≤
+    * enough to know it is safe (`corpusDocs` hint ≤
     * `broadcastSizesMaxDocs`, 12 bytes/doc ⇒ ~200 MB at the 16 M
-    * default) and fall back to shuffled joins beyond — still early-
-    * filtered, never the post-mirror 2× volume. */
+    * default; the declared query serves the hint from parquet footer
+    * metadata at zero Spark jobs, and an unknown count falls back to
+    * one `documents.count()` job at plan-construction time) and fall
+    * back to shuffled joins beyond — still early-filtered, never the
+    * post-mirror 2× volume. */
   def containmentPairs(documents: DataFrame, k: Int = 3, tau: Double = 0.5,
       maxDf: Int = 100, textCol: String = "text",
       skewSafe: Boolean = false, cmsEps: Double = 1e-4,
       cmsDepth: Int = 4, cmsSeed: Int = 42,
-      broadcastSizesMaxDocs: Long = 16000000L): DataFrame = {
+      broadcastSizesMaxDocs: Long = 16000000L,
+      corpusDocs: Option[Long] = None): DataFrame = {
     // 60-bit md5 keys: the df count, prune join, and pair self-join all
     // shuffle 8-byte longs instead of k-word shingle strings (md5 is
     // shared with the DuckDB oracle, so counts stay value-checkable).
@@ -718,13 +722,18 @@ object Dedup {
     // n_sh for BOTH directions joined onto the one-direction agg, tau
     // filtered BEFORE the mirror — 99.95% of aggregated pairs die here
     // (see the Scaladoc anatomy). The n_sh table is 12 bytes/doc:
-    // broadcast it when the (footer-served, milliseconds) corpus count
-    // says it fits, else shuffled joins — never let the planner flip
-    // silently on a size estimate, which is how the 226 M-row SMJ sort
-    // appeared between sf1 and sf10.
+    // broadcast it when the corpus count says it fits, else shuffled
+    // joins — never let the planner flip silently on a size estimate,
+    // which is how the 226 M-row SMJ sort appeared between sf1 and sf10.
+    // The count comes from `corpusDocs` when the caller knows it (the
+    // declared query serves it from parquet footer metadata,
+    // Tables.footerRowCount — zero Spark jobs); ONLY when unknown does
+    // the gate fall back to counting `documents` here, which executes
+    // the input's upstream plan once at plan-construction time — a real
+    // side effect on derived inputs, so pass the hint when you can.
     val sizesA = sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_sh_a"))
     val sizesB = sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_sh_b"))
-    val bcast = documents.count() <= broadcastSizesMaxDocs
+    val bcast = corpusDocs.getOrElse(documents.count()) <= broadcastSizesMaxDocs
     val withSizes =
       if (bcast) oneDir.join(broadcast(sizesA), "doc_a")
         .join(broadcast(sizesB), "doc_b")

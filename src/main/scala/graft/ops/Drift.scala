@@ -159,31 +159,62 @@ object Drift {
     *
     * Scale shape: each side collapses to per-VALUE counts before any
     * wide operation (one shuffle keyed on the value, partial-aggregated
-    * map-side), so the ordered scan that takes running sums sees O(V)
-    * rows — V = distinct values, not row count. For genuinely continuous
-    * data V approaches N and the right move is to quantize first (the
-    * declared-bin [[psi]] is exactly that); KS earns its keep on
-    * discrete/integer-valued columns where V is bounded — there the
-    * single-partition cumulative window over V aggregated rows is noise,
-    * same class as the O(bins) PSI spine. */
+    * map-side), so the cumulative scan sees O(V) rows — V = distinct
+    * values, not row count. The running sums are the two-phase
+    * distributed form ([[Ids.stableIds]]'s pattern), NOT a global
+    * `Window.orderBy` — the window funnels every distinct value through
+    * ONE partition, which on a continuous column (V ≈ N) is a
+    * driver-class bottleneck at scale: range-repartition by `v`,
+    * cumulate WITHIN each sorted partition, and seed each partition
+    * with the driver-cumsum of the per-partition count totals (one pair
+    * of longs per partition crosses the driver). The cumulative values
+    * depend only on the total order of `v`, never on where the range
+    * boundaries fall, so the statistic is partitioning-invariant
+    * (DriftSpec pins this). For genuinely continuous data the
+    * declared-bin [[psi]] remains the cheaper quantized answer; this
+    * path just removes KS's scale cliff. */
   def ks(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
+    val spark = ref.sparkSession
     val v = col(valueCol).cast("double").as("v")
     val counted = ref.select(v).groupBy("v")
       .agg(count(lit(1)).as("r"), lit(0L).as("c"))
       .unionAll(cur.select(v).groupBy("v")
         .agg(lit(0L).as("r"), count(lit(1)).as("c")))
       .groupBy("v").agg(sum("r").as("n_r"), sum("c").as("n_c"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("v")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val cdf = counted.select(col("v"),
-      sum("n_r").over(w).as("cum_r"), sum("n_c").over(w).as("cum_c"))
-    val tot = counted.agg(sum("n_r").as("t_r"), sum("n_c").as("t_c"))
-    cdf.crossJoin(broadcast(tot))
+    // phase 1: range-exchange on v, sort within partitions, pin ONE
+    // materialization (the offsets pass and the scoring pass must see
+    // the same partitioning), then ship one (sum_r, sum_c) per partition
+    // to the driver for the exclusive prefix offsets.
+    val ranged = Materialize(counted.repartitionByRange(col("v"))
+      .sortWithinPartitions("v"))
+    val partials = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = 0L; var c = 0L
+      it.foreach { row => r += row.getLong(1); c += row.getLong(2) }
+      Iterator.single((pid, r, c))
+    }.collect().sortBy(_._1)
+    val offR = partials.map(_._2).scanLeft(0L)(_ + _)
+    val offC = partials.map(_._3).scanLeft(0L)(_ + _)
+    val tR = if (offR.isEmpty) 0L else offR.last
+    val tC = if (offC.isEmpty) 0L else offC.last
+    // phase 2: map-only cumulative sums with the partition offsets; only
+    // (cum_r, cum_c) survive — the max-|ΔCDF| reduction needs no order.
+    val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cum_r",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum_c",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val cdfRdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var r = offR(pid); var c = offC(pid)
+      it.map { row =>
+        r += row.getLong(1); c += row.getLong(2)
+        org.apache.spark.sql.Row(r, c)
+      }
+    }
+    spark.createDataFrame(cdfRdd, cdfSchema)
       .agg(
-        round(max(abs(col("cum_r") / col("t_r").cast("double")
-          - col("cum_c") / col("t_c").cast("double"))), 6).as("d_stat"),
-        max(col("t_r")).as("n_ref"), max(col("t_c")).as("n_cur"))
+        round(max(abs(col("cum_r") / lit(tR.toDouble)
+          - col("cum_c") / lit(tC.toDouble))), 6).as("d_stat"),
+        max(lit(tR)).as("n_ref"), max(lit(tC)).as("n_cur"))
   }
 
   /** Corpus snapshot diff — which documents were added, removed, or

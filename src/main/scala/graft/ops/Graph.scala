@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Spark conf that overrides [[pageRank]]'s `gcNudgeNodes` parameter —
+    * the no-code-change switch for operators sharing a driver (see the
+    * nudge-gate comment inside pageRank). Same conf-over-parameter
+    * pattern as [[Materialize.ConfKey]]. */
+  val GcNudgeConfKey = "graft.pagerank.gcNudgeNodes"
+
   /** PageRank over the UNDIRECTED graph induced by `edges` (symmetrized,
     * self-loops dropped, duplicate edges collapsed). Every node in the
     * edge list has degree ≥ 1, so there are no dangling nodes and the
@@ -121,7 +127,18 @@ object Graph {
     // real cluster the nudge runs on the small driver heap and is
     // cheap; the price is purely a local-mode artifact, but the bench
     // IS local, so the gate must respect it.
-    val big = n > gcNudgeNodes
+    // Operational escape hatch (r11 ADVICE): System.gc() is JVM-GLOBAL —
+    // in a shared driver serving concurrent queries the stop-the-world
+    // pause stalls unrelated work, and the call site may not be editable
+    // (a declared query, a notebook). The spark conf overrides the
+    // parameter without code changes; set it to Long.MaxValue (e.g.
+    // spark.conf.set(Graph.GcNudgeConfKey, "9223372036854775807")) to
+    // disable the nudges entirely, or lower it to force the disk-scale
+    // discipline on a smaller graph.
+    val nudgeLimit = edges.sparkSession.conf
+      .getOption(Graph.GcNudgeConfKey).map(_.trim.toLong)
+      .getOrElse(gcNudgeNodes)
+    val big = n > nudgeLimit
     val ckptEvery = if (big) math.min(checkpointEvery, 2) else checkpointEvery
     if (big) System.gc() // release the und/degs build shuffles' files
     val base = (lit(1.0) - lit(damping)) / lit(n.toDouble)

@@ -247,16 +247,63 @@ object Multimodal {
       * deprioritized. (2) WAVE ordered first spares two
       * fillInStackTrace'd probe exceptions per blob on the dominant
       * container. */
-    lazy val readers: Vector[AudioFileReader] =
-      java.util.ServiceLoader
-        .load(classOf[AudioFileReader], classOf[AudioFileReader].getClassLoader)
-        .iterator().asScala.toVector
-        .filterNot(_.getClass.getName.toLowerCase.contains("midi"))
-        .sortBy(r => if (r.getClass.getName.toLowerCase.contains("wave")) 0 else 1)
+    /** Providers from BOTH the system classloader (what AudioSystem's own
+      * JDK13Services resolves against — application-classpath SPIs land
+      * here) and the interface's loader (platform), deduped by class name
+      * in deterministic name order (r11 ADVICE: the old interface-loader-
+      * only load silently skipped app-classpath providers AudioSystem
+      * would have found). */
+    private def loadProviders[T](cls: Class[T]): Vector[T] = {
+      def from(cl: ClassLoader) =
+        java.util.ServiceLoader.load(cls, cl).iterator().asScala.toVector
+      (from(ClassLoader.getSystemClassLoader) ++ from(cls.getClassLoader))
+        .groupBy(_.getClass.getName).toVector.sortBy(_._1).map(_._2.head)
+    }
+
+    /** Minimal hand-rolled 16-bit mono RIFF/WAVE (8 samples of silence):
+      * the init-time BEHAVIOR probe for provider ordering — any real WAV
+      * reader accepts it; containers/synths reject it instantly. */
+    private lazy val canonicalWav: Array[Byte] = {
+      val dataLen = 16
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      bb.array()
+    }
+
+    /** Known synth-not-decoder providers excluded by EXACT class name in
+      * addition to the "midi" substring heuristic — substring matching
+      * alone is vendor-brittle (r11 ADVICE): a renamed synth would be
+      * re-included and re-introduce the per-blob global MIDI lock. The
+      * canonical-WAV probe below further demotes anything that does not
+      * behave like a WAV reader, so even an unlisted synth only ever gets
+      * probed AFTER every real reader rejected the blob. */
+    private val excludedReaders =
+      Set("com.sun.media.sound.SoftMidiAudioFileReader")
+
+    lazy val readers: Vector[AudioFileReader] = {
+      def lcName(r: AudioFileReader) =
+        r.getClass.getName.toLowerCase(java.util.Locale.ROOT)
+      def acceptsWav(r: AudioFileReader): Boolean =
+        try {
+          r.getAudioInputStream(
+            new java.io.ByteArrayInputStream(canonicalWav)).close(); true
+        } catch { case _: Exception => false }
+      loadProviders(classOf[AudioFileReader])
+        .filterNot(r => excludedReaders.contains(r.getClass.getName))
+        .filterNot(r => lcName(r).contains("midi"))
+        // behavior first (accepts canonical WAV), name heuristic as the
+        // stable tiebreak; probe runs once per JVM at init
+        .sortBy(r => (if (acceptsWav(r)) 0 else 1,
+          if (lcName(r).contains("wave")) 0 else 1))
+    }
     lazy val writers: Vector[AudioFileWriter] =
-      java.util.ServiceLoader
-        .load(classOf[AudioFileWriter], classOf[AudioFileWriter].getClassLoader)
-        .iterator().asScala.toVector
+      loadProviders(classOf[AudioFileWriter])
 
     /** AudioSystem.getAudioInputStream minus the per-call registry scan:
       * try each cached reader; the SPI contract requires a failing

@@ -46,6 +46,27 @@ class DriftSpec extends SparkSpec {
     assert(r.getAs[Double]("d_stat") == 0.5)
   }
 
+  test("KS is partitioning-invariant (two-phase CDF, no global window)") {
+    // the r11 fix: the cumulative sums come from range-repartition +
+    // per-partition offsets, so the statistic must be bit-identical
+    // under any input partitioning — including one row per partition
+    val ref = vals(1, 1, 2, 3, 5, 8, 13, 21, 34, 55)
+    val cur = vals(2, 3, 5, 7, 11, 13, 17, 19, 23, 29)
+    val base = Drift.ks(ref, cur, "x").collect().head
+    for (p <- Seq(1, 3, 10)) {
+      val r = Drift.ks(ref.repartition(p), cur.repartition(p), "x")
+        .collect().head
+      assert(r.getAs[Double]("d_stat") == base.getAs[Double]("d_stat"))
+      assert(r.getAs[Long]("n_ref") == 10L && r.getAs[Long]("n_cur") == 10L)
+    }
+    // and the plan really has no partition-less window: the analyzed
+    // plan must contain zero Window nodes at all
+    val plan = Drift.ks(ref, cur, "x").queryExecution.analyzed
+    assert(plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.isEmpty)
+  }
+
   test("empty current side reports quiet (psi 0, never NaN)") {
     // the streaming monitor's empty-micro-batch case: without the
     // zero-total guard, 0/0 = NaN propagates and NaN > threshold is true
