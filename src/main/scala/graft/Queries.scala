@@ -3537,6 +3537,46 @@ object Queries {
         |  FROM m)
         |ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // ---- REAL multi-frame decode (r12 — the frame-iteration half of
+    // the video stub closed via the one multi-frame container the JDK
+    // ships a codec for): text bytes painted into genuine ANIMATED GIFs
+    // of 1 + (doc_id mod 4) frames (syntheticGifMedia, 256-gray
+    // palette), then REAL frame iteration through the JDK GIF reader
+    // (ImageReader.getNumImages(true) + read(i) per frame) with each
+    // frame's integer mean luminance. The oracle cannot read GIF; it
+    // replays the frame → pixel → mean chain from the TEXT, so the
+    // query is green only if the GIF sequence encode→decode roundtrip
+    // is lossless, the decoded frame COUNT matches the declared
+    // arithmetic, and the box-average is exactly as documented — real
+    // multi-frame container decode sits inside the hash-match gate.
+    // True video bitstreams stay stubbed (JDK ships no codec); this
+    // exercises the same frameLumas seam a video codec would plug
+    // into. ----
+    QDef("mm_real_frame_sample",
+      (s, d) => {
+        val media = Multimodal.syntheticGifMedia(s, documents(s, d))
+        Multimodal.sampleFrameLuma(media, new Multimodal.ImageIoCodec(),
+            everyNth = 2)
+          .select(col("media_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("luma").cast("long").as("luma"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id, text,
+        |    1 + doc_id % 4 AS n FROM documents),
+        |fr AS (SELECT media_id, text, n,
+        |    unnest([f FOR f IN generate_series(0, n - 1) IF f % 2 = 0]) AS f
+        |  FROM m)
+        |SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN length(text) = 0 THEN 0
+        |    ELSE list_reduce(
+        |      [ascii(substr(text, ((f * 64 + i - 1) % length(text)) + 1, 1))
+        |       FOR i IN generate_series(1, 64)], (a, b) -> a + b) // 64
+        |    END AS BIGINT) AS luma
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin)),
+
     QDef("text_fingerprint",
       (s, d) => documents(s, d)
         .select(col("doc_id"), TextAnalysis.fingerprintPortable(col("text")).as("fp"))

@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   * (schema, partitioning, batch shape, null-safety) is identical either
   * way, so a JNI/JavaCV audio/video codec drops in without touching the
   * plan.
+  *
+  * Real-codec status: image (`javax.imageio`) and audio
+  * (`javax.sound.sampled`) decode are REAL; multi-frame container
+  * iteration is REAL via the JDK's animated-GIF reader
+  * ([[MediaCodec.frameLumas]] / [[syntheticGifMedia]]); only true video
+  * bitstreams (H.264 etc.) remain stubbed — the JDK ships no video
+  * codec, and the GIF path exercises the same frame-iteration plumbing
+  * a video codec would plug into.
   */
 object Multimodal {
 
@@ -42,6 +50,14 @@ object Multimodal {
     def pixels(kind: String, bytes: Array[Byte], meta: MediaMeta,
         w: Int, h: Int): Option[Array[Byte]] =
       resize(kind, bytes, meta, w, h).map(_._1)
+    /** DECODED per-frame mean luminance, one Int per frame — the real
+      * frame-iteration seam for multi-frame containers (animated GIF in
+      * [[ImageIoCodec]]; a video codec overrides the same method).
+      * Default: single-frame media are one frame whose luminance is the
+      * 1×1 thumbnail. None = undecodable. */
+    def frameLumas(kind: String, bytes: Array[Byte],
+        meta: MediaMeta): Option[Array[Int]] =
+      pixels(kind, bytes, meta, 1, 1).map(a => Array(a(0) & 0xff))
   }
 
   /** STUB codec — deterministic fake standing in for a real decoder
@@ -111,6 +127,24 @@ object Multimodal {
       val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
       try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
     }
+  }
+
+  /** Per-JVM cache of the GIF reader/writer SPIs (same rationale as
+    * [[AudioSpi]]: resolve the registry once, instantiate per call —
+    * ImageIO reader/writer INSTANCES are stateful and must not be
+    * shared across threads, but the SPIs are the registry singletons).
+    * GIF is the one multi-frame container the JDK ships a codec for —
+    * `ImageReader.read(frameIndex)` iterates genuine frames — which is
+    * what lets frame-level ops run a REAL decode path without external
+    * video libraries. */
+  private[graft] object GifSpi {
+    import scala.jdk.CollectionConverters._
+    lazy val readerSpi: Option[javax.imageio.spi.ImageReaderSpi] =
+      javax.imageio.ImageIO.getImageReadersByFormatName("gif").asScala
+        .toSeq.headOption.map(_.getOriginatingProvider)
+    lazy val writerSpi: Option[javax.imageio.spi.ImageWriterSpi] =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").asScala
+        .toSeq.headOption.map(_.getOriginatingProvider)
   }
 
   final class ImageIoCodec(featureDim: Int = 16) extends MediaCodec {
@@ -195,6 +229,43 @@ object Multimodal {
     override def pixels(kind: String, bytes: Array[Byte], meta: MediaMeta,
         w: Int, h: Int): Option[Array[Byte]] =
       decode(bytes).map(grayThumb(_, w, h))
+
+    /** REAL frame iteration for multi-frame GIF: open one reader on a
+      * memory-backed stream, `getNumImages(allowSearch = true)` for the
+      * genuine frame count, `read(i)` per frame, and each frame's mean
+      * luminance is the 1×1 [[boxScale]] cell (integer sum / pixel
+      * count; BT.601 is the identity on gray). Frames are read as the
+      * container STORES them (per-frame rasters), not composited
+      * against disposal methods — full-frame animations (every frame a
+      * complete raster, the synthetic fixtures and the common
+      * training-data case) decode exactly; delta-frame GIFs yield the
+      * stored deltas. Non-GIF formats fall back to the single-frame
+      * default. Corrupt blobs are data (`None`), never exceptions. */
+    override def frameLumas(kind: String, bytes: Array[Byte],
+        meta: MediaMeta): Option[Array[Int]] = {
+      if (bytes == null || bytes.length < 6) return None
+      val isGif = bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'
+      if (!isGif) return super.frameLumas(kind, bytes, meta)
+      GifSpi.readerSpi match {
+        case None => None // no GIF reader on this JVM — undecodable
+        case Some(spi) =>
+          val reader = spi.createReaderInstance()
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(iis, false, true)
+            val n = reader.getNumImages(true)
+            if (n <= 0) None
+            else Some(Array.tabulate(n) { i =>
+              grayThumb(reader.read(i), 1, 1)(0) & 0xff
+            })
+          } catch { case _: Exception => None }
+          finally {
+            reader.dispose()
+            try iis.close() catch { case _: java.io.IOException => () }
+          }
+      }
+    }
   }
 
   /** REAL audio codec on the JDK's built-in `javax.sound.sampled` readers
@@ -510,6 +581,29 @@ object Multimodal {
       .filter(col("frame_idx") % everyNth === 0)
   }
 
+  /** DECODED frame sampling: real per-frame decode through the codec's
+    * [[MediaCodec.frameLumas]] seam (multi-frame GIF iterates genuine
+    * container frames), one output row per kept frame with the frame's
+    * mean luminance and the DECODED frame count (not the metadata
+    * estimate [[sampleFrames]] plans by). Imperative decode stays in
+    * `mapPartitions` — one codec per partition, undecodable blobs
+    * dropped as data; the stride filter and everything downstream is
+    * relational. */
+  def sampleFrameLuma(media: Dataset[MediaRow], codec: MediaCodec,
+      everyNth: Int = 1): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        codec.frameLumas(r.kind, r.bytes, r.meta).iterator.flatMap { ls =>
+          ls.iterator.zipWithIndex.map { case (luma, f) =>
+            (r.media_id, r.kind, f, ls.length, luma)
+          }
+        }
+      }
+    }.toDF("media_id", "kind", "frame_idx", "n_frames", "luma")
+      .filter(col("frame_idx") % everyNth === 0)
+  }
+
   /** Perceptual hash per media row: resize to a `side`×`side` thumbnail
     * THROUGH the codec (the honest multimodal path — swap in a real
     * codec and nothing else changes), then one bit per pixel:
@@ -617,6 +711,56 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         ImageMem.writePng(img, bos)
         MediaRow(id, "image", bos.toByteArray, MediaMeta("png", side, side, 0L))
+      }
+  }
+
+  /** REAL multi-frame synthetic media: each document's UTF-8 bytes
+    * painted into an ANIMATED GIF of `1 + (doc_id mod 4)` frames, each
+    * frame a w×h grayscale raster with pixel p of frame f =
+    * byte((f·w·h + p) mod len) (empty text ⇒ black). Encoded through
+    * the JDK GIF writer's sequence API (`prepareWriteSequence` /
+    * `writeToSequence`) with an explicit 256-gray palette, so the
+    * palette round trip is lossless and a SQL engine that cannot read
+    * GIF replays the frame → pixel → mean-luminance chain from the
+    * text — genuine multi-frame container decode sits inside the
+    * hash-match correctness gate, the video-shaped twin of
+    * [[syntheticPngMedia]]/[[syntheticWavMedia]]. */
+  def syntheticGifMedia(spark: SparkSession, documents: DataFrame,
+      w: Int = 8, h: Int = 8): Dataset[MediaRow] = {
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        // built per row, not captured: ColorModel is not Serializable
+        val grays = Array.tabulate(256)(_.toByte)
+        val palette =
+          new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+        val b = text.getBytes("UTF-8")
+        val n = (1 + (id % 4)).toInt
+        val spi = GifSpi.writerSpi.getOrElse(
+          throw new IllegalStateException("JVM ships no GIF writer"))
+        val writer = spi.createWriterInstance()
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < n) {
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+            val px = Array.tabulate(w * h)(p =>
+              if (b.isEmpty) 0.toByte else b((f * w * h + p) % b.length))
+            img.getRaster.setDataElements(0, 0, w, h, px)
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+        } finally {
+          writer.dispose()
+          try ios.close() catch { case _: java.io.IOException => () }
+        }
+        MediaRow(id, "video", bos.toByteArray,
+          MediaMeta("gif", w, h, n * 1000L))
       }
   }
 

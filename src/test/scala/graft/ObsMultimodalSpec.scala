@@ -388,6 +388,65 @@ class ObsMultimodalSpec extends SparkSpec {
     assert(f2 == Seq.fill(8)(0f), "empty text ⇒ silence ⇒ zero energies")
   }
 
+  test("syntheticGifMedia: genuine multi-frame GIFs whose frame iteration " +
+      "replays the text arithmetic; frame count is the DECODED count") {
+    import spark.implicits._
+    val docs = Seq((1L, "animated gif frames"), (2L, ""), (3L, "x"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.syntheticGifMedia(spark, docs).collect()
+      .sortBy(_.media_id)
+    assert(media.forall(m =>
+      new String(m.bytes.take(3), "US-ASCII") == "GIF"))
+    val codec = new Multimodal.ImageIoCodec()
+    // doc 1: 2 frames (1 + 1%4), pixel p of frame f = byte((f*64+p) % len);
+    // frame mean = floor(sum/64) — BT.601 identity on gray, box 1x1
+    val b = "animated gif frames".getBytes("UTF-8")
+    def expectLuma(f: Int) =
+      (0 until 64).map(p => (b((f * 64 + p) % b.length) & 0xff).toLong).sum / 64
+    val l1 = codec.frameLumas("video", media(0).bytes, media(0).meta).get
+    assert(l1.length == 2, "decoded frame count must be 1 + (1 % 4) = 2")
+    assert(l1.toSeq == Seq(expectLuma(0), expectLuma(1)).map(_.toInt),
+      "GIF palette roundtrip must be lossless on the gray values")
+    // doc 2: 3 frames of black (empty text)
+    val l2 = codec.frameLumas("video", media(1).bytes, media(1).meta).get
+    assert(l2.toSeq == Seq(0, 0, 0))
+    // doc 3: 4 frames, every pixel = 'x'
+    val l3 = codec.frameLumas("video", media(2).bytes, media(2).meta).get
+    assert(l3.toSeq == Seq.fill(4)('x'.toInt))
+    // garbage is data: dropped, not thrown
+    assert(codec.frameLumas("video", "GIF89a-not-really".getBytes, media(0).meta).isEmpty)
+    assert(codec.frameLumas("video", Array.emptyByteArray, media(0).meta).isEmpty)
+    // non-GIF bytes fall back to the single-frame default (PNG decodes)
+    val png = Multimodal.syntheticPngMedia(spark,
+      Seq((9L, "png fallback")).toDF("doc_id", "text")).collect().head
+    val lp = codec.frameLumas("image", png.bytes, png.meta).get
+    assert(lp.length == 1)
+  }
+
+  test("sampleFrameLuma: decoded frame explosion with stride filter; " +
+      "partition-count invariant") {
+    import spark.implicits._
+    val docs = (1L to 7L).map(i => (i, s"doc number $i with some text"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.syntheticGifMedia(spark, docs)
+    val out = Multimodal.sampleFrameLuma(media,
+        new Multimodal.ImageIoCodec(), everyNth = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    // every kept frame index is even and < its decoded n_frames
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Int]("frame_idx") % 2 == 0))
+    assert(out.forall(r =>
+      r.getAs[Int]("frame_idx") < r.getAs[Int]("n_frames")))
+    // id i has 1 + (i % 4) decoded frames
+    val byId = out.groupBy(_.getAs[Long]("media_id"))
+    assert(byId.forall { case (id, rs) =>
+      rs.head.getAs[Int]("n_frames") == 1 + (id % 4).toInt })
+    val repart = Multimodal.sampleFrameLuma(media.repartition(5),
+        new Multimodal.ImageIoCodec(), everyNth = 2)
+      .orderBy("media_id", "frame_idx").collect()
+    assert(out.map(_.toSeq).toSeq == repart.map(_.toSeq).toSeq)
+  }
+
   test("AudioSpi provider cache: MIDI synth excluded, WAVE ordered first, " +
       "cached read decodes what AudioSystem decodes") {
     // the r11 contention fix rests on these three properties — pin them
