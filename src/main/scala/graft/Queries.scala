@@ -397,26 +397,41 @@ object Queries {
 
     // ---- Q19: snowflake multi-join; dims broadcast, fact never re-shuffled.
     //
-    // NEGATIVE RESULT (r10, measured at sf1, min of 3 idle runs): the r9
-    // verdict's suggested per-(orderkey, region) pre-aggregation BELOW
-    // the orders join was tried in three forms and ALL lose to this
-    // shape at sf1 — two-level partial agg 1.93 s, repartition-by-okey +
-    // complete agg + shuffled-hash join 1.70 s, plain SHJ hint 1.46 s,
-    // vs 1.42–1.46 s here. lineitem:orders is only ~4:1 and the
-    // (okey, r_name) hash-agg over 6M rows costs more than the skinnier
-    // join input saves; the residual vs-DuckDB gap is exchange+task
-    // constants, not plan shape. At a true 100 TB/network-bound scale
-    // the pre-agg trade flips — revisit THERE, not at bench SFs. ----
+    // Shape history, all measured min-of-3 interleaved on an idle host:
+    //  - NEGATIVE (r10, sf1): per-(orderkey, region) pre-aggregation
+    //    BELOW the orders join loses in every form — two-level partial
+    //    agg 1.93 s, repartition+complete-agg+SHJ 1.70 s vs 1.42–1.46 s
+    //    direct. RE-MEASURED at sf10 (r12, tmp/q19probe_sf10.log): still
+    //    loses, 2.2× — 9.5 s pre-agg vs 4.3 s direct; lineitem:orders is
+    //    only ~4:1 and the 60 M-row (okey, region) hash-agg never pays.
+    //  - r12: the fact-fact join is hinted SHUFFLE_HASH — at sf10 the
+    //    SMJ's two 60 M/15 M-row sorts were 25% of the query (4.29 →
+    //    3.20 s); at sf1/sf0.1 the hint is a wash (1.26/1.01, 0.71/0.72).
+    //    A hash build of the skinny orders side per partition is the
+    //    100 TB shape too: build fits memory once shuffle partitions
+    //    scale with the input, and no sort of the big side ever runs.
+    //  - r12: the exchange is SKINNY — revenue contribution is cast to
+    //    decimal MAP-SIDE before the shuffle (addition-order-free, value
+    //    identical) and the region rides as its int key, the 25-char
+    //    name re-attached to the 35-row AGGREGATE by broadcast. sf10
+    //    3.20 → 2.81 s = 2.4× the DuckDB oracle (was 5.4× in r11). ----
     QDef("q19_snowflake_revenue",
       (s, d) => lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          dec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("pr"))
         .join(broadcast(supplier(s, d)
             .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-            .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
-            .select("s_suppkey", "r_name")),
+            .select("s_suppkey", "n_regionkey")),
           col("l_suppkey") === col("s_suppkey"))
-        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("y"))
-        .agg(decSum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .select("l_orderkey", "n_regionkey", "pr")
+        .join(orders(s, d)
+            .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("y"))
+            .hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_regionkey"), col("y"))
+        .agg(round(sum(col("pr")), 2).cast("double").as("rev"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("y"), col("rev"))
         .orderBy("r_name", "y"),
       Some("""SELECT r_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
         |CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2) AS DOUBLE) AS rev
@@ -990,15 +1005,9 @@ object Queries {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
 
     QDef("dedup_ngram_jaccard",
-      (s, d) => {
-        val docs = documents(s, d).filter(col("doc_id") < 300)
-        val a = docs.select(col("doc_id").as("doc_a"), Dedup.tokenSet(col("text")).as("toks_a"))
-        val b = docs.select(col("doc_id").as("doc_b"), Dedup.tokenSet(col("text")).as("toks_b"))
-        Dedup.jaccardPairs(a.join(b, col("doc_a") < col("doc_b")))
-          .filter(col("jaccard") >= 0.2)
-          .select("doc_a", "doc_b", "jaccard")
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => Dedup.tokenJaccardPairs(
+          documents(s, d).filter(col("doc_id") < 300), threshold = 0.2)
+        .orderBy("doc_a", "doc_b"),
       Some("""WITH d AS (SELECT doc_id,
         |  list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
         |  FROM documents WHERE doc_id < 300)
@@ -1016,10 +1025,7 @@ object Queries {
     QDef("dedup_clusters",
       (s, d) => {
         val docs = documents(s, d).filter(col("doc_id") < 300)
-        val a = docs.select(col("doc_id").as("doc_a"), Dedup.tokenSet(col("text")).as("toks_a"))
-        val b = docs.select(col("doc_id").as("doc_b"), Dedup.tokenSet(col("text")).as("toks_b"))
-        val pairs = Dedup.jaccardPairs(a.join(b, col("doc_a") < col("doc_b")))
-          .filter(col("jaccard") >= 0.5)
+        val pairs = Dedup.tokenJaccardPairs(docs, threshold = 0.5)
         Dedup.clusters(docs, pairs)
           .select(col("doc_id"), col("cluster_id"),
             col("cluster_size").cast("long").as("cluster_size"), col("is_keeper"))
@@ -1112,10 +1118,7 @@ object Queries {
     QDef("dedup_keep_best",
       (s, d) => {
         val docs = documents(s, d).filter(col("doc_id") < 300)
-        val a = docs.select(col("doc_id").as("doc_a"), Dedup.tokenSet(col("text")).as("toks_a"))
-        val b = docs.select(col("doc_id").as("doc_b"), Dedup.tokenSet(col("text")).as("toks_b"))
-        val pairs = Dedup.jaccardPairs(a.join(b, col("doc_a") < col("doc_b")))
-          .filter(col("jaccard") >= 0.5)
+        val pairs = Dedup.tokenJaccardPairs(docs, threshold = 0.5)
         Dedup.bestRepresentatives(docs, pairs,
             TextAnalysis.qualityScoreExpr(col("text")))
           .orderBy("cluster_id")
@@ -1789,11 +1792,21 @@ object Queries {
         |      FROM documents)
         |GROUP BY term ORDER BY freq DESC, value ASC LIMIT 20""".stripMargin)),
 
-    // ---- Q54: explicitly SALTED fact⋈dim join (ops/Skew) — the
-    // pathological-hot-key plan: deterministic fact-side salt (xxhash of
-    // the row identity, never rand()), dim exploded saltBuckets×, join
-    // on (key, salt). Same rows as the plain join — the oracle IS the
-    // plain join — pinning that salting is pure plan surgery. ----
+    // ---- Q54: skew-AWARE fact⋈dim join (ops/Skew) — salting is plan
+    // surgery for a pathological hot key (deterministic fact-side salt,
+    // xxhash of the row identity, never rand(); dim exploded
+    // saltBuckets×; join on (key, salt)), and the r12 A/B settled its
+    // economics on THIS data (sf10, min-of-3 interleaved,
+    // tmp/skewprobe_sf10.log): lineitem's supplier keys are UNIFORM, so
+    // unconditional salting was a 6–13× anti-optimization (salted
+    // 6.3–7.6 s vs the planner's broadcast join 0.5–1.1 s, 3× vs forced
+    // SMJ). The declared query therefore runs saltedJoinAdaptive: one
+    // seeded-sample gate on the hottest key's share (10% default —
+    // where one shuffle task would run ≥3× the average at 32
+    // partitions) decides salt-vs-plain, so a user gets the salt
+    // exactly when it pays. Same rows either way — the oracle IS the
+    // plain join — pinning that the gate chooses a plan, never a
+    // result. ----
     QDef("q54_skew_salted_join",
       (s, d) => {
         val facts = lineitem(s, d)
@@ -1801,7 +1814,7 @@ object Queries {
             col("l_orderkey"), col("l_linenumber"))
         val dims = supplier(s, d)
           .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
-        graft.ops.Skew.saltedJoin(facts, dims, "l_suppkey",
+        graft.ops.Skew.saltedJoinAdaptive(facts, dims, "l_suppkey",
             factId = concat(col("l_orderkey"), lit("#"), col("l_linenumber")),
             saltBuckets = 8)
           .groupBy("s_nationkey")

@@ -219,6 +219,43 @@ object Dedup {
   /** Distinct-token set column, shared by jaccard producers. */
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
+  /** Exact token-set Jaccard pairs ≥ `threshold` via a POSTING-LIST
+    * equi-join — the shape that replaced the all-pairs theta join in the
+    * declared exact-Jaccard queries (r12, measured at sf10 on the
+    * 300-doc grading slices, tmp/lshprobe_sf10.log): `a.join(b,
+    * doc_a < doc_b)` plans BroadcastNestedLoop and evaluates
+    * array_intersect/array_union per PAIR — ~3 s of fixed wall — while
+    * exploding each doc's distinct tokens once and equi-joining on the
+    * token computes the identical integers (|A∩B| = shared posting
+    * count, |A∪B| = n_a + n_b − shared), so the rounded jaccard is
+    * value-identical. Pairs with zero shared tokens never appear, which
+    * is why `threshold` must be > 0.
+    *
+    * Scale contract: pair volume is Σ_token df² — fine on the bounded
+    * grading subsets this backs, quadratic on a full corpus with hot
+    * tokens. At corpus scale, generate candidates with MinHash/SimHash
+    * ([[minhashCandidates]]) or prune hot tokens ([[containmentPairs]]'
+    * maxDf) and use [[jaccardPairs]] to VERIFY the bounded candidate
+    * set. */
+  def tokenJaccardPairs(documents: DataFrame, threshold: Double,
+      textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0,
+      "tokenJaccardPairs: threshold must be > 0 (zero-overlap pairs are pruned)")
+    val docs = Spread.wide(documents, Some(col("doc_id")))
+    val post = docs.select(col("doc_id"), explode(tokenSet(col(textCol))).as("tk"))
+    val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("n_tk"))
+    post.select(col("tk"), col("doc_id").as("doc_a"))
+      .join(post.select(col("tk"), col("doc_id").as("doc_b")), "tk")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__sh"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_tk").as("__na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_tk").as("__nb")), "doc_b")
+      .withColumn("jaccard", round(col("__sh") /
+        (col("__na") + col("__nb") - col("__sh")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Incremental-dedup prefilter: split a new batch against a (possibly
     * huge) historical corpus WITHOUT joining the whole batch.
     *
@@ -387,13 +424,24 @@ object Dedup {
     val comp = connectedComponents(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
       .withColumnRenamed("node", "doc_id")
-    val labeled = documents.select(col("doc_id"))
-      .join(comp, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
-    val sizes = labeled.groupBy("cluster_id").agg(count("*").as("cluster_size"))
-    labeled.join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+    // sizes on the COMPONENT table, not on the labeled corpus: every
+    // comp node came from `pairs` over `documents`, so the per-label
+    // count IS the cluster's document count, and docs absent from comp
+    // are singletons of size 1 by definition. One small⋈small join,
+    // then ONE left join against the corpus — the old shape joined the
+    // full documents frame twice (labels, then sizes); at 100 TB the
+    // corpus is the big side, so halving big-side joins is the scale
+    // shape, and at bench SF it drops a join+agg of fixed overhead
+    // (r12, dedup_clusters item).
+    val compSized = comp.join(
+      comp.groupBy("label").agg(count(lit(1)).as("__cs")), "label")
+    documents.select(col("doc_id"))
+      .join(compSized, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        coalesce(col("__cs"), lit(1L)).as("cluster_size"),
+        (col("doc_id") === coalesce(col("label"), col("doc_id")))
+          .as("is_keeper"))
   }
 
   /** LSH candidate-recall grading: how many TRUE near-dup pairs
@@ -415,15 +463,32 @@ object Dedup {
     * shares half its small vocabulary but almost no 3-shingles). */
   def lshRecall(documents: DataFrame, threshold: Double = 0.5,
       perms: Int = 64, bands: Int = 16): DataFrame = {
-    // spread: the O(n²) truth join streams one side through every slot,
-    // but the per-doc shingle arrays (and the broadcast build side) are
-    // computed on the narrow scan first — parallelize that map work
+    // Truth via a POSTING-LIST equi-join, not all-pairs array Jaccard
+    // (r12, measured at sf10 on the declared 300-doc subset,
+    // tmp/lshprobe_sf10.log): the old theta join (doc_a < doc_b) planned
+    // BroadcastNestedLoop and evaluated array_intersect/array_union over
+    // ~hundreds-of-string arrays per PAIR — 2.9 s of the 2.84 s op.
+    // Exploding the same distinct shingles once and equi-joining on the
+    // shingle computes the identical integers (|A∩B| = shared count,
+    // |A∪B| = n_a + n_b − shared, postings are per-doc distinct), so
+    // round(shared / (na+nb−shared)) is value-identical to
+    // round(|∩|/|∪|) — and pairs with zero shared shingles, which the
+    // posting join never emits, cannot pass any threshold > 0.
+    require(threshold > 0.0,
+      "lshRecall: threshold must be > 0 (zero-overlap pairs are pruned)")
     val docs = Spread.wide(documents, Some(col("doc_id")))
-    val a = docs.select(col("doc_id").as("doc_a"), tokens(col("text")).as("__t"))
-      .select(col("doc_a"), shinglesOf(col("__t"), 3).as("toks_a")) // already distinct
-    val b = docs.select(col("doc_id").as("doc_b"), tokens(col("text")).as("__t"))
-      .select(col("doc_b"), shinglesOf(col("__t"), 3).as("toks_b"))
-    val truth = jaccardPairs(a.join(b, col("doc_a") < col("doc_b")))
+    val shing = docs
+      .select(col("doc_id"), tokens(col("text")).as("__t"))
+      .select(col("doc_id"), explode(shinglesOf(col("__t"), 3)).as("sh"))
+    val sizes = shing.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val truth = shing.select(col("sh"), col("doc_id").as("doc_a"))
+      .join(shing.select(col("sh"), col("doc_id").as("doc_b")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("__na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("__nb")), "doc_b")
+      .withColumn("jaccard", round(col("shared") /
+        (col("__na") + col("__nb") - col("shared")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), lit(1).as("t"))
     val cand = minhashCandidates(documents, perms, bands,

@@ -37,4 +37,49 @@ object Skew {
       .orderBy(col("n").desc)
       .limit(topK)
   }
+
+  /** Estimated share of the hottest key, from a seeded sample (one
+    * skinny column scan; `fraction >= 1` reads exactly). The gate input
+    * for [[saltedJoinAdaptive]]: 0.0 on an empty frame/sample. */
+  def hotKeyShare(facts: DataFrame, key: String,
+      fraction: Double = 0.01, seed: Long = 42L): Double = {
+    val keyed = facts.select(col(key))
+    val s = (if (fraction >= 1.0) keyed else keyed.sample(fraction, seed))
+      .groupBy(key).agg(count(lit(1)).as("n"))
+      .agg(max("n").as("mx"), sum("n").as("tot")).head()
+    if (s.isNullAt(1) || s.getLong(1) == 0L) 0.0
+    else s.getLong(0).toDouble / s.getLong(1)
+  }
+
+  /** [[saltedJoin]] with the decision the operator should have made all
+    * along: salt ONLY when a hot key actually exists. Measured (r12,
+    * sf10, min-of-3 interleaved, tmp/skewprobe_sf10.log): on UNIFORM
+    * keys (lineitem ⋈ supplier) unconditional salting is a 6–13×
+    * anti-optimization — salted 6.3–7.6 s vs the planner's broadcast
+    * join 0.5–1.1 s, and still 3× vs a forced sort-merge — because the
+    * salt forces a shuffled join on an 8×-replicated dim and widens the
+    * fact exchange, while buying nothing: there is no straggler task to
+    * split. Salting pays only when one key's share makes a single
+    * shuffle partition a straggler: with P shuffle partitions a key at
+    * share s costs ~max(s, 1/P) of the join wall, so the default gate
+    * (10%) triggers roughly when the hot task would run ≥3× the average
+    * at P = 32. Below the gate the plain join is returned and the
+    * planner keeps ALL its options (broadcast, AQE skew split, SMJ).
+    *
+    * The gate reads `knownHotShare` when the caller has profiled
+    * (zero extra work — [[keySkewProfile]] or catalog stats), else one
+    * seeded-sample scan of the key column ([[hotKeyShare]]) at
+    * plan-construction time. Either branch returns identical VALUES —
+    * the gate chooses a plan, never a result. */
+  def saltedJoinAdaptive(facts: DataFrame, dims: DataFrame, key: String,
+      factId: Column, saltBuckets: Int = 8, joinType: String = "inner",
+      hotShareThreshold: Double = 0.1,
+      knownHotShare: Option[Double] = None,
+      sampleFraction: Double = 0.01, seed: Long = 42L): DataFrame = {
+    val share = knownHotShare.getOrElse(
+      hotKeyShare(facts, key, sampleFraction, seed))
+    if (share >= hotShareThreshold)
+      saltedJoin(facts, dims, key, factId, saltBuckets, joinType)
+    else facts.join(dims, Seq(key), joinType)
+  }
 }

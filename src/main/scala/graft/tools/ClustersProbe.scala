@@ -32,14 +32,8 @@ object ClustersProbe {
       (r.map(_._1).min, r.head._2)
     }
     val docs = docsAll.filter(col("doc_id") < 300)
-    def pairsDf = {
-      val a = docs.select(col("doc_id").as("doc_a"),
-        graft.ops.Dedup.tokenSet(col("text")).as("toks_a"))
-      val b = docs.select(col("doc_id").as("doc_b"),
-        graft.ops.Dedup.tokenSet(col("text")).as("toks_b"))
-      graft.ops.Dedup.jaccardPairs(a.join(b, col("doc_a") < col("doc_b")))
-        .filter(col("jaccard") >= 0.5)
-    }
+    // r12: the declared pair stage is the posting equi-join now
+    def pairsDf = graft.ops.Dedup.tokenJaccardPairs(docs, threshold = 0.5)
     val (tPairs, nPairs) = timed(pairsDf.count())
     val (tFull, nFull) = timed(
       graft.ops.Dedup.clusters(docs, pairsDf).count())

@@ -216,6 +216,39 @@ class OpsSpec extends SparkSpec {
     assert(prof.head.getAs[Double]("share") == 0.9)
   }
 
+  test("adaptive salted join salts ONLY when a hot key exists; values " +
+      "identical either way") {
+    import spark.implicits._
+    import graft.ops.Skew
+    val skewed = ((1 to 900).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong % 7 + 2, 1000L + i))).toDF("k", "fact_id")
+    val uniform = (1 to 1000).map(i => (i.toLong % 50, i.toLong))
+      .toDF("k", "fact_id")
+    val dims = (0L to 59L).map(k => (k, s"d$k")).toDF("k", "label")
+    // gate reads the exact share (fraction >= 1 skips sampling)
+    assert(Skew.hotKeyShare(skewed, "k", fraction = 1.0) == 0.9)
+    assert(Skew.hotKeyShare(uniform, "k", fraction = 1.0) == 0.02)
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.toString
+    val hot = Skew.saltedJoinAdaptive(skewed, dims, "k", col("fact_id"),
+      sampleFraction = 1.0)
+    assert(planOf(hot).contains("_salt"), "hot key must trigger the salt")
+    val cold = Skew.saltedJoinAdaptive(uniform, dims, "k", col("fact_id"),
+      sampleFraction = 1.0)
+    assert(!planOf(cold).contains("_salt"),
+      "uniform keys must NOT pay the salt (r12 A/B: 6-13x anti-opt)")
+    // caller-supplied profile short-circuits the sample scan
+    val hinted = Skew.saltedJoinAdaptive(uniform, dims, "k", col("fact_id"),
+      knownHotShare = Some(0.5))
+    assert(planOf(hinted).contains("_salt"))
+    // both branches produce the plain-join rows
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("fact_id", "label").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows(hot) == rows(skewed.join(dims, "k")))
+    assert(rows(cold) == rows(uniform.join(dims, "k")))
+  }
+
   test("approx_count_distinct within documented error of exact") {
     val df = Tables.lineitem(spark, sf("sf0.001"))
     val r = Queries.all.find(_.name == "q33_approx_distinct").get

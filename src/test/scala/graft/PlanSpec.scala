@@ -23,16 +23,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_returnflag"), "scan reads unneeded columns")
   }
 
-  test("q19 snowflake: dims broadcast, fact is never exchanged twice") {
+  test("q19 snowflake: dims broadcast, fact-fact join hashes (never sorts)") {
     val p = planOf("q19_snowflake_revenue")
     assert(p.contains("BroadcastHashJoin"), "dim joins must be broadcast")
-    assert(!p.contains("SortMergeJoin") ||
-      p.split("SortMergeJoin").length - 1 <= 1,
-      "more than the fact-fact join is sort-merge")
+    // r12: the orders join is SHUFFLE_HASH — at sf10 the SMJ's two
+    // fact-side sorts were 25% of the query (4.29 → 3.20 s, min-of-3
+    // interleaved; wash at sf1/sf0.1). No sort of the big side, ever.
+    assert(p.contains("ShuffledHashJoin"), "fact-fact join must hash-build")
+    assert(!p.contains("SortMergeJoin"), "nothing in q19 should sort-merge")
     // and NO pre-aggregate below the orders join: the r10 sf1 sweep
-    // measured every pre-agg variant SLOWER than the direct shape (see
-    // the q19 QDef comment) — this pin keeps the negative result from
-    // being silently re-introduced
+    // measured every pre-agg variant SLOWER than the direct shape, and
+    // the r12 sf10 re-measurement confirmed it at scale (9.5 s vs
+    // 4.3 s — see the q19 QDef comment) — this pin keeps the negative
+    // result from being silently re-introduced
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     val plan = Queries.all.find(_.name == "q19_snowflake_revenue").get
       .fn(spark, sf("sf0.001")).queryExecution.optimizedPlan
