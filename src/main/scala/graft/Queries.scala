@@ -29,7 +29,15 @@ object Queries {
 
   case class QDef(name: String,
       fn: (SparkSession, String) => DataFrame,
-      oracle: Option[String])
+      oracle: Option[String]) {
+    // Bench embeds names verbatim in its JSON artifacts (q_filter, the
+    // name-keyed map) without escaping; a quote/backslash/space in a
+    // name would silently corrupt what the driver parses. Enforce the
+    // charset where names are born instead of escaping at every sink.
+    require(name.matches("[a-z0-9_]+"),
+      s"QDef name '$name' must be [a-z0-9_]+ — it is embedded unescaped " +
+        "in Bench's JSON artifacts and the driver's correctness keys")
+  }
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
   /** Exact decimal sum → rounded double: order-independent across engines. */
@@ -709,28 +717,38 @@ object Queries {
     // WITH RECURSIVE form): each step folds one nation's customer count
     // into a running total. A linear recursion whose step is associative
     // IS a prefix sum — so the engine-side plan is the closed form: one
-    // partial-agg scan of customer (25 output rows), then a cumulative
-    // window over those 25 rows. The r4 plan executed the recursion
+    // partial-agg scan of customer (25 output rows), then a prefix sum
+    // over those 25 rows. The r4 plan executed the recursion
     // literally — 25 sequential Spark jobs re-joining customer⋈nation per
     // depth, 8.1 s for a 25-row result (VERDICT r4 #1); even recursing
     // over a 25-row LocalRelation, Spark's UnionLoop pays ~25 sequential
     // job launches (~3 s floor measured). Per-iteration driver-blocking
     // work never scales; prefix-structured recursions must be rewritten
-    // as window scans. RecursiveCteSpec pins that Spark 4's literal
-    // WITH RECURSIVE execution agrees with this closed form. ----
+    // as closed-form scans. RecursiveCteSpec pins that Spark 4's literal
+    // WITH RECURSIVE execution agrees with this closed form.
+    // The prefix sum itself is a theta self-join (cnt where nationkey <
+    // depth) rather than a partition-less cumulative window: both are
+    // bounded — the domain is <= 25 rows REGARDLESS of customer's size,
+    // the aggregate runs before either — but the empty-partition-spec
+    // window trips Spark's "Moving all data to a single partition" warn
+    // on every bench run, and a 25x25 broadcast nested loop states the
+    // boundedness in the plan instead of in a comment (r13; values
+    // bit-identical, RecursiveCteSpec unchanged). ----
     QDef("q51_recursive_cte",
       (s, d) => {
         // total(depth) = Σ cnt(nationkey) for nationkey < depth, depth 0..24
-        val w = Window.orderBy(col("nationkey"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        nation(s, d).select(col("n_nationkey"))
+        val cnts = nation(s, d).select(col("n_nationkey"))
           .join(customer(s, d).select(col("c_nationkey"), col("c_custkey")),
             col("n_nationkey") === col("c_nationkey"), "left")
           .groupBy(col("n_nationkey").as("nationkey"))
           .agg(count(col("c_custkey")).as("cnt"))
           .filter(col("nationkey") <= 24)
-          .select(col("nationkey").cast("int").as("depth"),
-            coalesce(sum(col("cnt")).over(w), lit(0L)).as("total"))
+        cnts.select(col("nationkey").cast("int").as("depth"))
+          .join(broadcast(cnts.select(col("nationkey").as("prior_key"),
+              col("cnt"))),
+            col("prior_key") < col("depth"), "left")
+          .groupBy("depth")
+          .agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
           .orderBy("depth")
       },
       Some("""WITH RECURSIVE r(depth, total) AS (

@@ -132,10 +132,28 @@ object Tables {
       val conf = spark.sparkContext.hadoopConfiguration
       val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
       val fs = root.getFileSystem(conf)
+      // Recurse: a partitioned/bucketed layout nests its part files under
+      // key=value subdirectories — a non-recursive listing would silently
+      // undercount (possibly to 0), and this value feeds broadcast gates
+      // where an undercounted huge corpus would wrongly pass a size check.
       val files =
         if (fs.getFileStatus(root).isFile) Array(fs.getFileStatus(root))
-        else fs.listStatus(root).filter(st => st.isFile &&
-          st.getPath.getName.endsWith(".parquet"))
+        else {
+          val it = fs.listFiles(root, /* recursive = */ true)
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.hadoop.fs.FileStatus]
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.getPath.getName.endsWith(".parquet")) buf += st
+          }
+          buf.toArray
+        }
+      // Fail loudly rather than return 0: an empty table dir is a caller
+      // bug (wrong path / non-parquet layout), and 0 flowing into a
+      // broadcast gate is exactly the OOM this count exists to prevent.
+      require(files.nonEmpty,
+        s"footerRowCount: no .parquet files under $root — wrong path or " +
+          "non-parquet layout; refusing to report 0 rows")
       files.map { st =>
         val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))

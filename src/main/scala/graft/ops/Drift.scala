@@ -172,7 +172,16 @@ object Drift {
     * boundaries fall, so the statistic is partitioning-invariant
     * (DriftSpec pins this). For genuinely continuous data the
     * declared-bin [[psi]] remains the cheaper quantized answer; this
-    * path just removes KS's scale cliff. */
+    * path just removes KS's scale cliff.
+    *
+    * Execution contract: EAGER. The two-phase form needs both passes to
+    * read one pinned partitioning, so this method runs its Spark jobs at
+    * CALL time and returns the single result row as a local DataFrame —
+    * every intermediate block is unpersisted before it returns. A
+    * monitoring loop may therefore call it per micro-batch without
+    * accumulating persisted RDDs or deferred jobs; the price is that the
+    * result is not lazily composable into a larger plan (it is one row —
+    * nothing is lost). */
   def ks(ref: DataFrame, cur: DataFrame, valueCol: String): DataFrame = {
     val spark = ref.sparkSession
     val v = col(valueCol).cast("double").as("v")
@@ -184,10 +193,17 @@ object Drift {
     // phase 1: range-exchange on v, sort within partitions, pin ONE
     // materialization (the offsets pass and the scoring pass must see
     // the same partitioning), then ship one (sum_r, sum_c) per partition
-    // to the driver for the exclusive prefix offsets.
-    val ranged = Materialize(counted.repartitionByRange(col("v"))
-      .sortWithinPartitions("v"))
-    val partials = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+    // to the driver for the exclusive prefix offsets. The pin is a
+    // persist WE hold a handle to — not a checkpoint — so it can be
+    // released the moment the statistic is computed (r12 ADVICE: the
+    // checkpointed RDD previously lived until the returned frame was
+    // GC'd, leaking blocks in per-micro-batch monitoring loops). Both
+    // passes read this one RDD object, so they see identical partitions;
+    // a lost block recomputes through the same shuffle output.
+    val ranged = counted.repartitionByRange(col("v"))
+      .sortWithinPartitions("v").rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partials = ranged.mapPartitionsWithIndex { (pid, it) =>
       var r = 0L; var c = 0L
       it.foreach { row => r += row.getLong(1); c += row.getLong(2) }
       Iterator.single((pid, r, c))
@@ -203,18 +219,25 @@ object Drift {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("cum_c",
         org.apache.spark.sql.types.LongType, nullable = false)))
-    val cdfRdd = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val cdfRdd = ranged.mapPartitionsWithIndex { (pid, it) =>
       var r = offR(pid); var c = offC(pid)
       it.map { row =>
         r += row.getLong(1); c += row.getLong(2)
         org.apache.spark.sql.Row(r, c)
       }
     }
-    spark.createDataFrame(cdfRdd, cdfSchema)
+    val agg = spark.createDataFrame(cdfRdd, cdfSchema)
       .agg(
         round(max(abs(col("cum_r") / lit(tR.toDouble)
           - col("cum_c") / lit(tC.toDouble))), 6).as("d_stat"),
         max(lit(tR)).as("n_ref"), max(lit(tC)).as("n_cur"))
+    // Materialize the one-row result NOW, release the pinned partitions,
+    // and hand back a local frame — see the eager-execution contract in
+    // the Scaladoc above.
+    val result = agg.collect()
+    ranged.unpersist(blocking = false)
+    spark.createDataFrame(
+      java.util.Arrays.asList(result: _*), agg.schema)
   }
 
   /** Corpus snapshot diff — which documents were added, removed, or

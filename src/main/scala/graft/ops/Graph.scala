@@ -135,8 +135,17 @@ object Graph {
     // spark.conf.set(Graph.GcNudgeConfKey, "9223372036854775807")) to
     // disable the nudges entirely, or lower it to force the disk-scale
     // discipline on a smaller graph.
+    // A malformed conf value must not turn a tuning knob into a
+    // query-crashing input: fall back to the parameter with a warning.
     val nudgeLimit = edges.sparkSession.conf
-      .getOption(Graph.GcNudgeConfKey).map(_.trim.toLong)
+      .getOption(Graph.GcNudgeConfKey)
+      .flatMap { raw =>
+        val parsed = raw.trim.toLongOption
+        if (parsed.isEmpty) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"${Graph.GcNudgeConfKey}='$raw' is not a long; " +
+            s"using default $gcNudgeNodes")
+        parsed
+      }
       .getOrElse(gcNudgeNodes)
     val big = n > nudgeLimit
     val ckptEvery = if (big) math.min(checkpointEvery, 2) else checkpointEvery

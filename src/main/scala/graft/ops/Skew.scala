@@ -43,7 +43,11 @@ object Skew {
     * for [[saltedJoinAdaptive]]: 0.0 on an empty frame/sample. */
   def hotKeyShare(facts: DataFrame, key: String,
       fraction: Double = 0.01, seed: Long = 42L): Double = {
-    val keyed = facts.select(col(key))
+    // Null keys never match in an inner join, so a null-heavy column must
+    // not read as "skewed": salting an unmatchable key pays the dim
+    // explosion for nothing — the exact anti-optimization the gate
+    // exists to avoid. Share is hottest NON-NULL key over non-null rows.
+    val keyed = facts.select(col(key)).filter(col(key).isNotNull)
     val s = (if (fraction >= 1.0) keyed else keyed.sample(fraction, seed))
       .groupBy(key).agg(count(lit(1)).as("n"))
       .agg(max("n").as("mx"), sum("n").as("tot")).head()

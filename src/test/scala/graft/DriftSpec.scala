@@ -67,6 +67,21 @@ class DriftSpec extends SparkSpec {
     }.isEmpty)
   }
 
+  test("ks releases every persisted block before returning (monitor-loop " +
+      "safe)") {
+    // r12 ADVICE: the pinned partitioning previously lived until the
+    // returned frame was GC'd — a per-micro-batch monitoring loop
+    // accumulated persisted RDDs. ks is eager now and must leave the
+    // persistence registry exactly as it found it.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = Drift.ks(vals(1, 2, 3, 4), vals(3, 4, 5, 6), "x")
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"ks leaked persisted RDDs: ${after -- before}")
+    // and the result is already local: consuming it runs no further jobs
+    assert(r.collect().length == 1)
+  }
+
   test("empty current side reports quiet (psi 0, never NaN)") {
     // the streaming monitor's empty-micro-batch case: without the
     // zero-total guard, 0/0 = NaN propagates and NaN > threshold is true

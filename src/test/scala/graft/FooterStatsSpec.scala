@@ -78,6 +78,28 @@ class FooterStatsSpec extends SparkSpec {
     assert(!plan.contains("FileScan"), plan)
   }
 
+  test("footerRowCount recurses into partitioned layouts and fails loudly " +
+      "on empty dirs") {
+    // r12 ADVICE: non-recursive listing silently undercounted a
+    // partitioned table to 0, and that 0 feeds containmentPairs'
+    // broadcast gate — exactly the driver-OOM the gate exists to prevent.
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-frc").toString
+    val df = (1 to 100).map(i => (i.toLong, i % 4)).toDF("id", "p")
+    df.write.partitionBy("p").parquet(s"$tmp/nested.parquet")
+    assert(Tables.footerRowCount(spark, tmp, "nested") === 100L)
+    // flat layout unchanged
+    df.write.parquet(s"$tmp/flat.parquet")
+    assert(Tables.footerRowCount(spark, tmp, "flat") === 100L)
+    // a dir with no parquet files must refuse to report 0
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$tmp/empty.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      Tables.footerRowCount(spark, tmp, "empty")
+    }
+    assert(e.getMessage.contains("no .parquet files"))
+  }
+
   test("profile_footer_stats matches the full-scan values") {
     val q = Queries.all.find(_.name == "profile_footer_stats").get
     val (plan, rows) = executed(q.fn(spark, d))

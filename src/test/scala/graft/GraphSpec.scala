@@ -54,6 +54,25 @@ class GraphSpec extends SparkSpec {
     assert(viaDir == viaLocal, "reliable and local checkpoints must agree")
   }
 
+  test("malformed gc-nudge conf falls back to the default, never crashes") {
+    // r12 ADVICE: a tuning knob must not be a query-crashing input —
+    // 'off', '1e9', '' all parse to None and use the parameter default
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    for (bad <- Seq("off", "1e9", "", "  ")) {
+      spark.conf.set(Graph.GcNudgeConfKey, bad)
+      try {
+        val out = Graph.pageRank(edges, "src", "dst", iters = 2).collect()
+        assert(out.length == 3)
+      } finally spark.conf.unset(Graph.GcNudgeConfKey)
+    }
+    // a well-formed override still parses
+    spark.conf.set(Graph.GcNudgeConfKey, Long.MaxValue.toString)
+    try {
+      assert(Graph.pageRank(edges, "src", "dst", iters = 2)
+        .collect().length == 3)
+    } finally spark.conf.unset(Graph.GcNudgeConfKey)
+  }
+
   test("duplicate and self edges collapse before degrees are counted") {
     val edges = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"))
       .toDF("src", "dst")

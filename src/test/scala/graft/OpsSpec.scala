@@ -228,6 +228,14 @@ class OpsSpec extends SparkSpec {
     // gate reads the exact share (fraction >= 1 skips sampling)
     assert(Skew.hotKeyShare(skewed, "k", fraction = 1.0) == 0.9)
     assert(Skew.hotKeyShare(uniform, "k", fraction = 1.0) == 0.02)
+    // r12 ADVICE: null keys never match an inner join — a null-heavy
+    // column must NOT read as skewed (was: nulls counted as the hottest
+    // key and tripped the salt for nothing)
+    val nullHeavy = ((1 to 900).map(i => (null.asInstanceOf[java.lang.Long],
+      i.toLong)) ++ (1 to 100).map(i => (java.lang.Long.valueOf(i.toLong % 50),
+      1000L + i))).toDF("k", "fact_id")
+    assert(Skew.hotKeyShare(nullHeavy, "k", fraction = 1.0) <= 0.05,
+      "null keys must not register as joinable skew")
     def planOf(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.optimizedPlan.toString
     val hot = Skew.saltedJoinAdaptive(skewed, dims, "k", col("fact_id"),
@@ -237,6 +245,10 @@ class OpsSpec extends SparkSpec {
       sampleFraction = 1.0)
     assert(!planOf(cold).contains("_salt"),
       "uniform keys must NOT pay the salt (r12 A/B: 6-13x anti-opt)")
+    val nn = Skew.saltedJoinAdaptive(nullHeavy, dims, "k", col("fact_id"),
+      sampleFraction = 1.0)
+    assert(!planOf(nn).contains("_salt"),
+      "null-heavy column must not pay the salt")
     // caller-supplied profile short-circuits the sample scan
     val hinted = Skew.saltedJoinAdaptive(uniform, dims, "k", col("fact_id"),
       knownHotShare = Some(0.5))

@@ -23,4 +23,11 @@ class QueriesSmokeSpec extends SparkSpec {
   test("oracleSql keys are a subset of queries keys") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("QDef rejects names outside [a-z0-9_] (Bench embeds them unescaped)") {
+    val e = intercept[IllegalArgumentException] {
+      Queries.QDef("bad\"name", (_, _) => null, None)
+    }
+    assert(e.getMessage.contains("[a-z0-9_]+"))
+  }
 }
