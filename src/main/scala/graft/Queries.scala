@@ -1894,14 +1894,30 @@ object Queries {
     // undirected customer–supplier graph, ranks rounded 6 each iteration
     // so the shuffle-order float noise (~1e-15) never crosses engines or
     // partitionings. The oracle unrolls the same 5 iterations as chained
-    // CTEs built by pageRankOracleSql — identical arithmetic per step. ----
+    // CTEs built by pageRankOracleSql — identical arithmetic per step.
+    // Edge-build shape (r13, tools/R13Probe pagerank, three min-of-N
+    // sessions at sf10): SHUFFLE_HASH on the fact-fact orderkey join
+    // (the q19 lesson — the SMJ sorts were ~20% of the query) and
+    // distinct on the LONG key pair BEFORE the string node ids are
+    // built, so the dedup exchange ships 16-byte rows instead of
+    // ~20-byte strings and hashes/compares longs: declared-shape min
+    // 49.4–57.9 s across sessions → this shape 34.8–36.2 s. Dropping
+    // the query-side distinct entirely measured another ~3 s better at
+    // sf10 (pageRank's und build window-dedupes anyway) but would
+    // DOUBLE the und repartition volume at sf100 (~19 GB through the
+    // exchange where the query already rides the disk limit) — the
+    // early reduction is the 100 TB-safe side of that trade, so the
+    // distinct stays. ----
     QDef("graph_pagerank",
       (s, d) => {
         val e = lineitem(s, d)
-          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_suppkey")
+          .join(orders(s, d).select("o_orderkey", "o_custkey")
+              .hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select("o_custkey", "l_suppkey").distinct()
           .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
             concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-          .distinct()
         graft.ops.Graph.pageRank(e, "src", "dst", iters = 5).orderBy("node")
       },
       Some(pageRankOracleSql(5))),

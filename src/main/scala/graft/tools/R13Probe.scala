@@ -34,9 +34,62 @@ object R13Probe {
 
     topic match {
       case "q06" => q06(spark, sfDir, runs)
+      case "pagerank" => pagerank(spark, sfDir, runs)
       case other => sys.error(s"unknown topic $other")
     }
     spark.stop()
+  }
+
+  /** graph_pagerank edge-build shape A/B at a given SF. The declared
+    * build is lineitem⋈orders SMJ + distinct on STRING node ids — the
+    * same fact-fact join class q19's r12 probe moved to SHUFFLE_HASH,
+    * plus a 60 M-row string exchange that could be long pairs. Variants:
+    *  - declared:  current shape
+    *  - shj:       + shuffle_hash hint on the orderkey join
+    *  - longdist:  distinct on (custkey, suppkey) LONGS, concat after
+    *  - nodist:    no query-side distinct at all (pageRank's und build
+    *               window-dedupes anyway) — measures whether the early
+    *               reduction pays for its exchange
+    */
+  private def pagerank(spark: SparkSession, d: String, runs: Int): Unit = {
+    def lineitem = spark.read.parquet(s"$d/lineitem.parquet")
+    def orders = spark.read.parquet(s"$d/orders.parquet")
+    def li = lineitem.select("l_orderkey", "l_suppkey")
+    def os = orders.select("o_orderkey", "o_custkey")
+    def toNodes(df: DataFrame): DataFrame = df
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "declared" -> (() => toNodes(
+        li.join(os, col("l_orderkey") === col("o_orderkey"))).distinct()),
+      "shj" -> (() => toNodes(
+        li.join(os.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))).distinct()),
+      "longdist" -> (() => toNodes(
+        li.join(os.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+          .select("o_custkey", "l_suppkey").distinct())),
+      "nodist" -> (() => toNodes(
+        li.join(os.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey")))))
+
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    for (r <- 1 to runs; (name, mk) <- variants) {
+      // bench-grade hygiene between measurements: the previous run's
+      // localCheckpoint blocks (und/degs/ranks) otherwise accumulate
+      // and each successive pagerank pays more GC than the last
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val n = graft.ops.Graph.pageRank(mk(), "src", "dst", iters = 5)
+        .orderBy("node").count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
+      println(f"[probe] pagerank/$name%-9s run$r $dt%6.2f s rows=$n")
+    }
+    best.toSeq.sortBy(_._2).foreach { case (n, v) =>
+      println(f"[best] pagerank/$n%-9s $v%6.2f s")
+    }
   }
 
   private def q06(spark: SparkSession, d: String, runs: Int): Unit = {
