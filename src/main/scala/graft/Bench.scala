@@ -175,7 +175,18 @@ object Bench {
         drainListeners()
         loadMax = math.max(loadMax, load())
         val shuffleMb = (shuffleBytes.get() - s0) / 1e6 / runs
-        if (hygiene) { spark.catalog.clearCache(); System.gc() }
+        // gc → drain → gc: the first GC lets ContextCleaner DISCOVER the
+        // dead checkpoint/shuffle/broadcast refs (weak-ref processing),
+        // the pause lets its async unpersist queue drain, and the second
+        // GC collects what the cleaner just released — one GC leaves the
+        // release half-done and the NEXT query pays it (r13: the 142-
+        // query pass read ids_stable_assign at 8.76 s where isolated
+        // min-of-3 measures 0.78 s). Still untimed, still never between
+        // the runs of one query.
+        if (hygiene) {
+          spark.catalog.clearCache(); System.gc()
+          Thread.sleep(250); System.gc()
+        }
         // a query is failed only if EVERY run failed; one bad run must not
         // discard the other run's valid timing
         (name, times.filter(_ >= 0).minOption.getOrElse(-1.0), shuffleMb)
