@@ -170,7 +170,16 @@ object Bench {
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => -1.0 }
+          catch {
+            // the -1 sentinel is handled downstream, but an artifact that
+            // records -1 with zero diagnostic cannot explain itself (r13
+            // verdict item 5) — name the failure on stderr, never stdout
+            // (stdout carries the one-line JSON contract)
+            case e: Throwable =>
+              System.err.println(s"bench: $name failed: " +
+                s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+              -1.0
+          }
         }
         drainListeners()
         loadMax = math.max(loadMax, load())

@@ -139,12 +139,30 @@ object Tables {
       val files =
         if (fs.getFileStatus(root).isFile) Array(fs.getFileStatus(root))
         else {
+          // Hidden/metadata components below the root are NOT data:
+          // `_temporary` from an in-flight or crashed write, `_SUCCESS`,
+          // `.hive-staging`, checksum files — Spark's own file index
+          // filters components starting with '_' or '.', and counting
+          // them here would inflate the value feeding broadcast gates
+          // (r13 ADVICE). The root itself is exempt (its name is ours).
+          val rootDepth = root.depth()
+          def visible(p: org.apache.hadoop.fs.Path): Boolean = {
+            var cur = p
+            var ok = true
+            while (ok && cur != null && cur.depth() > rootDepth) {
+              val n = cur.getName
+              if (n.startsWith("_") || n.startsWith(".")) ok = false
+              cur = cur.getParent
+            }
+            ok
+          }
           val it = fs.listFiles(root, /* recursive = */ true)
           val buf = scala.collection.mutable.ArrayBuffer
             .empty[org.apache.hadoop.fs.FileStatus]
           while (it.hasNext) {
             val st = it.next()
-            if (st.getPath.getName.endsWith(".parquet")) buf += st
+            if (st.getPath.getName.endsWith(".parquet") &&
+                visible(st.getPath)) buf += st
           }
           buf.toArray
         }

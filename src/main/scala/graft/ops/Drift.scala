@@ -88,30 +88,54 @@ object Drift {
     psiFromJoined(joined, "bucket", eps)
   }
 
-  /** Shared PSI arithmetic over a (key, n_ref, n_cur) frame: totals ride
-    * a broadcast 1-row cross-join, proportions get the eps floor, and an
-    * EMPTY side (total 0) reports quiet (psi 0, alarm-safe) rather than
-    * NaN — see [[psiFromHists]]. */
+  /** Shared PSI arithmetic over a (key, n_ref, n_cur) frame. An EMPTY
+    * side (total 0) reports quiet (psi 0, alarm-safe) rather than NaN —
+    * see [[psiFromHists]].
+    *
+    * Shape: the bucket frame is referenced exactly ONCE — it collapses
+    * to a single row (`collect_list` + the two totals), every per-bucket
+    * proportion/contribution and the corpus-wide psi are computed as
+    * array arithmetic on that row, and the report explodes back out.
+    * The alternatives both re-execute the upstream histograms (corpus
+    * scans!) per reference unless exchange reuse happens to fire: a
+    * broadcast-total cross-join reads the frame 2×, a partition-less
+    * window was the r13 warning class. One row holding O(buckets)
+    * structs is bounded by construction — fixed `bins` for declared-bin
+    * PSI, O(log(range)/relErr) occupied buckets for the log-hist form.
+    * Each contrib is pre-rounded 6 dp and the total re-rounds 6 dp, so
+    * array-order noise (~1e-16·buckets) dies at the final round. */
   private def psiFromJoined(joined: DataFrame, key: String,
       eps: Double): DataFrame = {
-    val tot = joined.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
-    val eitherEmpty = col("t_ref") === 0 || col("t_cur") === 0
-    def prop(n: String, t: String): Column =
-      when(col(t) === 0, lit(eps))
-        .otherwise(greatest(col(n) / col(t).cast("double"), lit(eps)))
-    val withP = joined.crossJoin(broadcast(tot))
-      .select(col(key), col("n_ref"), col("n_cur"),
-        prop("n_ref", "t_ref").as("p_ref"), prop("n_cur", "t_cur").as("p_cur"),
-        eitherEmpty.as("quiet"))
-      .withColumn("contrib",
-        when(col("quiet"), lit(0.0)).otherwise(
-          round((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6)))
-    withP
-      .withColumn("psi", sum("contrib").over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
-      .select(col(key), col("n_ref"), col("n_cur"),
-        round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
-        col("contrib"), round(col("psi"), 6).as("psi"))
+    val packed = joined.agg(
+      collect_list(struct(col(key).as("k"),
+        col("n_ref"), col("n_cur"))).as("rows"),
+      sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    val quiet = coalesce(col("t_ref"), lit(0L)) === 0 ||
+      coalesce(col("t_cur"), lit(0L)) === 0
+    def prop(n: Column, t: Column): Column =
+      when(t === 0, lit(eps))
+        .otherwise(greatest(n / t.cast("double"), lit(eps)))
+    def contribOf(r: Column): Column = {
+      val pr = prop(r.getField("n_ref"), col("t_ref"))
+      val pc = prop(r.getField("n_cur"), col("t_cur"))
+      when(quiet, lit(0.0)).otherwise(round((pc - pr) * log(pc / pr), 6))
+    }
+    packed
+      .select(col("rows"), col("t_ref"), col("t_cur"), quiet.as("q"),
+        round(aggregate(transform(col("rows"), contribOf(_)),
+          lit(0.0), _ + _), 6).as("psi"))
+      .select(explode(col("rows")).as("r"),
+        col("t_ref"), col("t_cur"), col("q"), col("psi"))
+      .select(col("r.k").as(key),
+        col("r.n_ref").as("n_ref"), col("r.n_cur").as("n_cur"),
+        round(prop(col("r.n_ref"), col("t_ref")), 6).as("p_ref"),
+        round(prop(col("r.n_cur"), col("t_cur")), 6).as("p_cur"),
+        when(col("q"), lit(0.0)).otherwise(
+          round((prop(col("r.n_cur"), col("t_cur"))
+              - prop(col("r.n_ref"), col("t_ref")))
+            * log(prop(col("r.n_cur"), col("t_cur"))
+              / prop(col("r.n_ref"), col("t_ref"))), 6)).as("contrib"),
+        col("psi"))
   }
 
   /** Embedding-distribution drift: did the VECTOR SPACE move between the
@@ -203,41 +227,62 @@ object Drift {
     val ranged = counted.repartitionByRange(col("v"))
       .sortWithinPartitions("v").rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val partials = ranged.mapPartitionsWithIndex { (pid, it) =>
-      var r = 0L; var c = 0L
-      it.foreach { row => r += row.getLong(1); c += row.getLong(2) }
-      Iterator.single((pid, r, c))
-    }.collect().sortBy(_._1)
-    val offR = partials.map(_._2).scanLeft(0L)(_ + _)
-    val offC = partials.map(_._3).scanLeft(0L)(_ + _)
-    val tR = if (offR.isEmpty) 0L else offR.last
-    val tC = if (offC.isEmpty) 0L else offC.last
-    // phase 2: map-only cumulative sums with the partition offsets; only
-    // (cum_r, cum_c) survive — the max-|ΔCDF| reduction needs no order.
-    val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("cum_r",
-        org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("cum_c",
-        org.apache.spark.sql.types.LongType, nullable = false)))
-    val cdfRdd = ranged.mapPartitionsWithIndex { (pid, it) =>
-      var r = offR(pid); var c = offC(pid)
-      it.map { row =>
-        r += row.getLong(1); c += row.getLong(2)
-        org.apache.spark.sql.Row(r, c)
+    // EVERYTHING after the persist sits in try/finally: either collect()
+    // can throw (lost executor, cancelled job), and a monitoring loop
+    // that retries on transient failures must not accumulate pinned
+    // blocks — the success-path-only unpersist was exactly the leak the
+    // eager contract promises to close (r13 ADVICE).
+    try {
+      val partials = ranged.mapPartitionsWithIndex { (pid, it) =>
+        var r = 0L; var c = 0L
+        it.foreach { row => r += row.getLong(1); c += row.getLong(2) }
+        Iterator.single((pid, r, c))
+      }.collect().sortBy(_._1)
+      val offR = partials.map(_._2).scanLeft(0L)(_ + _)
+      val offC = partials.map(_._3).scanLeft(0L)(_ + _)
+      val tR = if (offR.isEmpty) 0L else offR.last
+      val tC = if (offC.isEmpty) 0L else offC.last
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("d_stat",
+          org.apache.spark.sql.types.DoubleType, nullable = true),
+        org.apache.spark.sql.types.StructField("n_ref",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("n_cur",
+          org.apache.spark.sql.types.LongType, nullable = true)))
+      // empty-side guard: with tR or tC == 0 the CDF ratio is 0/0 and
+      // d_stat comes back NaN — poison for an alarm threshold. Mirror the
+      // psi path's quiet contract (empty micro-batch ⇒ no drift signal):
+      // report d_stat 0 with the true counts. Known driver-side, so the
+      // guard costs no job.
+      if (tR == 0L || tC == 0L)
+        return spark.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(0.0, tR, tC)), outSchema)
+      // phase 2: map-only cumulative sums with the partition offsets; only
+      // (cum_r, cum_c) survive — the max-|ΔCDF| reduction needs no order.
+      val cdfSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cum_r",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cum_c",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val cdfRdd = ranged.mapPartitionsWithIndex { (pid, it) =>
+        var r = offR(pid); var c = offC(pid)
+        it.map { row =>
+          r += row.getLong(1); c += row.getLong(2)
+          org.apache.spark.sql.Row(r, c)
+        }
       }
-    }
-    val agg = spark.createDataFrame(cdfRdd, cdfSchema)
-      .agg(
-        round(max(abs(col("cum_r") / lit(tR.toDouble)
-          - col("cum_c") / lit(tC.toDouble))), 6).as("d_stat"),
-        max(lit(tR)).as("n_ref"), max(lit(tC)).as("n_cur"))
-    // Materialize the one-row result NOW, release the pinned partitions,
-    // and hand back a local frame — see the eager-execution contract in
-    // the Scaladoc above.
-    val result = agg.collect()
-    ranged.unpersist(blocking = false)
-    spark.createDataFrame(
-      java.util.Arrays.asList(result: _*), agg.schema)
+      val agg = spark.createDataFrame(cdfRdd, cdfSchema)
+        .agg(
+          round(max(abs(col("cum_r") / lit(tR.toDouble)
+            - col("cum_c") / lit(tC.toDouble))), 6).as("d_stat"),
+          max(lit(tR)).as("n_ref"), max(lit(tC)).as("n_cur"))
+      // Materialize the one-row result NOW and hand back a local frame —
+      // see the eager-execution contract in the Scaladoc above.
+      val result = agg.collect()
+      spark.createDataFrame(
+        java.util.Arrays.asList(result: _*), agg.schema)
+    } finally ranged.unpersist(blocking = false)
   }
 
   /** Corpus snapshot diff — which documents were added, removed, or

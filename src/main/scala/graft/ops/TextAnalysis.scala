@@ -457,25 +457,49 @@ object TextAnalysis {
     *
     * Scale shape: token frequencies partial-aggregate before one shuffle;
     * the top-v cut is TakeOrderedAndProject (per-partition heaps, only
-    * v rows survive each partition); the id-assignment window runs over
-    * the v-row result — O(vocab), never O(corpus). Encoding is a
-    * broadcast left join of the exploded tokens against the vocab and a
-    * per-doc fold back into position order (collect_list of (pos, id)
-    * sorted — partition-order independent).
+    * v rows survive each partition); ids 1..v are assigned DRIVER-side
+    * on the collected ≤v-row cut. That collect adds no scale constraint
+    * the operator didn't already have: the encode join BROADCASTS the
+    * vocab, so O(v) memory on every node is the operator's contract
+    * either way — and it removes the id-assignment window (the r13
+    * `WindowExec: No Partition Defined` class) without the fixed
+    * materialization cost a distributed two-phase rank pays (r14 probe:
+    * the `Ids.stableIds` variant measured +0.5 s flat at sf0.1 for a
+    * 500-row frame). Encoding is a broadcast left join of the exploded
+    * tokens against the vocab and a per-doc fold back into position
+    * order (collect_list of (pos, id) sorted — partition-order
+    * independent).
     *
     * Output: (doc_id, n_toks, n_oov, ids_str) — ids space-joined as a
     * string so the row is engine-comparable. */
+  /** The corpus-side top-`v` vocabulary cut — (tok, freq) under
+    * (freq DESC, tok ASC), LAZY and un-ranked. Exposed as its own stage
+    * so PlanSpec can pin its physical shape (TakeOrderedAndProject —
+    * per-partition heaps, never a global sort): [[vocabEncode]] ranks it
+    * through `Ids.stableIds`, whose materialization hides this plan
+    * from the final query's `executedPlan`. */
+  def vocabCut(documents: DataFrame, v: Int,
+      textCol: String = "text"): DataFrame =
+    documents
+      .select(toks(lower(col(textCol))).as("t"))
+      .select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc).limit(v)
+
   def vocabEncode(documents: DataFrame, v: Int = 500,
       textCol: String = "text"): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     val docs = documents.select(col("doc_id"),
       toks(lower(col(textCol))).as("t")) // materialized: HOF no-CSE trap
     val tok = docs.select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "tok")))
-    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("tok").asc).limit(v)
-      .withColumn("tok_id", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("freq").desc, col("tok").asc)))
-      .select("tok", "tok_id")
+    // collect() preserves the cut's (freq DESC, tok ASC) order, so the
+    // 1-based index IS the rank — bounded control plane (≤ v rows, the
+    // same rows the encode join broadcasts anyway)
+    val vocab = vocabCut(documents, v, textCol).collect()
+      .iterator.zipWithIndex
+      .map { case (r, i) => (r.getString(0), i + 1) }
+      .toSeq.toDF("tok", "tok_id")
     tok.join(broadcast(vocab), Seq("tok"), "left")
       .select(col("doc_id"), col("pos"),
         coalesce(col("tok_id"), lit(0)).as("id"))
@@ -498,8 +522,21 @@ object TextAnalysis {
     * `(N − types_above) · freq` from the boundary tier. Every type in
     * the boundary tier has the same freq, so coverage needs NO
     * tie-break — it is well-defined and engine-identical by
-    * construction. The tier frame is O(distinct frequencies) — tiny —
-    * so its cumulative window and the cutoff cross-join are noise.
+    * construction.
+    *
+    * The tier frame is NOT bounded by construction: distinct frequency
+    * values grow ~√(total tokens) (at 10¹³ tokens, millions of tiers),
+    * so the cumulative type count uses the two-phase distributed prefix
+    * sum ([[graft.ops.Ids.stableIds]] / `Drift.ks` pattern) — range
+    * exchange on `freq` DESC, per-partition partials, driver cumsum of
+    * ONE long per partition, map-only offset pass — never a
+    * partition-less window. freq values are distinct by construction
+    * (tiers come from a groupBy), so the range order is total and the
+    * cumsum is partitioning-invariant (pinned in ScaleOpsSpec). The
+    * tier frame stays distributed; only the few-row cutoff list is
+    * broadcast. Like `Ids.stableIds`, the offsets run Spark jobs at
+    * CALL time (the returned frame is lazy downstream of the pinned
+    * tier materialization).
     *
     * Output per cutoff: (vocab_size, n_types, covered_tokens, coverage),
     * n_types = min(cutoff, |vocab|), coverage rounded 6. */
@@ -514,16 +551,41 @@ object TextAnalysis {
     val tiers = vcounts.groupBy("freq")
       .agg(count(lit(1)).as("n_types"))
       .withColumn("tokens", col("freq") * col("n_types"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("freq").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val cum = tiers
-      .withColumn("cum_types", sum("n_types").over(w))
-      .withColumn("prev_types", col("cum_types") - col("n_types"))
+    // two-phase cumulative sum of n_types in freq-DESC order: the
+    // counting and offset passes must read ONE materialization of the
+    // range-sorted tiers (same contract as Ids.stableIds)
+    val sorted = graft.ops.Materialize(
+      tiers.repartitionByRange(col("freq").desc)
+        .sortWithinPartitions(col("freq").desc))
+    val nIdx = sorted.schema.fieldIndex("n_types")
+    val partials = sorted.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(nIdx))
+        Iterator.single(pid -> s)
+      }.collect().sortBy(_._1).map(_._2)
+    val offsets = partials.scanLeft(0L)(_ + _)
+    val cumSchema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("cum_types",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("prev_types",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    val cumRdd = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = offsets(pid)
+      it.map { r =>
+        val n = r.getLong(nIdx); val prev = c; c += n
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c :+ prev)
+      }
+    }
+    val cum = spark.createDataFrame(cumRdd, cumSchema)
     val total = cum.agg(sum("tokens").as("__total"))
-    cutoffs.toDF("vocab_size")
-      .join(broadcast(cum), col("prev_types") < col("vocab_size"))
+    // tier side stays distributed; only the few-row cutoff list rides a
+    // broadcast (the old shape broadcast the TIER frame — wrong side at
+    // scale). Each cutoff N matches ≤ N tiers, so the join output is
+    // bounded by Σ cutoffs rows.
+    cum
+      .join(broadcast(cutoffs.toDF("vocab_size")),
+        col("prev_types") < col("vocab_size"))
       .groupBy("vocab_size")
       .agg(
         sum(least(col("n_types"), col("vocab_size") - col("prev_types")))

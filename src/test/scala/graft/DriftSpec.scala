@@ -82,6 +82,51 @@ class DriftSpec extends SparkSpec {
     assert(r.collect().length == 1)
   }
 
+  test("KS empty side reports quiet (d_stat 0, never NaN) and stays leak-free") {
+    // the eager contract markets ks for per-micro-batch monitoring loops
+    // where an empty batch is the COMMON case; without the guard 0/0
+    // CDF ratios make d_stat NaN — and NaN > threshold alarms (r13
+    // ADVICE). Mirrors the psi empty-side contract.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r1 = Drift.ks(vals(1, 2, 3), vals(), "x").collect().head
+    assert(r1.getAs[Double]("d_stat") == 0.0)
+    assert(r1.getAs[Long]("n_ref") == 3L && r1.getAs[Long]("n_cur") == 0L)
+    val r2 = Drift.ks(vals(), vals(1, 2), "x").collect().head
+    assert(r2.getAs[Double]("d_stat") == 0.0)
+    assert(r2.getAs[Long]("n_ref") == 0L && r2.getAs[Long]("n_cur") == 2L)
+    assert(Drift.ks(vals(), vals(), "x").collect()
+      .head.getAs[Double]("d_stat") == 0.0)
+    // the guard path short-circuits before phase 2 — it must still unpin
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
+  test("ks unpins even when the job fails (finally, not success-path-only)") {
+    // r13 ADVICE: a monitoring loop that retries on transient job
+    // failures must not accumulate pinned blocks — the unpersist sits in
+    // a finally, so a throwing collect() leaves the registry untouched
+    val boom = udf((d: Double) =>
+      if (d > 2) throw new RuntimeException("boom") else d)
+    val bad = vals(1, 2, 3, 4).select(boom(col("x")).as("x"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[Exception] { Drift.ks(bad, vals(1, 2), "x") }
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty, s"leak on failure: ${after -- before}")
+  }
+
+  test("psi plan carries no Window nodes (total = agg + broadcast join)") {
+    // r13 verdict item 3: the corpus-wide total is re-attached by a
+    // 1-row broadcast cross-join, so the `WindowExec: No Partition
+    // Defined` class stays extinct repo-wide
+    val ref = vals(5, 15, 25, 35)
+    for (df <- Seq(Drift.psi(ref, ref, "x", lo = 0, hi = 100, bins = 10),
+        Drift.psiLogHist(ref, ref, "x"))) {
+      val plan = df.queryExecution.analyzed
+      assert(plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }.isEmpty)
+    }
+  }
+
   test("empty current side reports quiet (psi 0, never NaN)") {
     // the streaming monitor's empty-micro-batch case: without the
     // zero-total guard, 0/0 = NaN propagates and NaN > threshold is true

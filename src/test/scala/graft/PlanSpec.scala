@@ -273,9 +273,18 @@ class PlanSpec extends SparkSpec {
 
   test("vocab encode: vocab cut is top-k, encode join is broadcast") {
     val p = planOf("text_vocab_encode")
-    assert(p.contains("TakeOrderedAndProject"),
-      "vocab cut must be per-partition top-k, not a global sort")
     assert(p.contains("BroadcastHashJoin"), "encode join must broadcast the vocab")
+    assert(!p.contains("Window"), "vocab id rank must not use a window")
+    // the corpus-side cut executes at construction since r14 (the id
+    // window became a driver-side rank of the collected ≤v-row cut —
+    // the join broadcasts the vocab anyway, so O(v) everywhere was
+    // already the contract), so its shape is pinned on the exposed
+    // stage, not the final executedPlan
+    val cut = graft.ops.TextAnalysis.vocabCut(
+      Tables.documents(spark, sf("sf0.001")), v = 500)
+    assert(cut.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+      "vocab cut must be per-partition top-k, not a global sort")
   }
 
   test("semantic decon: eval side broadcast, per-train top-1 pruned pre-shuffle") {

@@ -229,6 +229,35 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got(10L) == ((4L, 12L, 1.0))) // cutoff beyond |vocab| clamps
   }
 
+  test("vocab coverage: partitioning-invariant two-phase cumsum, no Window") {
+    // r13 verdict item 1: distinct frequency values grow ~√(tokens), so
+    // the tier cumsum rides the two-phase distributed prefix sum
+    // (Ids.stableIds pattern) — the value must be bit-identical under
+    // any input partitioning and the plan must carry ZERO Window nodes
+    // (no `WindowExec: No Partition Defined` from this query class)
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val docs = (1 to 40).map(i => (i.toLong,
+      (1 to (i % 7 + 1)).map(j => s"w${(i * j) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cuts = Seq(1L, 3L, 5L, 8L, 100L)
+    val base = TextAnalysis.vocabCoverage(docs, cuts)
+      .orderBy("vocab_size").collect().toSeq
+    assert(base.nonEmpty)
+    for (p <- Seq(1, 3, 17)) {
+      val r = TextAnalysis.vocabCoverage(docs.repartition(p), cuts)
+        .orderBy("vocab_size").collect().toSeq
+      assert(r == base, s"partitioning $p changed the coverage curve")
+    }
+    def windows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+    assert(windows(TextAnalysis.vocabCoverage(docs, cuts)).isEmpty)
+    // vocabEncode's bounded id window rode the same pattern out too
+    assert(windows(TextAnalysis.vocabEncode(docs, v = 5)).isEmpty)
+  }
+
   test("decontaminate: shared n-grams flagged, clean docs pass, eval broadcast") {
     import spark.implicits._
     import graft.ops.TextAnalysis
