@@ -130,16 +130,40 @@ object Dedup {
   def minhashCandidates(documents: DataFrame, perms: Int = 64, bands: Int = 16,
       minEst: Double = 0.0, portable: Boolean = false,
       maxBucket: Option[Int] = None): DataFrame =
-    candidatesFromSigs(minhashSignatures(documents, perms, portable),
+    // materialized HERE, not in candidatesFromSigs: the id-pair shape
+    // below reads the signature table three times (banding + both
+    // re-attach joins), and recomputing the shingle+hash+UDAF pass per
+    // read would dominate; callers of candidatesFromSigs hold persisted/
+    // checkpointed sigs that re-read cheaply
+    candidatesFromSigs(Materialize(minhashSignatures(documents, perms, portable)),
       perms, bands, minEst, maxBucket)
 
   /** Candidate pairs from ALREADY-COMPUTED signatures — callers that
     * have signatures in hand (the incremental loop's checkpointed
     * batch, a persisted signature table) must not pay the shingle+hash
-    * pass twice. */
+    * pass twice. `sigs` is read three times; hand in a materialized /
+    * table-backed frame, not a live aggregation (see
+    * [[minhashCandidates]]).
+    *
+    * Shape (r14, probed at sf10): the band self-join carries doc_ids
+    * ONLY — candidate (doc_a, doc_b) pairs are deduplicated while
+    * skinny, then the two signatures are re-attached by equi-joins on
+    * the sig table and the agreement fraction is computed once per
+    * PAIR. The previous shape shipped the `perms`-long sig array on
+    * BOTH sides of the band exchange and ran the (interpreted,
+    * non-codegen) zip_with per COLLISION row: at sf10 that was 9.1×
+    * the zip_with volume (15.7 M collision rows vs 1.73 M pairs) and
+    * the fat double-sided exchange was the query's largest shuffle
+    * (r11 sf100: 37 GB — the id-only band exchange plus two sig-table
+    * exchanges is a several-fold reduction at that scale). Interleaved
+    * min-of-3 at sf10: 12.43 → 10.92 s with identical output
+    * (est_jaccard is a pure function of the two sigs, so max over
+    * collision duplicates ≡ the single per-pair computation —
+    * `tmp/probe_minhash2_r14.log`). */
   def candidatesFromSigs(sigs: DataFrame, perms: Int = 64, bands: Int = 16,
       minEst: Double = 0.0, maxBucket: Option[Int] = None): DataFrame = {
     val bandedAll = bandHashes(sigs, perms, bands)
+      .select(col("band"), col("band_hash"), col("doc_id"))
     val banded = maxBucket match {
       case None => bandedAll
       case Some(cap) =>
@@ -147,17 +171,20 @@ object Dedup {
         bandedAll.withColumn("__bn", count(lit(1)).over(w))
           .filter(col("__bn") <= cap).drop("__bn")
     }
-    val a = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("band_hash"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val pairs = banded.select(col("band"), col("band_hash"),
+        col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("band_hash"),
+        col("doc_id").as("doc_b")), Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          eq => eq)) / lit(perms.toDouble)).as("est_jaccard"))
-      .groupBy("doc_a", "doc_b")
-      .agg(round(max("est_jaccard"), 4).as("est_jaccard"))
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          eq => eq)) / lit(perms.toDouble), 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
   }
 
