@@ -32,7 +32,21 @@ import duckdb
 
 sf_dir, sql_path, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
 
-RUNS = 2  # min of N, same hygiene as graft.Bench
+# min of N, same hygiene as graft.Bench; at sf100 a single run is the
+# honest trade (min-of-2 doubles a multi-hour recording for warmup noise
+# that is <1% of multi-second walls)
+RUNS = int(os.environ.get("ORACLE_BENCH_RUNS", "2"))
+# per-query wall cap, child killed past it (0 = unlimited). At sf100
+# several oracles grind for tens of minutes before OOM/out-of-disk; a
+# bounded recording marks them "timeout" in _meta.errors instead of
+# stalling the whole file — "where DuckDB survives" includes surviving
+# in bounded time.
+TIMEOUT = float(os.environ.get("ORACLE_BENCH_TIMEOUT", "0")) or None
+# names to skip outright (comma list): queries DuckDB already fails at a
+# smaller SF (OOM / out-of-disk) just burn the timeout and can leave the
+# spill volume full for their successors — record them as skipped.
+SKIP = {n.strip() for n in os.environ.get("ORACLE_BENCH_SKIP", "").split(",")
+        if n.strip()}
 
 
 def connect():
@@ -74,9 +88,18 @@ if len(sys.argv) >= 6 and sys.argv[4] == "--one":
 
 def time_one(name):
     """Run one query in a subprocess; (seconds, None) or (None, error)."""
-    r = subprocess.run(
-        [sys.executable, __file__, sf_dir, sql_path, out_path, "--one", name],
-        capture_output=True, text=True)
+    try:
+        r = subprocess.run(
+            [sys.executable, __file__, sf_dir, sql_path, out_path, "--one", name],
+            capture_output=True, text=True, timeout=TIMEOUT)
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {TIMEOUT:.0f}s"
+    finally:
+        # a killed/OOM'd child can leave multi-GB temp files behind;
+        # the next query would then hit a pre-filled spill volume
+        import shutil
+        spill = os.environ.get("ORACLE_BENCH_SPILL", "/tmp/duckdb_spill")
+        shutil.rmtree(spill, ignore_errors=True)
     if r.returncode == 0:
         try:
             return json.loads(r.stdout.strip().splitlines()[-1])["sec"], None
@@ -106,6 +129,9 @@ oracle = json.loads(Path(sql_path).read_text())
 times = {}
 errors = {}
 for name in sorted(oracle):
+    if name in SKIP:
+        errors[name] = "skipped via ORACLE_BENCH_SKIP (fails at smaller SF)"
+        continue
     sec, err = time_one(name)
     if err is not None:
         errors[name] = err
@@ -164,6 +190,8 @@ out = {
         "load_avg": load_at_gate,
         "duckdb": duckdb.__version__,
         "threads": os.cpu_count(),
+        "runs": RUNS,
+        "timeout_sec": TIMEOUT or 0,
         "errors": errors,
     },
     "times": times,
