@@ -45,7 +45,15 @@ object GenScale {
     spark.sparkContext.setLogLevel("WARN")
 
     def reps(df: DataFrame): DataFrame =
-      df.crossJoin(spark.range(replicas).select(col("id").cast("int").as("__r")))
+      // repartition the (single-file, so single-partition) input BEFORE
+      // the replica crossJoin: every per-row transform downstream
+      // (tagText's word-split/concat, key offsets) otherwise runs in ONE
+      // task — at 1000 replicas that is 600 M lineitem rows through a
+      // single thread (measured: the r14 sf100 generation sat >10 min in
+      // stage-one with 31 idle cores). Row content is a pure function of
+      // (row, __r), so the spread changes only which task computes what.
+      df.repartition(32)
+        .crossJoin(spark.range(replicas).select(col("id").cast("int").as("__r")))
 
     /** words tagged `r<k>-` except replica 0 (sf1 ⊇ sf0.1). */
     def tagText(text: org.apache.spark.sql.Column) =
