@@ -737,12 +737,20 @@ object Queries {
     QDef("q51_recursive_cte",
       (s, d) => {
         // total(depth) = Σ cnt(nationkey) for nationkey < depth, depth 0..24
-        val cnts = nation(s, d).select(col("n_nationkey"))
+        val cntsPlan = nation(s, d).select(col("n_nationkey"))
           .join(customer(s, d).select(col("c_nationkey"), col("c_custkey")),
             col("n_nationkey") === col("c_nationkey"), "left")
           .groupBy(col("n_nationkey").as("nationkey"))
           .agg(count(col("c_custkey")).as("cnt"))
           .filter(col("nationkey") <= 24)
+        // the self-join below references the aggregate TWICE; as a plan
+        // fragment that is two full customer scans unless ReuseExchange
+        // happens to fire (r13 ADVICE). The aggregate is <= 25 rows —
+        // bounded control plane — so collect it and self-join the
+        // LocalRelation: "customer is scanned once" becomes a property
+        // of the plan, not of an optimizer rule firing.
+        val cnts = s.createDataFrame(
+          java.util.Arrays.asList(cntsPlan.collect(): _*), cntsPlan.schema)
         cnts.select(col("nationkey").cast("int").as("depth"))
           .join(broadcast(cnts.select(col("nationkey").as("prior_key"),
               col("cnt"))),
