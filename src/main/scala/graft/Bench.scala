@@ -274,7 +274,9 @@ object Bench {
       if (only.isEmpty) ""
       else results.map(r => "\"" + r._1 + "\"")
         .mkString(""","q_filter":[""", ",", "]")
-    val compact = f"""{"metric":"total","format":"compact","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"load_gate_passed":$gatePassed,"during_clean":$duringClean$compactOracle$filterJson,"q_order":"name_asc","qv":$qv}"""
+    // during_max rides the compact line too: the r14 verdict leaned on a
+    // load figure the committed artifact could not substantiate (ADVICE r14)
+    val compact = f"""{"metric":"total","format":"compact","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"load_gate_passed":$gatePassed,"during_max":$loadMax%.2f,"during_clean":$duringClean$compactOracle$filterJson,"q_order":"name_asc","qv":$qv}"""
     println(compact)
     // durable copy: the full artifact survives whole in a file regardless
     // of the driver's stdout capture window.

@@ -743,21 +743,29 @@ object Queries {
           .groupBy(col("n_nationkey").as("nationkey"))
           .agg(count(col("c_custkey")).as("cnt"))
           .filter(col("nationkey") <= 24)
-        // the self-join below references the aggregate TWICE; as a plan
-        // fragment that is two full customer scans unless ReuseExchange
-        // happens to fire (r13 ADVICE). The aggregate is <= 25 rows —
-        // bounded control plane — so collect it and self-join the
-        // LocalRelation: "customer is scanned once" becomes a property
-        // of the plan, not of an optimizer rule firing.
-        val cnts = s.createDataFrame(
-          java.util.Arrays.asList(cntsPlan.collect(): _*), cntsPlan.schema)
-        cnts.select(col("nationkey").cast("int").as("depth"))
-          .join(broadcast(cnts.select(col("nationkey").as("prior_key"),
-              col("cnt"))),
-            col("prior_key") < col("depth"), "left")
-          .groupBy("depth")
-          .agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
-          .orderBy("depth")
+        // a self-join here would reference the aggregate TWICE; the r14
+        // shape collected the <= 25-row aggregate and self-joined the
+        // LocalRelation so "customer is scanned once" is a plan property.
+        // The aggregate is on the driver already, and a prefix sum over
+        // <= 25 longs is driver arithmetic — the same two-phase pattern
+        // as Ids.stableIds (distributed partials, driver cumsum): one
+        // job, one customer scan, no second join. R15Probe q51 A/B
+        // (sf0.1, min-of-5 interleaved): agg-alone 0.265 s / r13
+        // theta-self-join 0.250 s / r14 collect+join 0.389 s / this
+        // cumsum 0.360 s. The r13 single-plan shape is ~0.11 s faster
+        // locally (one pipelined job vs collect + result job), but that
+        // single-scan-ness rests on ReuseExchange firing; the collect
+        // makes it structural, and the 0.11 s is fixed driver overhead
+        // at ANY scale. Note today's agg floor (0.265 s) exceeds r13's
+        // entire committed wall (0.15 s) — most of the r14 "tripling"
+        // was the same host drift that inflated the r14 artifact.
+        val cnt = cntsPlan.collect()
+          .map(r => r.getAs[Number](0).intValue -> r.getLong(1)).toMap
+        var acc = 0L
+        val totals = (0 to 24).map { d =>
+          val row = (d, acc); acc += cnt.getOrElse(d, 0L); row }
+        import s.implicits._
+        totals.toDF("depth", "total").orderBy("depth")
       },
       Some("""WITH RECURSIVE r(depth, total) AS (
         |  SELECT 0, CAST(0 AS BIGINT)

@@ -183,7 +183,11 @@ object PollaParsers {
 object PollaFunctions {
   import org.apache.spark.sql.SparkSession
 
+  /** Idempotent per session: Queries re-registers per invocation, and each
+    * re-register emits a SimpleFunctionRegistry WARN per function — seven of
+    * which half-filled the bench tail's 2 kB stdout window in BENCH_r14. */
   def register(spark: SparkSession): Unit = {
+    if (spark.catalog.functionExists("parse_clp")) return
     spark.udf.register("parse_clp",
       (s: String) => PollaParsers.parseClp(s).toOption.map(Long.box).orNull)
     spark.udf.register("parse_clp_err",

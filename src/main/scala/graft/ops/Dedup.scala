@@ -134,7 +134,13 @@ object Dedup {
     // below reads the signature table three times (banding + both
     // re-attach joins), and recomputing the shingle+hash+UDAF pass per
     // read would dominate; callers of candidatesFromSigs hold persisted/
-    // checkpointed sigs that re-read cheaply
+    // checkpointed sigs that re-read cheaply.
+    // Measured both sides of the trade (r14 probes, interleaved minima):
+    // sf0.1 pays 0.60 -> 0.92 s (materialize + 3 reads is pure overhead
+    // when the whole sig table is a few MB); sf10 wins 12.43 -> 10.92 s;
+    // and at sf100 the r11-measured 37 GB double-sided signature band
+    // exchange collapses to id pairs + two equi re-attach joins — the
+    // scale direction this engine optimizes for.
     candidatesFromSigs(Materialize(minhashSignatures(documents, perms, portable)),
       perms, bands, minEst, maxBucket)
 
