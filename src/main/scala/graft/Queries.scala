@@ -752,13 +752,15 @@ object Queries {
         // job, one customer scan, no second join. R15Probe q51 A/B
         // (sf0.1, min-of-5 interleaved): agg-alone 0.265 s / r13
         // theta-self-join 0.250 s / r14 collect+join 0.389 s / this
-        // cumsum 0.360 s. The r13 single-plan shape is ~0.11 s faster
-        // locally (one pipelined job vs collect + result job), but that
-        // single-scan-ness rests on ReuseExchange firing; the collect
-        // makes it structural, and the 0.11 s is fixed driver overhead
-        // at ANY scale. Note today's agg floor (0.265 s) exceeds r13's
-        // entire committed wall (0.15 s) — most of the r14 "tripling"
-        // was the same host drift that inflated the r14 artifact.
+        // cumsum 0.360 s; at sf10: agg-alone 0.660 / r13 0.225 / r14
+        // 0.760 / cumsum 0.697. The r13 single-plan shape reading FASTER
+        // than the bare aggregate it contains is the tell: under the
+        // bench's count() action Catalyst prunes the customer-count
+        // values out of that plan entirely (count needs only the 25
+        // group keys, so count(c_custkey) and most of the scan go) —
+        // the old committed numbers timed a hollowed plan. The collect
+        // forces the real work; cumsum sits within ~0.04 s of the
+        // honest floor (the aggregate itself) at both SFs.
         val cnt = cntsPlan.collect()
           .map(r => r.getAs[Number](0).intValue -> r.getLong(1)).toMap
         var acc = 0L
