@@ -1450,15 +1450,25 @@ object Queries {
     // ---- dedup: embedding-cosine near-dup via sign-bucket LSH ----
     QDef("dedup_embedding_cosine",
       (s, d) => {
+        // norm is attached ONCE per vector, not recomputed per pair row:
+        // cosine(ea, eb) inlines 3 VecDot evaluations per pair, and the
+        // in-bucket pair count grows ~n²/256 — at sf100 (BENCH_sf100_r15)
+        // the 3× per-pair cost read 511 s wall, 104× per decade. Same
+        // value bit-for-bit (norm is a pure function of the vector; the
+        // division is the same expression), 1/3 the pair-stage flops.
         val e = embeddings(s, d).select(col("vec_id"),
           col("embedding").cast("array<double>").as("emb"))
           .withColumn("bucket", Similarity.signBucket(col("emb"), 8))
-        val a = e.select(col("bucket"), col("vec_id").as("vec_a"), col("emb").as("ea"))
-        val b = e.select(col("bucket"), col("vec_id").as("vec_b"), col("emb").as("eb"))
+          .withColumn("nrm", Similarity.norm(col("emb")))
+        val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
+          col("emb").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
+          col("emb").as("eb"), col("nrm").as("nb"))
         a.join(b, Seq("bucket"))
           .filter(col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"),
-            round(Similarity.cosine(col("ea"), col("eb")), 4).as("sim"))
+            round(Similarity.dot(col("ea"), col("eb")) /
+              (col("na") * col("nb")), 4).as("sim"))
           .filter(col("sim") >= 0.2)
           .orderBy("vec_a", "vec_b")
       },

@@ -215,25 +215,46 @@ object Dedup {
     hashed.groupBy("doc_id").agg(simAgg(col("h")).as("sig"))
   }
 
-  /** SimHash near-dup candidates: equal signature chunk → verify hamming ≤
-    * maxHamming. Chunking is 4×16 bits (4×15 when `portable`), so by
-    * pigeonhole recall is exactly 1 for maxHamming ≤ 3: the output is
-    * precisely "all pairs at hamming distance ≤ 3" — a relational semantic
-    * an oracle can check without replicating the LSH. */
+  /** SimHash near-dup candidates via multi-index pigeonhole: equal
+    * 3-block compound key → verify hamming ≤ maxHamming. Output is
+    * precisely "all pairs at hamming distance ≤ maxHamming" — a
+    * relational semantic an oracle can check without replicating the
+    * LSH, and independent of how candidates are generated.
+    *
+    * Candidate generation: the signature splits into b = maxHamming + 3
+    * near-equal blocks; a pair within maxHamming differs in at most
+    * maxHamming blocks, so AT LEAST 3 blocks are intact — the pair
+    * collides on the compound key of some 3-subset. Joining on all
+    * C(b, 3) 3-block keys (hashed to one 64-bit bucket) keeps recall
+    * exactly 1 while the per-key collision space is ~3 block-widths
+    * wide instead of one. The previous shape (maxHamming+1 single-block
+    * keys, 16 bits each at the default) saturated at scale: a FIXED
+    * 65,536-key space per block makes in-block collision pairs grow
+    * ~n² once n ≫ 65k — measured at sf100 (5 M docs) as 660.6 s wall /
+    * 14.8 GB shuffle, 97×/17× per decade (BENCH_sf100_r15, SCALE.md
+    * r15). The 3-block compound key (~32 bits at the default) collapses
+    * random collisions by ~2^16; bucket-hash collisions only ADD
+    * candidates, which the exact hamming filter removes. */
   def simhashCandidates(documents: DataFrame, maxHamming: Int = 3,
       portable: Boolean = false): DataFrame = {
-    val chunkBits = if (portable) 15 else 16
-    val mask = (1L << chunkBits) - 1
+    val nBits = if (portable) 60 else 64
+    val nBlocks = maxHamming + 3
+    val widths = Array.tabulate(nBlocks)(i =>
+      nBits / nBlocks + (if (i < nBits % nBlocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def block(i: Int): Column =
+      shiftright(col("sig"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
     val sigs = simhashSignatures(documents, portable)
-    val chunks = array((0 until 4).map(i =>
-      shiftright(col("sig"), i * chunkBits).bitwiseAND(lit(mask))): _*)
-    val chunked = sigs.select(col("doc_id"), col("sig"),
-      posexplode(chunks).as(Seq("chunk", "chunk_val")))
-    val a = chunked.select(col("chunk"), col("chunk_val"),
+    val buckets = (0 until nBlocks).combinations(3).toSeq.zipWithIndex.map {
+      case (c, ci) => xxhash64(lit(ci), block(c(0)), block(c(1)), block(c(2)))
+    }
+    val keyed = sigs.select(col("doc_id"), col("sig"),
+      explode(array(buckets: _*)).as("bucket"))
+    val a = keyed.select(col("bucket"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk"), col("chunk_val"),
+    val b = keyed.select(col("bucket"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk", "chunk_val"))
+    a.join(b, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))

@@ -39,6 +39,29 @@ class OpsSpec extends SparkSpec {
     assert(got.contains((1L, 3L)))
   }
 
+  test("simhash candidates ≡ brute-force hamming join (multi-index recall is exact)") {
+    // r15: candidate generation moved from maxHamming+1 single-block keys
+    // to C(maxHamming+3, 3) 3-block compound keys (keyspace saturation at
+    // sf100 — SCALE.md r15). The output contract is UNCHANGED: exactly
+    // the pairs at hamming ≤ maxHamming, with their true distance.
+    val d = docs((1 to 30).map { i =>
+      i.toLong -> ((1 to 35).map(t => s"w${(t * i) % 47}").mkString(" "))
+    }: _*)
+    for (h <- Seq(0, 3, 10); portable <- Seq(false, true)) {
+      val sigs = Dedup.simhashSignatures(d, portable)
+      val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
+      val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb"))
+      val brute = a.join(b, col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
+        .filter(col("hamming") <= h)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val got = Dedup.simhashCandidates(d, maxHamming = h, portable = portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(got == brute, s"maxHamming=$h portable=$portable")
+    }
+  }
+
   test("jaccard pairs computes exact token-set overlap") {
     val d = docs(1L -> "a b c d", 2L -> "a b c e")
     val a = d.select(col("doc_id").as("doc_a"), Dedup.tokenSet(col("text")).as("toks_a"))
