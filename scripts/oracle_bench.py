@@ -47,6 +47,14 @@ TIMEOUT = float(os.environ.get("ORACLE_BENCH_TIMEOUT", "0")) or None
 # spill volume full for their successors — record them as skipped.
 SKIP = {n.strip() for n in os.environ.get("ORACLE_BENCH_SKIP", "").split(",")
         if n.strip()}
+# same, but for queries that RUN at the smaller SF yet too slowly to fit
+# the per-query cap at this one (wall × scale-up > TIMEOUT) — recorded
+# with the honest reason so the artifact explains itself (the r15 sf100
+# recording lumped both classes under one message; SCALE.md had to
+# correct it after the fact).
+SKIP_SLOW = {n.strip()
+             for n in os.environ.get("ORACLE_BENCH_SKIP_SLOW", "").split(",")
+             if n.strip()}
 
 
 def connect():
@@ -131,6 +139,11 @@ errors = {}
 for name in sorted(oracle):
     if name in SKIP:
         errors[name] = "skipped via ORACLE_BENCH_SKIP (fails at smaller SF)"
+        continue
+    if name in SKIP_SLOW:
+        errors[name] = ("skipped via ORACLE_BENCH_SKIP_SLOW (runs at the "
+                        "smaller SF but its wall x scale-up exceeds the "
+                        "per-query cap)")
         continue
     sec, err = time_one(name)
     if err is not None:
