@@ -1206,7 +1206,8 @@ object Queries {
     // identical pair sets modulo a ~2^-64 hash collision.
     QDef("dedup_minhash_lsh",
       (s, d) => Dedup.minhashCandidates(documents(s, d), minEst = 0.25,
-          portable = true)
+          portable = true,
+          corpusDocs = Some(Tables.footerRowCount(s, d, "documents")))
         .orderBy("doc_a", "doc_b"),
       Some("""WITH tk AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
@@ -1281,12 +1282,16 @@ object Queries {
         |    CAST(COUNT(*) FILTER (in_c) AS DOUBLE), 4) AS precision
         |FROM j""".stripMargin)),
 
-    // maxHamming=3 ⇒ the 4-chunk LSH has recall exactly 1 (pigeonhole), so
-    // the declared semantic is simply "all pairs at hamming ≤ 3" — the
-    // oracle recomputes the 60-bit portable simhash and cross-joins.
+    // maxHamming=3 ⇒ the multi-index pigeonhole (3-block compound keys
+    // over maxHamming+3 blocks; single blocks below 65 k docs — same
+    // guarantee, cheaper explode) has recall exactly 1, so the declared
+    // semantic is simply "all pairs at hamming ≤ 3" — the oracle
+    // recomputes the 60-bit portable simhash and cross-joins. The corpus
+    // count comes from parquet footer metadata (zero Spark jobs).
     QDef("dedup_simhash",
       (s, d) => Dedup.simhashCandidates(documents(s, d), maxHamming = 3,
-          portable = true)
+          portable = true,
+          corpusDocs = Some(Tables.footerRowCount(s, d, "documents")))
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy("doc_a", "doc_b"),
       Some("""WITH tk AS (SELECT doc_id,
@@ -1448,6 +1453,17 @@ object Queries {
         |GROUP BY band ORDER BY band""".stripMargin)),
 
     // ---- dedup: embedding-cosine near-dup via sign-bucket LSH ----
+    //
+    // SCALE ENVELOPE — read before reaching for this query at scale.
+    // The DECLARED semantics fix the LSH at 8 sign bits = 256 buckets,
+    // so in-bucket pair volume grows ~n²/256: quadratic per decade BY
+    // CONSTRUCTION, no constant-factor fix changes the curve (measured:
+    // 470 s at 5 M vectors, sf100 r15b; ~13 h extrapolated at 50 M).
+    // This query is the small/medium-corpus tool (≲ ~10⁷ vectors). At
+    // corpus scale use `sim_bucketed_ann` (corpus-scaled bucket width),
+    // `sim_ivf` (trained coarse quantizer), or `semantic_dedup`
+    // (cluster-then-dedup) — same near-duplicate intent, sub-quadratic
+    // candidate generation.
     QDef("dedup_embedding_cosine",
       (s, d) => {
         // norm is attached ONCE per vector, not recomputed per pair row:

@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *    self-equi-join on (band, band_hash). At 100 TB this is a shuffle join
   *    on a high-cardinality key; the O(n²) pair space never materializes —
   *    only colliding buckets produce pairs.
-  *  - SimHash: 64-bit signature from token hashes; candidates share a
-  *    16-bit chunk (pigeonhole: hamming ≤ 3 ⇒ some chunk equal), verified
-  *    with `bit_count(xor)`.
+  *  - SimHash: 64-bit signature from token hashes; candidates collide on
+  *    a 3-block compound key (multi-index pigeonhole over
+  *    b = maxHamming + 3 blocks — hamming ≤ h ⇒ ≥ 3 blocks intact ⇒ some
+  *    3-subset equal; see [[simhashCandidates]]), verified with
+  *    `bit_count(xor)`.
   *  - n-gram Jaccard: exact verification over a candidate pair set.
   *
   * Determinism: all hashing is xxhash64 with fixed seeds — stable across
@@ -27,6 +29,13 @@ import org.apache.spark.sql.functions._
   * instead of rows-only.
   */
 object Dedup {
+
+  /** Corpus size at/below which [[simhashCandidates]] uses the cheap
+    * single-block keys: n ≤ 2^16 means even a 16-bit block key space
+    * cannot saturate (expected in-block random collisions stay ≤ ~n²/2^17
+    * ≈ 32 k pairs — trivially verified away), while the compound-key
+    * explode would cost C(h+3,3)/(h+1) ≈ 5× the rows for nothing. */
+  val simhashCompoundMinDocs: Long = 65536L
 
   private def tokens(c: Column): Column =
     graft.functions.WsSplitExpr.wsSplit(trim(lower(c)))
@@ -129,7 +138,8 @@ object Dedup {
 
   def minhashCandidates(documents: DataFrame, perms: Int = 64, bands: Int = 16,
       minEst: Double = 0.0, portable: Boolean = false,
-      maxBucket: Option[Int] = None): DataFrame =
+      maxBucket: Option[Int] = None,
+      corpusDocs: Option[Long] = None): DataFrame = {
     // materialized HERE, not in candidatesFromSigs: the id-pair shape
     // below reads the signature table three times (banding + both
     // re-attach joins), and recomputing the shingle+hash+UDAF pass per
@@ -141,8 +151,19 @@ object Dedup {
     // and at sf100 the r11-measured 37 GB double-sided signature band
     // exchange collapses to id pairs + two equi re-attach joins — the
     // scale direction this engine optimizes for.
-    candidatesFromSigs(Materialize(minhashSignatures(documents, perms, portable)),
-      perms, bands, minEst, maxBucket)
+    // r16: the sf0.1 side of that trade is bought back with the same
+    // footer-count gate the other ops use — when the corpus is KNOWN
+    // small (hint ≤ [[simhashCompoundMinDocs]]: a 64-perm sig table of
+    // 65 k docs is ~34 MB), recomputing the sig pass per read is cheaper
+    // than the materialize round-trip. Unknown count keeps the
+    // scale-safe materialize. Output identical either way (the sig pass
+    // is deterministic).
+    val sigs = minhashSignatures(documents, perms, portable)
+    val handed =
+      if (corpusDocs.exists(_ <= simhashCompoundMinDocs)) sigs
+      else Materialize(sigs)
+    candidatesFromSigs(handed, perms, bands, minEst, maxBucket)
+  }
 
   /** Candidate pairs from ALREADY-COMPUTED signatures — callers that
     * have signatures in hand (the incremental loop's checkpointed
@@ -234,20 +255,49 @@ object Dedup {
     * 14.8 GB shuffle, 97×/17× per decade (BENCH_sf100_r15, SCALE.md
     * r15). The 3-block compound key (~32 bits at the default) collapses
     * random collisions by ~2^16; bucket-hash collisions only ADD
-    * candidates, which the exact hamming filter removes. */
+    * candidates, which the exact hamming filter removes.
+    *
+    * Cost model: per-doc key fan-out is C(maxHamming + 3, 3) — cubic in
+    * maxHamming (20 keys at the default 3, 286 at 10, 969 at 16) — and
+    * every key is one exploded+shuffled row, so a large maxHamming
+    * multiplies exchange volume cubically while ALSO widening each
+    * block's collision space (fewer bits per block). maxHamming > 16 is
+    * rejected: past that the compound keys carry < 3 bits per block and
+    * the "candidate" join degenerates toward all-pairs.
+    *
+    * Small-corpus fast path (r16): below ~65 k docs the single-block
+    * saturation that motivated the compound keys cannot occur (n ≪ the
+    * 2^16 key space), and the 20×-per-doc explode is pure overhead —
+    * measured +0.5 s at sf0.1 (BENCH r15 vs r13). When the corpus is
+    * known small (`corpusDocs` hint ≤ [[simhashCompoundMinDocs]], served
+    * from parquet footer metadata by the declared query at zero Spark
+    * jobs), keys fall back to the maxHamming+1 single blocks — same
+    * pigeonhole guarantee (≤ h corrupted bits ⇒ some block intact),
+    * recall exactly 1, and the exact hamming filter makes both key
+    * schemes emit IDENTICAL pairs (OpsSpec pins both shapes ≡ brute
+    * force). An unknown count keeps the scale-safe compound keys. */
   def simhashCandidates(documents: DataFrame, maxHamming: Int = 3,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false,
+      corpusDocs: Option[Long] = None): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 16,
+      s"simhashCandidates: maxHamming=$maxHamming outside [0, 16] — key " +
+        "fan-out is C(maxHamming+3, 3) per doc and blocks lose " +
+        "discriminating bits; use minhash/containment for looser matches")
     val nBits = if (portable) 60 else 64
-    val nBlocks = maxHamming + 3
+    val compound = !corpusDocs.exists(_ <= simhashCompoundMinDocs)
+    val nBlocks = if (compound) maxHamming + 3 else maxHamming + 1
     val widths = Array.tabulate(nBlocks)(i =>
       nBits / nBlocks + (if (i < nBits % nBlocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     def block(i: Int): Column =
       shiftright(col("sig"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
     val sigs = simhashSignatures(documents, portable)
-    val buckets = (0 until nBlocks).combinations(3).toSeq.zipWithIndex.map {
-      case (c, ci) => xxhash64(lit(ci), block(c(0)), block(c(1)), block(c(2)))
-    }
+    val buckets =
+      if (compound)
+        (0 until nBlocks).combinations(3).toSeq.zipWithIndex.map {
+          case (c, ci) => xxhash64(lit(ci), block(c(0)), block(c(1)), block(c(2)))
+        }
+      else (0 until nBlocks).map(i => xxhash64(lit(i), block(i)))
     val keyed = sigs.select(col("doc_id"), col("sig"),
       explode(array(buckets: _*)).as("bucket"))
     val a = keyed.select(col("bucket"),

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Isolated declared-query probe WITH task-metrics telemetry (r16,
+  * VERDICT items 2/4): runs named `Queries.all` entries in a fresh
+  * session and prints EVERY sample (not just the min) with executor
+  * run/GC seconds, shuffle read/write, and spill from a stage listener —
+  * the evidence that distinguishes "ambient host noise" from "GC
+  * pressure" or "checkpoint I/O" when a wall swings between runs of
+  * unchanged code (graph_pagerank moved 1145 → 1609 s between the two
+  * r15 sf100 suite passes; no telemetry could say why).
+  *
+  * Usage: IsoProbe <sfDir> <runs> <name1,name2,...>  */
+object IsoProbe {
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val sfDir = args(0)
+    val runs = args(1).toInt
+    val names = args(2).split(",").map(_.trim).filter(_.nonEmpty)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val acc = new ContainmentStages.Acc
+    spark.sparkContext.addSparkListener(acc)
+    def load(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val byName = graft.Queries.all.map(q => q.name -> q).toMap
+    // one untimed warmup of the cheapest table so scan/JVM init isn't
+    // charged to the first sample
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    names.foreach { name =>
+      val q = byName.getOrElse(name,
+        sys.error(s"IsoProbe: unknown query '$name'"))
+      (1 to runs).foreach { i =>
+        val l0 = load()
+        val before = acc.snap(0)
+        val t0 = System.nanoTime()
+        val n = q.fn(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val s0 = acc.snap(wall)
+        val s = ContainmentStages.Snap(wall, s0.runSec - before.runSec,
+          s0.gcSec - before.gcSec, s0.shufReadMB - before.shufReadMB,
+          s0.shufWriteMB - before.shufWriteMB,
+          s0.memSpillMB - before.memSpillMB,
+          s0.diskSpillMB - before.diskSpillMB, s0.tasks - before.tasks)
+        println(f"""{"query":"$name","run":$i,"rows":$n,""" +
+          f""""wall_sec":$wall%.2f,"exec_run_sec":${s.runSec}%.1f,""" +
+          f""""gc_sec":${s.gcSec}%.1f,"shuffle_read_mb":${s.shufReadMB}%.0f,""" +
+          f""""shuffle_write_mb":${s.shufWriteMB}%.0f,""" +
+          f""""mem_spill_mb":${s.memSpillMB}%.0f,""" +
+          f""""disk_spill_mb":${s.diskSpillMB}%.0f,""" +
+          f""""load_before":$l0%.2f,"load_after":${load()}%.2f}""")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -47,6 +47,9 @@ class OpsSpec extends SparkSpec {
     val d = docs((1 to 30).map { i =>
       i.toLong -> ((1 to 35).map(t => s"w${(t * i) % 47}").mkString(" "))
     }: _*)
+    // r16: both key schemes — the small-corpus single-block gate
+    // (corpusDocs ≤ simhashCompoundMinDocs) and the scale-safe compound
+    // keys (None / large hint) — must emit IDENTICAL pairs.
     for (h <- Seq(0, 3, 10); portable <- Seq(false, true)) {
       val sigs = Dedup.simhashSignatures(d, portable)
       val a = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa"))
@@ -56,10 +59,28 @@ class OpsSpec extends SparkSpec {
           bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
         .filter(col("hamming") <= h)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
-      val got = Dedup.simhashCandidates(d, maxHamming = h, portable = portable)
-        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
-      assert(got == brute, s"maxHamming=$h portable=$portable")
+      for (hint <- Seq(None, Some(30L), Some(10000000L))) {
+        val got = Dedup.simhashCandidates(d, maxHamming = h,
+            portable = portable, corpusDocs = hint)
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+        assert(got == brute, s"maxHamming=$h portable=$portable hint=$hint")
+      }
     }
+  }
+
+  test("minhash candidates: materialize gate does not change output") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " other words"
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> (base + " tail"))
+    def pairs(hint: Option[Long]) =
+      Dedup.minhashCandidates(d, minEst = 0.1, corpusDocs = hint).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("est_jaccard"))
+        .toMap
+    val small = pairs(Some(3L))          // live sigs, no materialize
+    val large = pairs(Some(10000000L))   // materialized sig table
+    val none = pairs(None)               // unknown count → materialize
+    assert(small == large && large == none)
+    assert(small.nonEmpty)
   }
 
   test("jaccard pairs computes exact token-set overlap") {
