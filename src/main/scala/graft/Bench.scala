@@ -56,6 +56,26 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def load(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // Hypervisor STEAL time (r16): this box is a VM, and the r14/r15
+    // "host drift" regressions — 2-4× per-query swings on unchanged code
+    // with during_max under the bar — are consistent with bursty CPU
+    // steal, which the 1-minute load average cannot see (stolen cycles
+    // don't queue runnable tasks in the guest). /proc/stat field 8 is
+    // cumulative steal jiffies (USER_HZ=100) summed over all cpus;
+    // sampled per query, it converts "ambient noise" from an inference
+    // into a recorded, per-query number. iowait (field 5) rides along:
+    // it separates writeback/page-cache pollution (e.g. a just-written
+    // 20 GB scale corpus still flushing) from hypervisor contention.
+    def cpuStat(): (Long, Long) = {
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val f = src.getLines().next().trim.split("\\s+")
+          (f(8).toLong, f(5).toLong)
+        } finally src.close()
+      } catch { case _: Throwable => (0L, 0L) }
+    }
+    val ncpus = Runtime.getRuntime.availableProcessors()
     // quiet-host gate: refuse to time on a loaded host; wait (bounded)
     // for the 1-minute load to drop below the threshold first
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "4.0").toDouble
@@ -162,11 +182,21 @@ object Bench {
     // and nudge a GC so ContextCleaner releases dead checkpoint/shuffle
     // state. Untimed. SPARK_GRAFT_NO_HYGIENE=1 restores the old packing.
     val hygiene = !sys.env.contains("SPARK_GRAFT_NO_HYGIENE")
-    def timedPass(): (Seq[(String, (Double, Double))], Double) = {
+    // a pass is dirty when EITHER the load gate trips OR any query saw
+    // steal above this share of its cpu-seconds — 5% of 32 cores for a
+    // whole query is far beyond the ~0-1% idle baseline measured here
+    val maxStealPct =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_STEAL_PCT", "5.0").toDouble
+    final case class QRes(name: String, sec: Double, shuffleMb: Double,
+      stealPct: Double, iowaitPct: Double)
+    def timedPass(): (Seq[QRes], Double, Double) = {
       var loadMax = load()
+      var stealMax = 0.0
       val rs = selected.map { case (name, fn) =>
         drainListeners()
         val s0 = shuffleBytes.get()
+        val (st0, io0) = cpuStat()
+        val tq0 = System.nanoTime()
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -183,6 +213,14 @@ object Bench {
         }
         drainListeners()
         loadMax = math.max(loadMax, load())
+        // steal/iowait as a % of this query's total cpu-seconds (wall ×
+        // ncpus): the denominator covers all runs of the query plus the
+        // drain pause — slight underestimate per run, stable to compare
+        val wallQ = (System.nanoTime() - tq0) / 1e9
+        val (st1, io1) = cpuStat()
+        val stealPct = (st1 - st0) / 100.0 / (wallQ * ncpus) * 100.0
+        val iowaitPct = (io1 - io0) / 100.0 / (wallQ * ncpus) * 100.0
+        stealMax = math.max(stealMax, stealPct)
         val shuffleMb = (shuffleBytes.get() - s0) / 1e6 / runs
         // gc → drain → gc: the first GC lets ContextCleaner DISCOVER the
         // dead checkpoint/shuffle/broadcast refs (weak-ref processing),
@@ -198,9 +236,10 @@ object Bench {
         }
         // a query is failed only if EVERY run failed; one bad run must not
         // discard the other run's valid timing
-        (name, times.filter(_ >= 0).minOption.getOrElse(-1.0), shuffleMb)
-      }.map { case (name, t, sh) => name -> (t, sh) }
-      (rs, loadMax)
+        QRes(name, times.filter(_ >= 0).minOption.getOrElse(-1.0),
+          shuffleMb, stealPct, iowaitPct)
+      }
+      (rs, loadMax, stealMax)
     }
     // a contaminated pass is NOT recorded if retries remain: wait for the
     // host to go quiet again, then re-time everything. The r5 and r7
@@ -208,37 +247,47 @@ object Bench {
     // refusing to keep a dirty pass is the mechanism. Keep the cleanest
     // pass if every attempt is dirty (still stamped during_clean:false).
     val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
+    // dirt score: how far the pass exceeds EITHER cleanliness bar (load
+    // or steal), normalized so the two are comparable; ≤ 1 is clean
+    def dirt(p: (Seq[QRes], Double, Double)): Double =
+      math.max(p._2 / duringMax, p._3 / maxStealPct)
     var attempt = 1
     var best = timedPass()
-    while (best._2 > duringMax && attempt < maxAttempts) {
-      System.err.println(f"[bench] during_max ${best._2}%.2f > $duringMax%.1f — external contention; re-timing (attempt ${attempt + 1}/$maxAttempts)")
+    while (dirt(best) > 1.0 && attempt < maxAttempts) {
+      System.err.println(f"[bench] dirty pass (during_max ${best._2}%.2f/$duringMax%.1f, steal_max ${best._3}%.1f%%/$maxStealPct%.1f%%) — re-timing (attempt ${attempt + 1}/$maxAttempts)")
       var w = 0
       while (load() > maxLoad && w < maxWaitSec) { Thread.sleep(15000); w += 15 }
       attempt += 1
       val next = timedPass()
-      if (next._2 < best._2) best = next
+      if (dirt(next) < dirt(best)) best = next
     }
-    val (results, loadMax) = best
-    val duringClean = loadMax <= duringMax
+    val (results, loadMax, stealMax) = best
+    val duringClean = loadMax <= duringMax && stealMax <= maxStealPct
     // 4-dp per-query seconds: sub-0.1 ms precision is noise, and the
     // shorter line is what lets the whole map survive the driver's
     // stdout-tail capture (see the field-order note below)
-    val qs = results.map { case (k, (v, _)) =>
-        s"\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.4f") }
+    val qs = results.map { r =>
+        s"\"" + r.name + "\":" + (if (r.sec < 0) "-1" else f"${r.sec}%.4f") }
       .mkString("{", ",", "}")
-    val shJson = results.map { case (k, (_, sh)) => f""""$k":$sh%.2f""" }
+    val shJson = results.map(r => f""""${r.name}":${r.shuffleMb}%.2f""")
+      .mkString("{", ",", "}")
+    // per-query steal% in the durable artifact: when one name-range of a
+    // pass reads 2-4× its sibling artifacts, this map says whether those
+    // minutes were stolen by the hypervisor (full artifact only — the
+    // compact line carries just the max)
+    val stealJson = results.map(r => f""""${r.name}":${r.stealPct}%.1f""")
       .mkString("{", ",", "}")
     // failed queries (-1 sentinel) are excluded from the headline total —
     // summing the sentinel would report a phantom speedup exactly when
     // queries break; they remain visible as -1 in the per-query map
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    val gateJson = f""","load_gate":{"threshold":$maxLoad%.1f,"initial":$initialLoad%.2f,"at_start":$loadAvg%.2f,"waited_sec":$waitedSec,"passed":$gatePassed,"during_max":$loadMax%.2f,"during_threshold":$duringMax%.1f,"during_clean":$duringClean,"attempts":$attempt}"""
+    val total = results.map(_.sec).filter(_ >= 0).sum
+    val gateJson = f""","load_gate":{"threshold":$maxLoad%.1f,"initial":$initialLoad%.2f,"at_start":$loadAvg%.2f,"waited_sec":$waitedSec,"passed":$gatePassed,"during_max":$loadMax%.2f,"during_threshold":$duringMax%.1f,"steal_pct_max":$stealMax%.1f,"steal_threshold":$maxStealPct%.1f,"during_clean":$duringClean,"attempts":$attempt}"""
     val oracleStats = oracleTimes(sfDir).map { times =>
-      val matched = results.filter { case (k, (v, _)) => v >= 0 && times.contains(k) }
-      val oq = matched.map { case (k, _) => s"\"" + k + "\":" + times(k) }
+      val matched = results.filter(r => r.sec >= 0 && times.contains(r.name))
+      val oq = matched.map(r => s"\"" + r.name + "\":" + times(r.name))
         .mkString("{", ",", "}")
-      val oTotal = matched.map { case (k, _) => times(k) }.sum
-      val mTotal = matched.map(_._2._1).sum
+      val oTotal = matched.map(r => times(r.name)).sum
+      val mTotal = matched.map(_.sec).sum
       val ratio = if (oTotal > 0) mTotal / oTotal else -1.0
       (oq, oTotal, ratio)
     }
@@ -247,7 +296,7 @@ object Bench {
         f""","oracle":$oq,"oracle_total":$oTotal%.3f,"vs_oracle":$ratio%.2f"""
       case None => ""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","load_avg":$loadAvg,"runs_per_query":$runs$gateJson$oracleJson,"shuffle_mb":$shJson,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","load_avg":$loadAvg,"runs_per_query":$runs$gateJson$oracleJson,"shuffle_mb":$shJson,"steal_pct":$stealJson,"queries":$qs}"""
     // The DRIVER keeps only the last ~2 kB of stdout and tries to parse a
     // JSON line out of it. The full line above is ~11 kB — the per-query
     // NAME-keyed map alone can never fit (139 names are 2.2 kB before a
@@ -259,7 +308,7 @@ object Bench {
     // list is `SparkEntry.queries.keys.toSeq.sorted`, reconstructible
     // from Queries.scala). The full name-keyed line goes to the durable
     // file copy, committed per round as bench_r{N}_full.json.
-    val qv = results.map { case (_, (v, _)) => if (v < 0) "-1" else f"$v%.3f" }
+    val qv = results.map(r => if (r.sec < 0) "-1" else f"${r.sec}%.3f")
       .mkString("[", ",", "]")
     val compactOracle = oracleStats match {
       case Some((_, oTotal, ratio)) =>
@@ -272,11 +321,11 @@ object Bench {
     // selected names and a consumer must join on THOSE (r11 ADVICE).
     val filterJson =
       if (only.isEmpty) ""
-      else results.map(r => "\"" + r._1 + "\"")
+      else results.map(r => "\"" + r.name + "\"")
         .mkString(""","q_filter":[""", ",", "]")
     // during_max rides the compact line too: the r14 verdict leaned on a
     // load figure the committed artifact could not substantiate (ADVICE r14)
-    val compact = f"""{"metric":"total","format":"compact","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"load_gate_passed":$gatePassed,"during_max":$loadMax%.2f,"during_clean":$duringClean$compactOracle$filterJson,"q_order":"name_asc","qv":$qv}"""
+    val compact = f"""{"metric":"total","format":"compact","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"load_gate_passed":$gatePassed,"during_max":$loadMax%.2f,"steal_pct_max":$stealMax%.1f,"during_clean":$duringClean$compactOracle$filterJson,"q_order":"name_asc","qv":$qv}"""
     println(compact)
     // durable copy: the full artifact survives whole in a file regardless
     // of the driver's stdout capture window.

@@ -18,6 +18,10 @@ object IsoProbe {
     val sfDir = args(0)
     val runs = args(1).toInt
     val names = args(2).split(",").map(_.trim).filter(_.nonEmpty)
+    // Honor the same big-SF survival knobs as Bench (io codec, block
+    // compress, reliable-checkpoint dir) so an isolated probe reproduces
+    // the suite's execution conditions — at sf100 graph_pagerank's edge
+    // pin OOMs without the reliable checkpoint path.
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -25,13 +29,32 @@ object IsoProbe {
           sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.rdd.compress",
+        sys.env.getOrElse("SPARK_GRAFT_BLOCK_COMPRESS", "true"))
+      .config("spark.checkpoint.compress",
+        sys.env.getOrElse("SPARK_GRAFT_BLOCK_COMPRESS", "true"))
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
+      .foreach(d => spark.conf.set(graft.ops.Materialize.ConfKey, d))
     val acc = new ContainmentStages.Acc
     spark.sparkContext.addSparkListener(acc)
     def load(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // hypervisor steal + iowait jiffies (see Bench.cpuStat — this box is
+    // a VM and bursty steal is the leading suspect for the r14/r15
+    // unchanged-code wall swings the probe exists to explain)
+    def cpuStat(): (Long, Long) = {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+")
+        (f(8).toLong, f(5).toLong)
+      } finally src.close()
+    }
+    val ncpus = Runtime.getRuntime.availableProcessors()
     val byName = graft.Queries.all.map(q => q.name -> q).toMap
     // one untimed warmup of the cheapest table so scan/JVM init isn't
     // charged to the first sample
@@ -41,10 +64,14 @@ object IsoProbe {
         sys.error(s"IsoProbe: unknown query '$name'"))
       (1 to runs).foreach { i =>
         val l0 = load()
+        val (st0, io0) = cpuStat()
         val before = acc.snap(0)
         val t0 = System.nanoTime()
         val n = q.fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
+        val (st1, io1) = cpuStat()
+        val stealPct = (st1 - st0) / 100.0 / (wall * ncpus) * 100.0
+        val iowaitPct = (io1 - io0) / 100.0 / (wall * ncpus) * 100.0
         val s0 = acc.snap(wall)
         val s = ContainmentStages.Snap(wall, s0.runSec - before.runSec,
           s0.gcSec - before.gcSec, s0.shufReadMB - before.shufReadMB,
@@ -57,6 +84,7 @@ object IsoProbe {
           f""""shuffle_write_mb":${s.shufWriteMB}%.0f,""" +
           f""""mem_spill_mb":${s.memSpillMB}%.0f,""" +
           f""""disk_spill_mb":${s.diskSpillMB}%.0f,""" +
+          f""""steal_pct":$stealPct%.1f,"iowait_pct":$iowaitPct%.1f,""" +
           f""""load_before":$l0%.2f,"load_after":${load()}%.2f}""")
       }
     }
