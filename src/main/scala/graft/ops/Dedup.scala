@@ -37,6 +37,21 @@ object Dedup {
     * explode would cost C(h+3,3)/(h+1) ≈ 5× the rows for nothing. */
   val simhashCompoundMinDocs: Long = 65536L
 
+  /** Corpus size above which [[containmentPairs]] pins EXPLICIT widths on
+    * its exchanges instead of letting AQE size them (r16 sf100 autopsy).
+    * AQE coalesces post-shuffle partitions toward a shuffle-READ byte
+    * target — but this op's pair self-join EXPLODES ~50 postings/doc
+    * into ~250 pair rows/doc AFTER the exchange, so byte-sized
+    * partitions hide a 25× row blowup: at sf100 (5 M docs) AQE folded
+    * the 1024-wide session config to ~21 join tasks × 60 M pair rows,
+    * every partial-agg hash map overflowed to sort-based fallback, and
+    * the stage spilled 153 GB / burned 450 s of GC — the whole
+    * "30×/decade on flat shuffle" wall. Explicit `repartition(n, col)`
+    * is never coalesced, so large corpora get deterministic task
+    * cardinality; small corpora keep the AQE shape, where folding a
+    * sub-MB shuffle into 1-2 tasks is the right call. */
+  val containmentExplicitWidthMinDocs: Long = 200000L
+
   private def tokens(c: Column): Column =
     graft.functions.WsSplitExpr.wsSplit(trim(lower(c)))
 
@@ -870,7 +885,30 @@ object Dedup {
       val noiseFloor = math.ceil(cmsEps * totalPostings).toLong
       post0.filter(est <= lit(maxDf.toLong + noiseFloor))
     }
-    val post = prefiltered.repartition(col("sh"))
+    // One `documents` count serves BOTH plan-shape gates below (sizes
+    // broadcast; explicit exchange widths). From the `corpusDocs` hint
+    // when the caller has it — the declared query reads parquet footer
+    // metadata, zero Spark jobs — else one count() at plan construction.
+    val nDocs = corpusDocs.getOrElse(documents.count())
+    // Explicit exchange width for large corpora (see
+    // [[containmentExplicitWidthMinDocs]] — AQE's byte-target coalescing
+    // cannot see the post-exchange pair explosion and under-partitions
+    // the agg stages into sort-fallback spill). ~8000 docs/partition
+    // puts ~2 M pair rows and a ~60 MB agg hash map in each task at this
+    // op's measured fan-outs (≈52 postings, ≈250 pair rows per doc at
+    // maxDf=100); never below the session width (a cluster-sized config
+    // outranks the heuristic), capped at 4096 like the SCALE.md guidance.
+    val explicitW: Option[Int] =
+      if (nDocs <= containmentExplicitWidthMinDocs) None
+      else {
+        val sessionW = documents.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt
+        Some(math.max(sessionW, math.min(4096L, nDocs / 8000L).toInt))
+      }
+    val post = explicitW match {
+      case Some(w) => prefiltered.repartition(w, col("sh"))
+      case None => prefiltered.repartition(col("sh"))
+    }
     // df prune as a WINDOW count over the sh-partitioning, not a
     // count-agg + self-join: the window rides the exchange that already
     // exists, its sh-sort is exactly the order the pair SMJ needs next,
@@ -884,9 +922,24 @@ object Dedup {
     // shared-count is symmetric: join one direction (halving the pair
     // blowup, the dominant cost), then mirror the AGGREGATED pairs with
     // an explode — never a union, which would re-execute the chain.
-    val oneDir = kept.select(col("sh"), col("doc_id").as("doc_a"))
+    // Large corpora interpose an EXPLICIT pair-key exchange before the
+    // distinct-pair agg (r16 sf100 autopsy: the agg was +254 s of the
+    // 477 s prefix wall, 153 GB mem-spill). Effect on the physical plan:
+    // the partial agg moves ABOVE the exchange — the join stage streams
+    // pairs straight into the shuffle writer with NO hash map (partial
+    // agg map-side reduced only ~10% anyway: co-shingled pairs rarely
+    // repeat across sh-partitions), and partial+final run back-to-back
+    // post-exchange where the explicit width pins per-task cardinality
+    // to ~2 M keys. Costs ~12% more exchange bytes (the unreduced
+    // stream); buys away the sort-fallback spill entirely.
+    val pairStream = kept.select(col("sh"), col("doc_id").as("doc_a"))
       .join(kept.select(col("sh"), col("doc_id").as("doc_b")), "sh")
       .filter(col("doc_a") < col("doc_b"))
+    val pairKeyed = explicitW match {
+      case Some(w) => pairStream.repartition(w, col("doc_a"), col("doc_b"))
+      case None => pairStream
+    }
+    val oneDir = pairKeyed
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     // n_sh for BOTH directions joined onto the one-direction agg, tau
     // filtered BEFORE the mirror — 99.95% of aggregated pairs die here
@@ -902,7 +955,7 @@ object Dedup {
     // side effect on derived inputs, so pass the hint when you can.
     val sizesA = sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_sh_a"))
     val sizesB = sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_sh_b"))
-    val bcast = corpusDocs.getOrElse(documents.count()) <= broadcastSizesMaxDocs
+    val bcast = nDocs <= broadcastSizesMaxDocs
     val withSizes =
       if (bcast) oneDir.join(broadcast(sizesA), "doc_a")
         .join(broadcast(sizesB), "doc_b")

@@ -83,6 +83,27 @@ class OpsSpec extends SparkSpec {
     assert(small.nonEmpty)
   }
 
+  test("containment: explicit-width gate does not change output") {
+    // r16: corpora above containmentExplicitWidthMinDocs pin explicit
+    // exchange widths (and an extra pair-key repartition) so AQE's
+    // byte-target coalescing can't under-partition the pair agg (sf100:
+    // 153 GB spill — SCALE.md r16). Plan shape only; the pairs, shared
+    // counts, and ratios must be IDENTICAL across both shapes.
+    val d = docs((1 to 20).map { i =>
+      i.toLong -> ((1 to 12).map(t => s"w${(t + i / 3) % 17}").mkString(" "))
+    }: _*)
+    def pairs(hint: Option[Long]) =
+      Dedup.containmentPairs(d, k = 3, tau = 0.1, maxDf = 100,
+          corpusDocs = hint).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getAs[Long]("shared"), r.getAs[Double]("containment"))))
+        .toMap
+    val aqe = pairs(Some(20L))           // small hint → AQE-managed shape
+    val wide = pairs(Some(5000000L))     // large hint → explicit widths
+    assert(aqe == wide)
+    assert(aqe.nonEmpty)
+  }
+
   test("jaccard pairs computes exact token-set overlap") {
     val d = docs(1L -> "a b c d", 2L -> "a b c e")
     val a = d.select(col("doc_id").as("doc_a"), Dedup.tokenSet(col("text")).as("toks_a"))
