@@ -1460,7 +1460,8 @@ object Queries {
     // CONSTRUCTION, no constant-factor fix changes the curve (measured:
     // 470 s at 5 M vectors, sf100 r15b; ~13 h extrapolated at 50 M).
     // This query is the small/medium-corpus tool (≲ ~10⁷ vectors). At
-    // corpus scale use `sim_bucketed_ann` (corpus-scaled bucket width),
+    // corpus scale use `dedup_embedding_cosine_w` (the same query with a
+    // corpus-scaled bucket width, declared below), `sim_bucketed_ann`,
     // `sim_ivf` (trained coarse quantizer), or `semantic_dedup`
     // (cluster-then-dedup) — same near-duplicate intent, sub-quadratic
     // candidate generation.
@@ -1499,6 +1500,58 @@ object Queries {
            |  ROUND(list_dot_product(a.emb, b2.emb) /
            |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b2.emb, b2.emb))), 4) AS sim
            |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+           |WHERE sim >= 0.2 ORDER BY vec_a, vec_b""".stripMargin
+      }),
+
+    // ---- dedup: embedding-cosine with CORPUS-SCALED bucket width ----
+    // The scale-safe sibling of dedup_embedding_cosine (r16, closing the
+    // r15 verdict's item 6 second option): the sign-bucket width grows
+    // with the corpus so expected in-bucket pair volume stays ~linear
+    // per decade instead of quadratic. b = 8 + |{j ∈ 1..16 : n >
+    // 100·2^(7+j)}| — pure integer comparisons, so Spark (footer count)
+    // and DuckDB (COUNT(*)) derive the IDENTICAL width with no float
+    // log2 edge cases; b ∈ [8, 24] ≤ the 64-dim embeddings. At the test
+    // SFs n ≤ 25.6 k keeps b = 8 (the oracle exercises the width
+    // machinery at the fixed query's values); at sf100 (2 M vectors)
+    // b = 15 ⇒ 32 768 buckets ⇒ ~n²/2^16 in-bucket pairs, ~128× fewer
+    // than the declared 256-bucket query. More bits = narrower LSH
+    // recall per pair (sign-LSH collides at P = (1−θ/π)^b), which is
+    // the declared trade: this variant's semantics are "same-bucket
+    // pairs at width f(n)", replayed exactly by the oracle.
+    QDef("dedup_embedding_cosine_w",
+      (s, d) => {
+        val n = Tables.footerRowCount(s, d, "embeddings")
+        val b = 8 + (1 to 16).count(j => n > 100L * (1L << (7 + j)))
+        val e = embeddings(s, d).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+          .withColumn("bucket", Similarity.signBucket(col("emb"), b))
+          .withColumn("nrm", Similarity.norm(col("emb")))
+        val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
+          col("emb").as("ea"), col("nrm").as("na"))
+        val bb = e.select(col("bucket"), col("vec_id").as("vec_b"),
+          col("emb").as("eb"), col("nrm").as("nb"))
+        a.join(bb, Seq("bucket"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            round(Similarity.dot(col("ea"), col("eb")) /
+              (col("na") * col("nb")), 4).as("sim"))
+          .filter(col("sim") >= 0.2)
+          .orderBy("vec_a", "vec_b")
+      },
+      Some {
+        val bucketExpr = (0 until 24)
+          .map(i => s"(CASE WHEN $i < b AND emb[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH bsel AS (SELECT 8 + COUNT(*) AS b FROM range(1, 17) t(j)
+           |  WHERE (SELECT COUNT(*) FROM embeddings) >
+           |    100 * (CAST(1 AS BIGINT) << CAST(7 + j AS INT))),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+           |bk AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e, bsel)
+           |SELECT vec_a, vec_b, sim FROM (
+           |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+           |  ROUND(list_dot_product(a.emb, b2.emb) /
+           |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b2.emb, b2.emb))), 4) AS sim
+           |  FROM bk a JOIN bk b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
            |WHERE sim >= 0.2 ORDER BY vec_a, vec_b""".stripMargin
       }),
 
