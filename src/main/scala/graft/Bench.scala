@@ -161,14 +161,17 @@ object Bench {
     // contention — the r7 artifact recorded a 2.58× phantom regression at
     // during_max 4.93 that an idle re-run measured at 1.80×, and the old
     // default (cpus+4 = 36) let every dirty run stamp "clean".
-    // Calibration (r9, re-measured): the full 136-query pass at local[32]
-    // peaks ~5.5 on a verified-idle host (ps showed nothing external;
-    // the r7-era "~2.5" predates the r8/r9 speedups that keep all 32
-    // threads busier). 6.0 sits just above self-load and still far below
-    // the ~20 contention spikes the gate exists to catch. A different
-    // host must recalibrate via SPARK_GRAFT_MAX_LOAD_DURING (self-load
-    // + ~1) or every pass burns all retry attempts and stamps dirty.
-    val duringMax = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD_DURING", "6.0").toDouble
+    // Calibration (r9; re-measured r16): the full 143-query pass at
+    // local[32] peaks ~5.9 on a verified-idle host (the r9-era "~5.5"
+    // predates later speedups that keep all 32 threads busier). 7.0
+    // sits just above self-load and still far below the ~20 contention
+    // spikes the gate exists to catch — and since r16 the STEAL gate
+    // carries the subtle-pollution detection this bar used to strain
+    // at, so the load bar only needs to catch gross in-guest
+    // contention. A different host must recalibrate via
+    // SPARK_GRAFT_MAX_LOAD_DURING (self-load + ~1) or every pass burns
+    // all retry attempts and stamps dirty.
+    val duringMax = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD_DURING", "7.0").toDouble
     // load is re-sampled after every query, not only at the start: the r5
     // artifact was polluted by a spike that landed MID-run and the
     // start-only gate could not see it. `load_max` makes that visible.
