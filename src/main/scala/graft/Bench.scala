@@ -65,16 +65,13 @@ object Bench {
     // sampled per query, it converts "ambient noise" from an inference
     // into a recorded, per-query number. iowait (field 5) rides along:
     // it separates writeback/page-cache pollution (e.g. a just-written
-    // 20 GB scale corpus still flushing) from hypervisor contention.
-    def cpuStat(): (Long, Long) = {
-      try {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        try {
-          val f = src.getLines().next().trim.split("\\s+")
-          (f(8).toLong, f(5).toLong)
-        } finally src.close()
-      } catch { case _: Throwable => (0L, 0L) }
-    }
+    // 20 GB scale corpus still flushing) from hypervisor contention —
+    // both ride the full artifact as per-query maps (r17 ADVICE: the
+    // iowait claim was unfulfilled in Bench output until then).
+    // Sampling is guarded (tools.ProcStat): a failed read yields None
+    // and the query's steal/iowait are recorded as the -1 sentinel —
+    // never a zero-substituted bogus delta that dirties the pass.
+    def cpuStat(): Option[(Long, Long)] = tools.ProcStat.stealIowait()
     val ncpus = Runtime.getRuntime.availableProcessors()
     // quiet-host gate: refuse to time on a loaded host; wait (bounded)
     // for the 1-minute load to drop below the threshold first
@@ -198,7 +195,7 @@ object Bench {
       val rs = selected.map { case (name, fn) =>
         drainListeners()
         val s0 = shuffleBytes.get()
-        val (st0, io0) = cpuStat()
+        val cpu0 = cpuStat()
         val tq0 = System.nanoTime()
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
@@ -220,10 +217,11 @@ object Bench {
         // ncpus): the denominator covers all runs of the query plus the
         // drain pause — slight underestimate per run, stable to compare
         val wallQ = (System.nanoTime() - tq0) / 1e9
-        val (st1, io1) = cpuStat()
-        val stealPct = (st1 - st0) / 100.0 / (wallQ * ncpus) * 100.0
-        val iowaitPct = (io1 - io0) / 100.0 / (wallQ * ncpus) * 100.0
-        stealMax = math.max(stealMax, stealPct)
+        val cpu1 = cpuStat()
+        val stealPct = tools.ProcStat.pct(cpu0, cpu1, wallQ, ncpus, _._1)
+        val iowaitPct = tools.ProcStat.pct(cpu0, cpu1, wallQ, ncpus, _._2)
+        // a missing sample (-1 sentinel) must not drive the dirt gate
+        if (stealPct >= 0) stealMax = math.max(stealMax, stealPct)
         val shuffleMb = (shuffleBytes.get() - s0) / 1e6 / runs
         // gc → drain → gc: the first GC lets ContextCleaner DISCOVER the
         // dead checkpoint/shuffle/broadcast refs (weak-ref processing),
@@ -280,11 +278,18 @@ object Bench {
     // compact line carries just the max)
     val stealJson = results.map(r => f""""${r.name}":${r.stealPct}%.1f""")
       .mkString("{", ",", "}")
+    // iowait map beside it (r17 ADVICE item 1): separates writeback /
+    // page-cache pollution from hypervisor steal — e.g. a pass run while
+    // a 20 GB scale corpus is still flushing reads high iowait, ~0 steal
+    val iowaitJson = results.map(r => f""""${r.name}":${r.iowaitPct}%.1f""")
+      .mkString("{", ",", "}")
+    val iowaitMax = results.map(_.iowaitPct).filter(_ >= 0)
+      .foldLeft(0.0)(math.max)
     // failed queries (-1 sentinel) are excluded from the headline total —
     // summing the sentinel would report a phantom speedup exactly when
     // queries break; they remain visible as -1 in the per-query map
     val total = results.map(_.sec).filter(_ >= 0).sum
-    val gateJson = f""","load_gate":{"threshold":$maxLoad%.1f,"initial":$initialLoad%.2f,"at_start":$loadAvg%.2f,"waited_sec":$waitedSec,"passed":$gatePassed,"during_max":$loadMax%.2f,"during_threshold":$duringMax%.1f,"steal_pct_max":$stealMax%.1f,"steal_threshold":$maxStealPct%.1f,"during_clean":$duringClean,"attempts":$attempt}"""
+    val gateJson = f""","load_gate":{"threshold":$maxLoad%.1f,"initial":$initialLoad%.2f,"at_start":$loadAvg%.2f,"waited_sec":$waitedSec,"passed":$gatePassed,"during_max":$loadMax%.2f,"during_threshold":$duringMax%.1f,"steal_pct_max":$stealMax%.1f,"steal_threshold":$maxStealPct%.1f,"iowait_pct_max":$iowaitMax%.1f,"during_clean":$duringClean,"attempts":$attempt}"""
     val oracleStats = oracleTimes(sfDir).map { times =>
       val matched = results.filter(r => r.sec >= 0 && times.contains(r.name))
       val oq = matched.map(r => s"\"" + r.name + "\":" + times(r.name))
@@ -299,7 +304,7 @@ object Bench {
         f""","oracle":$oq,"oracle_total":$oTotal%.3f,"vs_oracle":$ratio%.2f"""
       case None => ""
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","load_avg":$loadAvg,"runs_per_query":$runs$gateJson$oracleJson,"shuffle_mb":$shJson,"steal_pct":$stealJson,"queries":$qs}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","load_avg":$loadAvg,"runs_per_query":$runs$gateJson$oracleJson,"shuffle_mb":$shJson,"steal_pct":$stealJson,"iowait_pct":$iowaitJson,"queries":$qs}"""
     // The DRIVER keeps only the last ~2 kB of stdout and tries to parse a
     // JSON line out of it. The full line above is ~11 kB — the per-query
     // NAME-keyed map alone can never fit (139 names are 2.2 kB before a

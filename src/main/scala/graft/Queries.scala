@@ -1521,7 +1521,7 @@ object Queries {
     QDef("dedup_embedding_cosine_w",
       (s, d) => {
         val n = Tables.footerRowCount(s, d, "embeddings")
-        val b = 8 + (1 to 16).count(j => n > 100L * (1L << (7 + j)))
+        val b = Similarity.corpusScaledSignBits(n)
         val e = embeddings(s, d).select(col("vec_id"),
           col("embedding").cast("array<double>").as("emb"))
           .withColumn("bucket", Similarity.signBucket(col("emb"), b))
@@ -1539,9 +1539,9 @@ object Queries {
           .orderBy("vec_a", "vec_b")
       },
       Some {
-        val bucketExpr = (0 until 24)
-          .map(i => s"(CASE WHEN $i < b AND emb[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
-          .mkString(" + ")
+        // ONE generator feeds this oracle text AND the Spark-side parity
+        // spec (CosineWidthSpec) — idxBase 1: DuckDB lists are 1-based
+        val bucketExpr = Similarity.signBucketCaseSql(24, idxBase = 1)
         s"""WITH bsel AS (SELECT 8 + COUNT(*) AS b FROM range(1, 17) t(j)
            |  WHERE (SELECT COUNT(*) FROM embeddings) >
            |    100 * (CAST(1 AS BIGINT) << CAST(7 + j AS INT))),

@@ -71,6 +71,29 @@ object Similarity {
       acc.bitwiseOR(when(emb.getItem(i) >= 0, lit(1L << i)).otherwise(lit(0L)))
     }
 
+  /** Corpus-scaled sign-bucket width (the `dedup_embedding_cosine_w`
+    * formula, factored out r17 so a spec can pin its boundaries):
+    * b = 8 + |{j ∈ 1..16 : n > 100·2^(7+j)}| — pure integer comparisons
+    * so Spark (parquet footer count) and DuckDB (COUNT(*)) derive the
+    * IDENTICAL width with no float log2 edge cases. Monotone step
+    * thresholds: n ≤ 25 600 → 8; > 25 600 → 9; > 51 200 → 10; …;
+    * > 838 860 800 → 24 (≤ the 64-dim embeddings). Expected in-bucket
+    * pair volume stays ~linear per decade instead of the fixed-width
+    * query's quadratic. */
+  def corpusScaledSignBits(n: Long): Int =
+    8 + (1 to 16).count(j => n > 100L * (1L << (7 + j)))
+
+  /** The DuckDB/Spark-SQL CASE chain computing [[signBucket]] at a
+    * row-provided width column `b`, as SQL text — ONE generator feeds
+    * both the committed oracle SQL (`idxBase = 1`, DuckDB lists are
+    * 1-based) and the parity spec that evaluates the same text in Spark
+    * SQL (`idxBase = 0`), so the two engines' bucket construction cannot
+    * silently diverge from hand-maintained copies. */
+  def signBucketCaseSql(maxBits: Int, idxBase: Int): String =
+    (0 until maxBits)
+      .map(i => s"(CASE WHEN $i < b AND emb[${i + idxBase}] >= 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+
   /** IVF index: `k` centroids seeded from the first vectors (by vec_id,
     * deterministic) and refined with `iters` Lloyd steps — all as
     * DataFrame aggregations; only the k×dim centroid matrix ever reaches

@@ -46,14 +46,11 @@ object IsoProbe {
       .getOperatingSystemMXBean.getSystemLoadAverage
     // hypervisor steal + iowait jiffies (see Bench.cpuStat — this box is
     // a VM and bursty steal is the leading suspect for the r14/r15
-    // unchanged-code wall swings the probe exists to explain)
-    def cpuStat(): (Long, Long) = {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try {
-        val f = src.getLines().next().trim.split("\\s+")
-        (f(8).toLong, f(5).toLong)
-      } finally src.close()
-    }
+    // unchanged-code wall swings the probe exists to explain). Guarded
+    // via the shared ProcStat helper (r17 ADVICE item 3): on a host
+    // without a readable /proc/stat the probe records the -1 sentinel
+    // instead of throwing on its first query.
+    def cpuStat(): Option[(Long, Long)] = ProcStat.stealIowait()
     val ncpus = Runtime.getRuntime.availableProcessors()
     val byName = graft.Queries.all.map(q => q.name -> q).toMap
     // one untimed warmup of the cheapest table so scan/JVM init isn't
@@ -64,14 +61,14 @@ object IsoProbe {
         sys.error(s"IsoProbe: unknown query '$name'"))
       (1 to runs).foreach { i =>
         val l0 = load()
-        val (st0, io0) = cpuStat()
+        val cpu0 = cpuStat()
         val before = acc.snap(0)
         val t0 = System.nanoTime()
         val n = q.fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
-        val (st1, io1) = cpuStat()
-        val stealPct = (st1 - st0) / 100.0 / (wall * ncpus) * 100.0
-        val iowaitPct = (io1 - io0) / 100.0 / (wall * ncpus) * 100.0
+        val cpu1 = cpuStat()
+        val stealPct = ProcStat.pct(cpu0, cpu1, wall, ncpus, _._1)
+        val iowaitPct = ProcStat.pct(cpu0, cpu1, wall, ncpus, _._2)
         val s0 = acc.snap(wall)
         val s = ContainmentStages.Snap(wall, s0.runSec - before.runSec,
           s0.gcSec - before.gcSec, s0.shufReadMB - before.shufReadMB,
