@@ -14,6 +14,14 @@ from pathlib import Path
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# same survival config as oracle_bench.py — at the gated SFs (sf10+) the
+# heavy dedup oracles need an explicit memory ceiling and a spill dir or
+# DuckDB aborts on allocation instead of spilling
+import os
+con.execute(f"SET memory_limit='{os.environ.get('ORACLE_CHECK_MEM', '100GB')}'")
+spill = os.environ.get("ORACLE_CHECK_SPILL", "/tmp/duckdb_spill")
+Path(spill).mkdir(parents=True, exist_ok=True)
+con.execute(f"SET temp_directory='{spill}'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     path = f"{sf_dir}/{t}.parquet"

@@ -196,15 +196,39 @@ object Queries {
         |WHERE o_orderdate < TIMESTAMP '1998-01-01') b ON a.o_orderkey = b.o_orderkey
         |ORDER BY a.o_orderkey""".stripMargin)),
 
-    // ---- Q6: theta join (equi key + range residual) ----
+    // ---- Q6: theta join (equi key + range residual).
+    //
+    // r17 (VERDICT r16 item 4 — the q19 treatment applied): the naive
+    // part⋈lineitem crossed broadcast→SMJ at sf100 (72.7 s = 6.7× the
+    // oracle; shuffling all 600 M lineitem rows plus sorting both
+    // sides). Only (p_partkey, p_size) — two ints — ever reaches the
+    // join, so the part side is projected SKINNY and, while the footer
+    // row count says the dim stays broadcast-sized (≤ 50 M rows ≈
+    // ~400 MB hash relation, the same exact-knowledge size call
+    // Graph.pageRank makes), BROADCAST: lineitem then never shuffles at
+    // all — the exchange after the join carries only partial-agg
+    // (p_partkey, count) rows. Above the gate (part ~20 B rows at real
+    // 100 TB) the dim is hinted SHUFFLE_HASH instead: lineitem shuffles
+    // once on l_partkey and probes a per-partition hash build of the
+    // skinny dim — rows/width per task, no sort of either side ever.
+    // Residual l_quantity > p_size rides both shapes as the equi-join's
+    // post-probe filter. Measured at sf100 (evidence/r17): broadcast
+    // skinny 72.7 → see SCALE.md; plan pinned in PlanSpec. ----
     QDef("q06_theta_join",
-      (s, d) => part(s, d)
-        .join(lineitem(s, d),
-          col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
-        .groupBy("p_partkey")
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("p_partkey"))
-        .limit(100),
+      (s, d) => {
+        val skinny = part(s, d).select("p_partkey", "p_size")
+        val dim =
+          if (Tables.footerRowCount(s, d, "part") <= 50000000L)
+            broadcast(skinny)
+          else skinny.hint("shuffle_hash")
+        lineitem(s, d).select("l_partkey", "l_quantity")
+          .join(dim,
+            col("l_partkey") === col("p_partkey") && col("l_quantity") > col("p_size"))
+          .groupBy("p_partkey")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("p_partkey"))
+          .limit(100)
+      },
       Some("""SELECT p.p_partkey, COUNT(*) AS n FROM part p
         |JOIN lineitem l ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size
         |GROUP BY p.p_partkey ORDER BY n DESC, p.p_partkey LIMIT 100""".stripMargin)),

@@ -112,7 +112,24 @@ object Graph {
     // (node, deg, rank) schema with zero rows instead of dividing
     if (n == 0) return degs.withColumn("rank", lit(0.0))
     val small = n <= broadcastNodes
-    def maybeBc(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // Above the broadcast threshold the rank-side frames are hinted
+    // SHUFFLE_HASH, not left to the planner's default sort-merge (r17,
+    // the containment-class autopsy of the sf100 1175 s floor): a
+    // checkpointed frame scans back as `Scan ExistingRDD` with
+    // UnknownPartitioning and NO output ordering under AQE — measured
+    // via .explain at sf10, both localCheckpoint and reliable — so the
+    // per-iteration SMJ re-SORTED the full symmetrized edge list every
+    // iteration: 5 in-partition sorts of a ~1.1 B-row frame ≈ the
+    // 285 GB/run memory spill the r16 isolated probe recorded
+    // (evidence/r16/isoprobe_pagerank_sf100.log) while total shuffle
+    // stayed ~52 GB (runtime exchange reuse dedupes the 5 identical
+    // canonicalized edge exchanges; the sorts sit ABOVE the exchange and
+    // cannot be reused). A shuffled-hash join STREAMS the edge side
+    // unsorted and hash-builds the rank side — nodes/width rows per
+    // task (sf100: 16 M/1024 ≈ 16 k), and the build side scales as
+    // width grows with the graph, so the 1000-executor shape holds.
+    def maybeBc(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df.hint("shuffle_hash")
     // The shuffle-lifetime discipline below (frequent materialization +
     // driver-GC nudges so ContextCleaner frees superseded shuffle files
     // MID-query) earns its keep only when an edge pass is disk-scale.

@@ -73,6 +73,27 @@ class GraphSpec extends SparkSpec {
     } finally spark.conf.unset(Graph.GcNudgeConfKey)
   }
 
+  test("shuffle-hash big path == broadcast small path, bit-identical") {
+    // r17: the >broadcastNodes path (sf100's) hints SHUFFLE_HASH on the
+    // rank-side joins; forcing it via broadcastNodes = 0 on a graph the
+    // small path also handles pins the two plans output-identical — the
+    // rounded fixpoint must not depend on the join strategy
+    val edges = (0 until 300).map { i =>
+      (s"n${i % 41}", s"n${(i * 11 + 5) % 41}")
+    }.toDF("src", "dst")
+    def run(bc: Long) =
+      Graph.pageRank(edges, "src", "dst", iters = 5, broadcastNodes = bc)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val viaShj = run(0L)
+    val viaBc = run(1000000L)
+    assert(viaShj == viaBc, "join strategy changed the fixpoint")
+    // and the big path really plans shuffled-hash, not sort-merge
+    val plan = Graph.pageRank(edges, "src", "dst", iters = 1,
+      broadcastNodes = 0L).queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"no SHJ in plan:\n$plan")
+  }
+
   test("duplicate and self edges collapse before degrees are counted") {
     val edges = Seq(("a", "b"), ("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"))
       .toDF("src", "dst")
