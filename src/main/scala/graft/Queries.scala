@@ -2029,6 +2029,18 @@ object Queries {
     // exchange where the query already rides the disk limit) — the
     // early reduction is the 100 TB-safe side of that trade, so the
     // distinct stays. ----
+    // r17: the iteration engine runs on LONG node ids, not the "c123"/
+    // "s45" display strings — the graph is bipartite so customers encode
+    // even (custkey << 1) and suppliers odd ((suppkey << 1) | 1), and
+    // the strings are reconstructed only for the O(nodes) output rows.
+    // Everything pageRank sorts, exchanges, checkpoint-unrolls, and
+    // hash-builds shrinks ~3× per row (two 8-byte longs vs two ~20-byte
+    // UnsafeRow strings) and compares/hashes integer-fast — at sf100 the
+    // edge frame is ~2.3 B rows, so the row-width cut is the build wall.
+    // Rank values are unchanged: the graph is isomorphic and the
+    // per-iteration round(·, 6) contract makes the fixpoint independent
+    // of key representation (GraphSpec pins partitioning-independence;
+    // the oracle hash-checks the decoded output).
     QDef("graph_pagerank",
       (s, d) => {
         val e = lineitem(s, d)
@@ -2037,9 +2049,17 @@ object Queries {
               .hint("shuffle_hash"),
             col("l_orderkey") === col("o_orderkey"))
           .select("o_custkey", "l_suppkey").distinct()
-          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
-        graft.ops.Graph.pageRank(e, "src", "dst", iters = 5).orderBy("node")
+          .select(shiftleft(col("o_custkey"), 1).cast("long").as("src"),
+            (shiftleft(col("l_suppkey"), 1) + 1).cast("long").as("dst"))
+        graft.ops.Graph.pageRank(e, "src", "dst", iters = 5)
+          .select(
+            when(col("node") % 2 === 0,
+              concat(lit("c"), shiftright(col("node"), 1).cast("string")))
+              .otherwise(
+                concat(lit("s"), shiftright(col("node"), 1).cast("string")))
+              .as("node"),
+            col("deg"), col("rank"))
+          .orderBy("node")
       },
       Some(pageRankOracleSql(5))),
 

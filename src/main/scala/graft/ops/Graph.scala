@@ -77,12 +77,21 @@ object Graph {
     // lazy lineage would re-derive the upstream edge join per iteration
     // (the op is already eager — n below is an action — so this adds no
     // extra job, it just pins the frame the loop reuses).
-    // PARTITIONED BY src BEFORE the checkpoint (r11): checkpoint
-    // preserves partitioning, so the per-iteration rank join and the
-    // degree aggregate both consume the edge list exchange-free — the
-    // single biggest shuffle (the full symmetrized edge list) happens
-    // once at build time and its files are GC-freed right after, instead
-    // of living inside the iteration plan for the whole query.
+    // PARTITIONED BY src BEFORE the checkpoint. The r11 note here
+    // claimed checkpoint preserves partitioning — r17 MEASURED that it
+    // does NOT under AQE: both localCheckpoint and reliable checkpoint
+    // scan back as `Scan ExistingRDD` with UnknownPartitioning and no
+    // ordering (.explain at sf10), so each iteration re-derives the
+    // edge-side distribution. Two things keep that cheap: runtime
+    // exchange reuse dedupes the per-iteration edge exchanges (the
+    // canonicalized subtrees are identical — one ~edge-sized exchange
+    // runs post-checkpoint, not one per iteration; stage-logged at
+    // sf10), and the SHUFFLE_HASH hint below keeps the consumer
+    // sort-free (the SMJ default re-SORTED the full edge list per
+    // iteration — the 285 GB/run sf100 spill, see maybeBc). The
+    // repartition(src) before the window is still right: the window
+    // dedup needs src-clustering anyway, and early reduction halves
+    // what the checkpoint pins.
     //
     // ONE exchange, not two (r11, learned at sf100): `distinct()` hashes
     // on (src, dst) and a `repartition(src)` after it is a SECOND full

@@ -64,7 +64,16 @@ object IsoProbe {
         val cpu0 = cpuStat()
         val before = acc.snap(0)
         val t0 = System.nanoTime()
-        val n = q.fn(spark, sfDir).count()
+        // same action switch as Bench (r17): noop (default) materializes
+        // every output column — count() let Catalyst prune declared work
+        // (see Bench.runAction); rows = -1 under noop
+        val n =
+          if (sys.env.get("SPARK_GRAFT_ACTION").contains("count"))
+            q.fn(spark, sfDir).count()
+          else {
+            q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            -1L
+          }
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu1 = cpuStat()
         val stealPct = ProcStat.pct(cpu0, cpu1, wall, ncpus, _._1)

@@ -70,7 +70,15 @@ object StageLog {
       val q = byName.getOrElse(name, sys.error(s"StageLog: unknown query '$name'"))
       current = name
       val t0 = System.nanoTime()
-      val n = q.fn(spark, sfDir).count()
+      // same action switch as Bench (r17): noop (default) materializes
+      // every output column; count() let Catalyst prune declared work
+      val n =
+        if (sys.env.get("SPARK_GRAFT_ACTION").contains("count"))
+          q.fn(spark, sfDir).count()
+        else {
+          q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          -1L
+        }
       val wall = (System.nanoTime() - t0) / 1e9
       // let async stage-completed events drain before the summary line
       Thread.sleep(500)
