@@ -107,7 +107,20 @@ object Bench {
     val ioCodec = sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4")
     val blockCompress =
       sys.env.getOrElse("SPARK_GRAFT_BLOCK_COMPRESS", "true")
-    val spark = SparkSession.builder()
+    // AQE's partition coalescing targets BYTES (advisory 64 MB default)
+    // and cannot see per-partition aggregation-state volume: at sf100
+    // graph_pagerank's contribution reduce was coalesced 1024 → 33
+    // tasks on a 1.6 GB partial-agg exchange whose reduce side
+    // hash-aggregates ~70 M rows/task — 40 GB of spill per iteration
+    // (r17 stage log). Unlike containment (where map-side agg reduced
+    // ~10% and an explicit repartition of the raw stream was cheap),
+    // here the partial agg reduces ~15× and must stay — so the honest
+    // lever is the advisory itself, env-scoped per run like the static
+    // shuffle width (a smaller byte target ⇒ more reduce tasks ⇒
+    // bounded agg state), not a plan rewrite that re-shuffles raw rows.
+    val advisoryMb = sys.env.get("SPARK_GRAFT_ADVISORY_MB").map(_.toInt)
+    val spark = {
+      val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
@@ -116,7 +129,10 @@ object Bench {
       .config("spark.checkpoint.compress", blockCompress)
       .config("spark.io.compression.codec", ioCodec)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      advisoryMb.foreach(mb => b.config(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", s"${mb}m"))
+      b.getOrCreate()
+    }
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CHECKPOINT_DIR switches every Materialize pin from
     // localCheckpoint (executor-memory blocks) to RELIABLE compressed

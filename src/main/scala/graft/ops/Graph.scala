@@ -69,7 +69,7 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 5, damping: Double = 0.85,
       broadcastNodes: Long = 1000000L, checkpointEvery: Int = 8,
-      gcNudgeNodes: Long = 8000000L,
+      gcNudgeNodes: Long = 24000000L,
       checkpointDir: Option[String] = None): DataFrame = {
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val materialize = Materialize.fn(edges.sparkSession, checkpointDir)
@@ -153,6 +153,14 @@ object Graph {
     // real cluster the nudge runs on the small driver heap and is
     // cheap; the price is purely a local-mode artifact, but the bench
     // IS local, so the gate must respect it.
+    // Gate history: 8 M through r16, calibrated when an edge pass was
+    // ~42 GB of two ~20-byte strings; r17's long-keyed declared query
+    // shrank the same pass ~3× and the sf100 stage log showed the
+    // discipline pure cost at 16 M nodes (three ~30 s-wall stages with
+    // ~14 s of run = the gc pauses + mid-loop rank checkpoints, freeing
+    // ~10 GB a 56 GB-free disk didn't need) — so the default scales
+    // with the row-width cut, 8 M → 24 M. The conf override remains the
+    // operational escape hatch either way.
     // Operational escape hatch (r11 ADVICE): System.gc() is JVM-GLOBAL —
     // in a shared driver serving concurrent queries the stop-the-world
     // pause stalls unrelated work, and the call site may not be editable

@@ -34,6 +34,9 @@ object StageLog {
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
+      // same AQE advisory knob as Bench (see its comment)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.get("SPARK_GRAFT_ADVISORY_MB").map(_ + "m").getOrElse("64m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR").filter(_.nonEmpty)
