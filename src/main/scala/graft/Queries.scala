@@ -473,9 +473,23 @@ object Queries {
         |JOIN orders ON o_orderkey = l_orderkey
         |GROUP BY r_name, y ORDER BY r_name, y""".stripMargin)),
 
-    // ---- Q20: conditional aggregation (pivot shape) ----
+    // ---- Q20: conditional aggregation (pivot shape).
+    //
+    // r17 (VERDICT r16 item 5, stage-probed at sf100): the default
+    // partial→final plan hash-aggregated 600 M rows against a ~5 M-key
+    // space PER MAP TASK for a 12% row reduction (600 M → 526 M
+    // partials, 91.5 s map stage) — the key space is l_partkey, which
+    // GROWS with the fact table, so map-side reduction is structurally
+    // useless at every scale. Same rule containment established (<15%
+    // map-side reduction ⇒ exchange the raw stream): repartition by the
+    // group key first — the groupBy then aggregates ONCE post-shuffle
+    // with per-task state of only keys/width, no wide-key map hash, and
+    // decimal addition is exact so any grouping order is value-identical.
+    // Measured sf100 (noop action): 156.3 → see SCALE.md r17. ----
     QDef("q20_conditional_agg",
       (s, d) => lineitem(s, d)
+        .select("l_partkey", "l_returnflag", "l_quantity")
+        .repartition(col("l_partkey"))
         .groupBy("l_partkey")
         .agg(
           round(sum(when(col("l_returnflag") === "A", dec(col("l_quantity")))
@@ -1333,8 +1347,17 @@ object Queries {
         |WHERE bit_count(xor(a.sg, b.sg)) <= 3 ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ---- Q32: native pivot (dynamic columns from data) ----
+    // r17: same containment-rule treatment as q20 (stage-probed at
+    // sf100: the pivot pre-aggregate's map side burned 124 s / 110 s GC
+    // partially aggregating 600 M rows into 574 M (key space =
+    // l_partkey × 3 flags, grows with the fact table)). The raw
+    // (l_partkey, l_returnflag) stream is repartitioned by the group
+    // key once; the pivot — still the exercised relational operator —
+    // then aggregates exchange-free with keys/width state per task.
     QDef("q32_pivot",
       (s, d) => lineitem(s, d)
+        .select("l_partkey", "l_returnflag")
+        .repartition(col("l_partkey"))
         .groupBy("l_partkey")
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .count()
