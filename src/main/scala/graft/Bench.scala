@@ -54,6 +54,16 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // SPARK_GRAFT_SKIP=a,b excludes named queries from a pass — the
+    // out-of-envelope escape for a big-SF suite (r17: semantic_dedup's
+    // DECLARED fixed-16-cell blocking is quadratic by construction,
+    // ~125 B in-cell pairs at sf100's 2 M vectors ≈ hours on this box —
+    // the same corpus class where the DuckDB oracle times out at 360 s).
+    // A skipped query is visibly absent: the artifact's q_filter stamps
+    // the selected set, never a silent shrink.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     def load(): Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     // Hypervisor STEAL time (r16): this box is a VM, and the r14/r15
@@ -170,6 +180,7 @@ object Bench {
     def drainListeners(): Unit = Thread.sleep(120)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filterNot { case (name, _) => skip.contains(name) }
     // the during threshold separates the bench's OWN load from EXTERNAL
     // contention — the r7 artifact recorded a 2.58× phantom regression at
     // during_max 4.93 that an idle re-run measured at 1.80×, and the old
@@ -359,7 +370,7 @@ object Bench {
     // misattribute every time — so a filtered run stamps q_filter with the
     // selected names and a consumer must join on THOSE (r11 ADVICE).
     val filterJson =
-      if (only.isEmpty) ""
+      if (only.isEmpty && skip.isEmpty) ""
       else results.map(r => "\"" + r.name + "\"")
         .mkString(""","q_filter":[""", ",", "]")
     // during_max rides the compact line too: the r14 verdict leaned on a

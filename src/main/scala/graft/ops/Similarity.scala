@@ -398,12 +398,22 @@ object Similarity {
     if (centroids.isEmpty)
       return corpus.select(col("vec_id"), lit(0L).as("cell"),
         col("vec_id").as("dup_of"), lit(true).as("kept")).limit(0)
+    // norm attached ONCE per vector, not recomputed per pair (r17 — the
+    // same treatment dedup_embedding_cosine got in r16): cosine() inlines
+    // THREE VecDot evaluations per pair, and the in-cell pair volume is
+    // ~Σ n_c²/2 (≈1.2 B pairs at 200 k vectors / 16 cells) — the noop
+    // re-baseline showed this stage at 163.6 s at sf10 where count()
+    // had pruned it entirely. Same value bit-for-bit: the norm is a
+    // pure function of the vector and the division is the same
+    // expression, so round(·,4) sees identical doubles.
     val c = assignCells(corpus, centroids)
+      .withColumn("nrm", norm(col("emb")))
     val nb = c.select(col("cell"), col("vec_id").as("nb_id"),
-      col("emb").as("nb_emb"))
+      col("emb").as("nb_emb"), col("nrm").as("nb_nrm"))
     val dups = c.join(nb, Seq("cell"))
       .filter(col("nb_id") < col("vec_id"))
-      .filter(round(cosine(col("emb"), col("nb_emb")), 4) >= tau)
+      .filter(round(dot(col("emb"), col("nb_emb")) /
+        (col("nrm") * col("nb_nrm")), 4) >= tau)
       .groupBy("vec_id").agg(min("nb_id").as("dup_of"))
     c.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
