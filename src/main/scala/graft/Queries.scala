@@ -131,6 +131,44 @@ object Queries {
     |    CAST(SUM(COALESCE(len(w.syms), 1)) AS BIGINT) AS n_subtokens
     |  FROM dt LEFT JOIN w$iters w USING (word) GROUP BY doc_id)""".stripMargin
 
+  /** Shared DuckDB replay of [[Similarity.semanticDedup]]'s pipeline
+    * (seed, assignment argmin, one Lloyd step, re-assignment, in-cell
+    * pair prune) — ONE generator feeds both the fixed-cell
+    * `semantic_dedup` oracle and the corpus-scaled `semantic_dedup_w`
+    * oracle, so the two replays cannot silently diverge; only the
+    * `seeds` CTE chain (where k enters) differs per caller. */
+  private def semanticDedupOracleSql(seedCtes: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    |$seedCtes,
+    |d0 AS (SELECT e.vec_id, e.emb, s.cid,
+    |    list_reduce([(e.emb[i]-s.emb[i])*(e.emb[i]-s.emb[i])
+    |      FOR i IN generate_series(1,64)], (x,y) -> x+y) AS dist
+    |  FROM e CROSS JOIN seeds s),
+    |a0 AS (SELECT vec_id, emb, cid FROM (
+    |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    |    FROM d0) WHERE rn = 1),
+    |m AS (SELECT cid, i, ROUND(SUM(emb[i]) / COUNT(*), 6) AS mv
+    |  FROM a0 CROSS JOIN generate_series(1,64) g(i) GROUP BY cid, i),
+    |mm AS (SELECT cid, list(mv ORDER BY i) AS emb FROM m GROUP BY cid),
+    |cent AS (SELECT s.cid, COALESCE(mm.emb, s.emb) AS emb
+    |  FROM seeds s LEFT JOIN mm ON s.cid = mm.cid),
+    |dc AS (SELECT e.vec_id, e.emb, c.cid,
+    |    list_reduce([(e.emb[i]-c.emb[i])*(e.emb[i]-c.emb[i])
+    |      FOR i IN generate_series(1,64)], (x,y) -> x+y) AS dist
+    |  FROM e CROSS JOIN cent c),
+    |ca AS (SELECT vec_id, emb, cid AS cell FROM (
+    |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    |    FROM dc) WHERE rn = 1),
+    |p AS (SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+    |  FROM ca a JOIN ca b ON a.cell = b.cell AND b.vec_id < a.vec_id
+    |    AND ROUND(list_dot_product(a.emb, b.emb) /
+    |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
+    |      4) >= 0.25
+    |  GROUP BY a.vec_id)
+    |SELECT ca.vec_id, CAST(ca.cell AS BIGINT) AS cell, p.dup_of,
+    |  p.dup_of IS NULL AS kept
+    |FROM ca LEFT JOIN p USING (vec_id) ORDER BY ca.vec_id""".stripMargin
+
   import Tables._
 
   val all: Seq[QDef] = Seq(
@@ -1681,41 +1719,50 @@ object Queries {
     // blocking structure, never all-pairs. Drop policy: a vector with a
     // lower-id cell-mate at cosine >= 0.25 is a duplicate of the
     // smallest such id (keep-lowest-id, as dedup_exact). ----
+    // SCALE ENVELOPE: the DECLARED semantics fix the blocking at 16
+    // cells, so in-cell pair volume grows ~n²/32 — quadratic per decade
+    // BY CONSTRUCTION (measured 163.6 s at sf10's 200 k vectors under
+    // the honest noop action; ~125 B pairs at sf100, skipped there).
+    // This query is the small-corpus tool; at corpus scale use
+    // `semantic_dedup_w` below — the same pipeline with the cell count
+    // derived from the corpus size, declared and oracle-replayed.
     QDef("semantic_dedup",
       (s, d) => Similarity.semanticDedup(embeddings(s, d), tau = 0.25,
           nCells = 16, iters = 1)
         .orderBy("vec_id"),
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        |seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, emb
-        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
-        |d0 AS (SELECT e.vec_id, e.emb, s.cid,
-        |    list_reduce([(e.emb[i]-s.emb[i])*(e.emb[i]-s.emb[i])
-        |      FOR i IN generate_series(1,64)], (x,y) -> x+y) AS dist
-        |  FROM e CROSS JOIN seeds s),
-        |a0 AS (SELECT vec_id, emb, cid FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |    FROM d0) WHERE rn = 1),
-        |m AS (SELECT cid, i, ROUND(SUM(emb[i]) / COUNT(*), 6) AS mv
-        |  FROM a0 CROSS JOIN generate_series(1,64) g(i) GROUP BY cid, i),
-        |mm AS (SELECT cid, list(mv ORDER BY i) AS emb FROM m GROUP BY cid),
-        |cent AS (SELECT s.cid, COALESCE(mm.emb, s.emb) AS emb
-        |  FROM seeds s LEFT JOIN mm ON s.cid = mm.cid),
-        |dc AS (SELECT e.vec_id, e.emb, c.cid,
-        |    list_reduce([(e.emb[i]-c.emb[i])*(e.emb[i]-c.emb[i])
-        |      FOR i IN generate_series(1,64)], (x,y) -> x+y) AS dist
-        |  FROM e CROSS JOIN cent c),
-        |ca AS (SELECT vec_id, emb, cid AS cell FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |    FROM dc) WHERE rn = 1),
-        |p AS (SELECT a.vec_id, MIN(b.vec_id) AS dup_of
-        |  FROM ca a JOIN ca b ON a.cell = b.cell AND b.vec_id < a.vec_id
-        |    AND ROUND(list_dot_product(a.emb, b.emb) /
-        |      (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))),
-        |      4) >= 0.25
-        |  GROUP BY a.vec_id)
-        |SELECT ca.vec_id, CAST(ca.cell AS BIGINT) AS cell, p.dup_of,
-        |  p.dup_of IS NULL AS kept
-        |FROM ca LEFT JOIN p USING (vec_id) ORDER BY ca.vec_id""".stripMargin)),
+      Some(semanticDedupOracleSql(
+        """seeds AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, emb
+          |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16))""".stripMargin))),
+
+    // ---- Semantic dedup with CORPUS-SCALED cell count (r18, closing
+    // the r17 verdict's #1 item — the last declared quadratic): the
+    // k-means blocking doubles its cell count each time the corpus
+    // doubles (Similarity.corpusScaledNCells: k = 16·2^|{j ∈ 1..10 :
+    // n > 100·2^(7+j)}|, pure integer comparisons on the footer row
+    // count / COUNT(*), so both engines derive the identical k), which
+    // holds expected in-cell pair volume ~n²/2k LINEAR per decade.
+    // SemDeDup (arXiv:2303.09540) itself scales cluster count with
+    // corpus size. At the committed gate SFs (n ≤ 2 000) k stays 16 ≡
+    // the fixed query; sf10 (200 k vectors, k = 128) is the first SF
+    // where the branches diverge and is cross-engine hash-checked out
+    // of band (evidence/r18). More cells = narrower blocking recall
+    // per pair — the same declared trade as dedup_embedding_cosine_w's
+    // width. ----
+    QDef("semantic_dedup_w",
+      (s, d) => {
+        val n = Tables.footerRowCount(s, d, "embeddings")
+        Similarity.semanticDedup(embeddings(s, d), tau = 0.25,
+            nCells = Similarity.corpusScaledNCells(n), iters = 1)
+          .orderBy("vec_id")
+      },
+      Some(semanticDedupOracleSql(
+        """ksel AS (SELECT 16 * (CAST(1 AS BIGINT) << CAST(COUNT(*) AS INT)) AS k
+          |  FROM range(1, 11) t(j)
+          |  WHERE (SELECT COUNT(*) FROM embeddings) >
+          |    100 * (CAST(1 AS BIGINT) << CAST(7 + j AS INT))),
+          |seeds AS (SELECT CAST(rn - 1 AS INT) AS cid, emb FROM
+          |    (SELECT emb, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e), ksel
+          |  WHERE rn <= k)""".stripMargin))),
 
     // ---- PQ/ADC ANN: 4 subspaces × 16 codes, deterministic seeding,
     // one Lloyd step; oracle replays codebook training, encoding, and

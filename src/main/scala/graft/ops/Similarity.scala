@@ -83,6 +83,24 @@ object Similarity {
   def corpusScaledSignBits(n: Long): Int =
     8 + (1 to 16).count(j => n > 100L * (1L << (7 + j)))
 
+  /** Corpus-scaled cell count for [[semanticDedup]] (the
+    * `semantic_dedup_w` formula — the cosine_w treatment applied to the
+    * k-means blocking): k = 16 · 2^|{j ∈ 1..10 : n > 100·2^(7+j)}|,
+    * the SAME integer step thresholds as [[corpusScaledSignBits]] so
+    * Spark (parquet footer count) and DuckDB (COUNT(*)) derive the
+    * IDENTICAL k with no float log2 edge cases. k doubles each time the
+    * corpus does, so the expected in-cell pair volume ~n²/(2k) grows
+    * LINEARLY per decade instead of quadratically — SemDeDup itself
+    * (arXiv:2303.09540) scales cluster count with corpus size for
+    * exactly this reason. Steps: n ≤ 25 600 → 16; > 25 600 → 32;
+    * > 51 200 → 64; …; > 13 107 200 → 16 384 (cap — the k×dim centroid
+    * matrix collected per Lloyd step stays ≤ 16 384 × 64 doubles
+    * ≈ 8 MB, control-plane sized). At the committed gate SFs n ≤ 500
+    * keeps k = 16 ≡ the declared fixed-cell query; sf10 (200 k vectors)
+    * is the first SF where the branches diverge (k = 128). */
+  def corpusScaledNCells(n: Long): Int =
+    16 << (1 to 10).count(j => n > 100L * (1L << (7 + j)))
+
   /** The DuckDB/Spark-SQL CASE chain computing [[signBucket]] at a
     * row-provided width column `b`, as SQL text — ONE generator feeds
     * both the committed oracle SQL (`idxBase = 1`, DuckDB lists are

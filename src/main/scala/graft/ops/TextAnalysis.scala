@@ -139,9 +139,27 @@ object TextAnalysis {
   /** PII detection + redaction for training-data curation: per-doc
     * match counts, a has_pii flag, and the text with emails/phones
     * replaced by placeholder tags (emails first, so phone digits inside
-    * addresses are already gone). Pure per-row regex expressions —
-    * map-only at any scale. */
+    * addresses are already gone). Map-only at any scale; since r18 the
+    * whole surface is ONE native expression
+    * ([[graft.functions.PiiScanExpr]] — three byte walks, no regex
+    * machinery) instead of four `java.util.regex` passes per row
+    * (measured 15.3× the oracle at sf10 — r17 VERDICT item 3).
+    * [[piiFeaturesRegex]] keeps the declarative regexp form; PiiScanSpec
+    * pins the two bit-identical. */
   def piiFeatures(documents: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    documents
+      .withColumn("__pii", graft.functions.PiiScanExpr.piiScan(t))
+      .withColumn("n_emails", col("__pii.n_emails"))
+      .withColumn("n_phones", col("__pii.n_phones"))
+      .withColumn("has_pii", col("n_emails") > 0 || col("n_phones") > 0)
+      .withColumn("redacted", col("__pii.redacted"))
+      .drop("__pii")
+  }
+
+  /** The regexp_* formulation [[piiFeatures]] replaced — kept as the
+    * equivalence-spec reference (the `dotHof` precedent). */
+  def piiFeaturesRegex(documents: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     documents
       .withColumn("n_emails", regexp_count(t, lit(emailRe)))
