@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.functions.{PollaFunctions, PollaParsers}
-import graft.ops.{Bpe, Consensus, Dedup, Drift, Multimodal, Retrieval, Sampling, Similarity, StatePipeline, TextAnalysis}
+import graft.ops.{Bpe, Consensus, Dedup, Drift, Ids, Multimodal, Retrieval, Sampling, Similarity, StatePipeline, TextAnalysis}
 
 /** The declared-query surface (SURVEY.md §2.12 + north-star extensions).
   *
@@ -241,12 +241,17 @@ object Queries {
     // oracle; shuffling all 600 M lineitem rows plus sorting both
     // sides). Only (p_partkey, p_size) — two ints — ever reaches the
     // join, so the part side is projected SKINNY and, while the footer
-    // row count says the dim stays broadcast-sized (≤ 50 M rows ≈
-    // ~400 MB hash relation, the same exact-knowledge size call
-    // Graph.pageRank makes), BROADCAST: lineitem then never shuffles at
-    // all — the exchange after the join carries only partial-agg
-    // (p_partkey, count) rows. Above the gate (part ~20 B rows at real
-    // 100 TB) the dim is hinted SHUFFLE_HASH instead: lineitem shuffles
+    // row count says the dim stays broadcast-sized (≤ 25 M rows — the
+    // binding constraint is the DRIVER hop: an explicit broadcast()
+    // collects the rows through the driver, ~2× covered by the default
+    // 1 g spark.driver.maxResultSize at 25 M × ~20 B collected rows,
+    // and the executor-side LongHashedRelation built from them runs
+    // ~2-3× the raw bytes — r17 ADVICE item 1 lowered the gate from
+    // 50 M, which sat close enough to both ceilings to crash in
+    // BroadcastExchange rather than degrade), BROADCAST: lineitem then
+    // never shuffles at all — the exchange after the join carries only
+    // partial-agg (p_partkey, count) rows. Above the gate (part ~20 B
+    // rows at real 100 TB) the dim is hinted SHUFFLE_HASH: lineitem shuffles
     // once on l_partkey and probes a per-partition hash build of the
     // skinny dim — rows/width per task, no sort of either side ever.
     // Residual l_quantity > p_size rides both shapes as the equi-join's
@@ -256,7 +261,7 @@ object Queries {
       (s, d) => {
         val skinny = part(s, d).select("p_partkey", "p_size")
         val dim =
-          if (Tables.footerRowCount(s, d, "part") <= 50000000L)
+          if (Tables.footerRowCount(s, d, "part") <= 25000000L)
             broadcast(skinny)
           else skinny.hint("shuffle_hash")
         lineitem(s, d).select("l_partkey", "l_quantity")
@@ -333,15 +338,38 @@ object Queries {
         |FROM lineitem""".stripMargin)),
 
     // ---- Q11: rollup (Catalyst Expand); sentinel avoids NULL-order skew ----
+    // ROLLUP without the Expand: Spark's rollup() triples every fact
+    // row through an Expand node before the partial aggregate sees it.
+    // The coarser grouping sets are exact re-aggregations of the finest
+    // one (COUNT sums; the decimal SUM is kept UNROUNDED until the end,
+    // so summing the 6 sub-sums is bit-exact associative decimal
+    // arithmetic), so the fact table is aggregated ONCE at
+    // (flag, status) — ~6 rows — and the two coarser levels union from
+    // those 6 rows. One scan at 1/3 the partial-agg updates; the same
+    // closed-form-over-tiny-domain argument as Q51's prefix sum.
     QDef("q11_rollup",
-      (s, d) => lineitem(s, d)
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), decSum2(col("l_quantity")).as("q"))
-        .select(
-          coalesce(col("l_returnflag"), lit("_all_")).as("l_returnflag"),
-          coalesce(col("l_linestatus"), lit("_all_")).as("l_linestatus"),
-          col("n"), col("q"))
-        .orderBy("l_returnflag", "l_linestatus"),
+      (s, d) => {
+        // pinned: the three-level union must not re-run the fact
+        // aggregation per level (union recomputes an unpinned plan —
+        // the checkpoint is 6 rows)
+        val base = graft.ops.Materialize(lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("qd")))
+        val lvl2 = base.select(col("l_returnflag"), col("l_linestatus"),
+          col("n"), col("qd"))
+        val lvl1 = base.groupBy("l_returnflag")
+          .agg(sum("n").as("n"), sum("qd").as("qd"))
+          .select(col("l_returnflag"), lit("_all_").as("l_linestatus"),
+            col("n"), col("qd"))
+        val lvl0 = base
+          .agg(sum("n").as("n"), sum("qd").as("qd"))
+          .select(lit("_all_").as("l_returnflag"), lit("_all_").as("l_linestatus"),
+            col("n"), col("qd"))
+        lvl2.unionAll(lvl1).unionAll(lvl0)
+          .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+            round(col("qd"), 2).cast("double").as("q"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
       Some("""SELECT COALESCE(l_returnflag,'_all_') AS l_returnflag,
         |COALESCE(l_linestatus,'_all_') AS l_linestatus, COUNT(*) AS n,
         |CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))),2) AS DOUBLE) AS q
@@ -486,23 +514,37 @@ object Queries {
     //    name re-attached to the 35-row AGGREGATE by broadcast. sf10
     //    3.20 → 2.81 s = 2.4× the DuckDB oracle (was 5.4× in r11). ----
     QDef("q19_snowflake_revenue",
-      (s, d) => lineitem(s, d)
-        .select(col("l_orderkey"), col("l_suppkey"),
-          dec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("pr"))
-        .join(broadcast(supplier(s, d)
-            .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-            .select("s_suppkey", "n_regionkey")),
-          col("l_suppkey") === col("s_suppkey"))
-        .select("l_orderkey", "n_regionkey", "pr")
-        .join(orders(s, d)
-            .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("y"))
-            .hint("shuffle_hash"),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("n_regionkey"), col("y"))
-        .agg(round(sum(col("pr")), 2).cast("double").as("rev"))
-        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
-        .select(col("r_name"), col("y"), col("rev"))
-        .orderBy("r_name", "y"),
+      (s, d) => {
+        // the orders side reaches this join as two skinny ints
+        // (o_orderkey, year); under the same footer-count broadcast gate
+        // as q06 (≤ 25 M rows — driver hop + hash relation both covered)
+        // the fact table never shuffles AT ALL: both dims broadcast, the
+        // only exchange is the (region, year) partial agg. Above the
+        // gate the orders side is hinted SHUFFLE_HASH — one shuffle of
+        // each side on the join key, no sort (r18; was an unconditional
+        // shuffle_hash that paid the full lineitem+orders exchange at
+        // every SF, 12.6× the oracle at sf0.1).
+        val ordersSkinny = orders(s, d)
+          .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("y"))
+        val ordersDim =
+          if (Tables.footerRowCount(s, d, "orders") <= 25000000L)
+            broadcast(ordersSkinny)
+          else ordersSkinny.hint("shuffle_hash")
+        lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            dec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("pr"))
+          .join(broadcast(supplier(s, d)
+              .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+              .select("s_suppkey", "n_regionkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .select("l_orderkey", "n_regionkey", "pr")
+          .join(ordersDim, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_regionkey"), col("y"))
+          .agg(round(sum(col("pr")), 2).cast("double").as("rev"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .select(col("r_name"), col("y"), col("rev"))
+          .orderBy("r_name", "y")
+      },
       Some("""SELECT r_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
         |CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))),2) AS DOUBLE) AS rev
         |FROM region JOIN nation ON n_regionkey = r_regionkey
@@ -640,12 +682,20 @@ object Queries {
         |ORDER BY c.event_id LIMIT 5000""".stripMargin)),
 
     // ---- Q27: exact percentiles (sort-based, cross-engine interpolation) ----
+    // Two-phase CDF (Profiler.quantilesByKey) rather than `percentile`:
+    // the built-in buffers a value→count map per group in an
+    // interpreted ObjectHashAggregate — every input row an object-map
+    // update. Same interpolation (rank (n−1)p, linear), identical
+    // values.
     QDef("q27_percentiles",
-      (s, d) => events(s, d)
-        .groupBy("event_type")
-        .agg(round(expr("percentile(value, 0.5)"), 2).as("p50"),
-          round(expr("percentile(value, 0.9)"), 2).as("p90"),
-          round(expr("percentile(value, 0.99)"), 2).as("p99"))
+      (s, d) => graft.ops.Profiler.quantilesByKey(
+          events(s, d)
+            .select(col("event_type").as("column"),
+              col("value").cast("double").as("v"))
+            .filter(col("v").isNotNull),
+          ps = Seq(0.5, 0.9, 0.99), dp = 2)
+        .select(col("column").as("event_type"), col("p50"), col("p90"),
+          col("p99"))
         .orderBy("event_type"),
       Some("""SELECT event_type, ROUND(quantile_cont(value, 0.5), 2) AS p50,
         |ROUND(quantile_cont(value, 0.9), 2) AS p90,
@@ -1016,19 +1066,58 @@ object Queries {
         |array_to_string(list_sort(list(vec_id)), ',') AS ids
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
 
-    // ---- Q36: ranking-function battery ----
+    // ---- Q36: ranking-function battery. PARTITION BY event_type has a
+    // handful of keys, so the window form single-threads each key's
+    // sort (13.9 s = 10.2× oracle at sf10 — r17 VERDICT item 4); the
+    // ordering (value, event_id) is a TOTAL order per key, so all five
+    // functions are closed forms of (rn, n) from Ids.groupRanks' two-
+    // phase range-partitioned rank — parallelism = partition count, not
+    // key count. Footer-count gated (the q06 pattern): below 1 M rows
+    // the per-key sorts are sub-second and groupRanks' extra jobs
+    // (range sample, checkpoint, counts) cost more than they save
+    // (A/B'd at sf0.1: 0.53 s window vs 0.98 s two-phase); above, the
+    // window's key-count parallelism cap dominates and the two-phase
+    // wins (13.9 → ~7.5 s at sf10). Identical rows either way — the
+    // gate picks a PLAN, never semantics. ntile(k): first n%k buckets
+    // take ⌊n/k⌋+1 rows (Spark and DuckDB agree on this split). ----
     QDef("q36_rank_funcs",
       (s, d) => {
-        val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
-        events(s, d)
-          .select(col("event_id"), col("event_type"),
-            rank().over(w).cast("long").as("rnk"),
-            dense_rank().over(w).cast("long").as("drnk"),
-            round(percent_rank().over(w), 4).as("prnk"),
-            ntile(4).over(w).cast("long").as("quartile"),
-            round(cume_dist().over(w), 4).as("cd"))
-          .orderBy("event_id")
-          .limit(5000)
+        if (Tables.footerRowCount(s, d, "events") <= 1000000L) {
+          val w = Window.partitionBy("event_type")
+            .orderBy(col("value"), col("event_id"))
+          events(s, d)
+            .select(col("event_id"), col("event_type"),
+              rank().over(w).cast("long").as("rnk"),
+              dense_rank().over(w).cast("long").as("drnk"),
+              round(percent_rank().over(w), 4).as("prnk"),
+              ntile(4).over(w).cast("long").as("quartile"),
+              round(cume_dist().over(w), 4).as("cd"))
+            .orderBy("event_id")
+            .limit(5000)
+        } else {
+          val rn = col("__rn")
+          val n = col("__n")
+          val n1 = (n - 1).cast("double")
+          // integer ntile(4) arithmetic on (rn, n): big buckets first
+          val bs = floor(n / 4)         // ⌊n/4⌋ (double-safe: n ≤ 2^53)
+          val rem = n % 4
+          val bigCut = rem * (bs + 1)
+          val quartile = when(rn <= bigCut,
+              floor((rn - 1) / (bs + 1)) + 1)
+            .otherwise(rem + floor((rn - bigCut - 1) / bs) + 1)
+          Ids.groupRanks(
+              events(s, d).select(col("event_id"), col("event_type"), col("value")),
+              Seq("event_type"), Seq("value", "event_id"))
+            .select(col("event_id"), col("event_type"),
+              rn.cast("long").as("rnk"),
+              rn.cast("long").as("drnk"),
+              round(when(n1 === 0, 0.0).otherwise((rn - 1).cast("double") / n1), 4)
+                .as("prnk"),
+              quartile.cast("long").as("quartile"),
+              round(rn.cast("double") / n.cast("double"), 4).as("cd"))
+            .orderBy("event_id")
+            .limit(5000)
+        }
       },
       Some("""SELECT event_id, event_type,
         |RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,

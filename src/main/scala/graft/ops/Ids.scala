@@ -49,4 +49,34 @@ object Ids {
     }
     spark.createDataFrame(numbered, schema)
   }
+
+  /** Append `rnCol` = 1-based rank of the row within its `keyCols` group
+    * under `orderCols`, and `nCol` = the group size — the (rn, n) pair
+    * every SQL ranking function is a closed form of when `orderCols` is
+    * a TOTAL order within the key (include a unique tiebreaker): rank =
+    * dense_rank = row_number = rn, percent_rank = (rn−1)/(n−1),
+    * cume_dist = rn/n, ntile from (rn, n) integer arithmetic.
+    *
+    * This replaces `Window.partitionBy(key)` for the FEW-KEYS regime:
+    * a partition-per-key window caps parallelism at the distinct-key
+    * count and single-threads each key's sort (q36 measured 13.9 s =
+    * 10.2× oracle at sf10 over `event_type`'s handful of keys — r17
+    * VERDICT item 4). Here the sort is a range exchange over
+    * (key, order) — parallelism = partition count regardless of key
+    * count — followed by one tiny per-key aggregate, broadcast back,
+    * and a map-only rank arithmetic pass. The per-key frame must be
+    * broadcast-sized (key cardinality ≪ data); for HIGH-cardinality
+    * keys use the plain window — with many keys its parallelism is
+    * already fine. */
+  def groupRanks(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      rnCol: String = "__rn", nCol: String = "__n"): DataFrame = {
+    val ids = stableIds(df, keyCols ++ orderCols, "__gid")
+    // per-key offset = the key's smallest global id; group size rides
+    // along — one codegen agg over the numbered frame, O(keys) rows
+    val perKey = ids.groupBy(keyCols.map(col): _*)
+      .agg(min(col("__gid")).as("__koff"), count(lit(1)).as(nCol))
+    ids.join(broadcast(perKey), keyCols)
+      .withColumn(rnCol, col("__gid") - col("__koff") + 1)
+      .drop("__gid", "__koff")
+  }
 }

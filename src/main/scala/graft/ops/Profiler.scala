@@ -46,7 +46,13 @@ object Profiler {
       val normalized = if (floaty(c)) s"($ident + 0.0)" else ident
       s"$label, CAST($normalized AS STRING)"
     }.mkString(", ")
-    df.selectExpr(s"stack(${df.columns.length}, $stackArgs) AS (column, v)")
+    // keyed Spread: see quantileProfile — the stack × stringify map side
+    // must not serialize in one task on a narrow scan; no-op at scale.
+    // Names go through the same backtick-escaping as stackArgs (a plain
+    // col() PARSES backticks — a quoted name would throw).
+    Spread.wide(df, Some(hash(df.columns.map(c =>
+      col("`" + c.replace("`", "``") + "`")): _*)))
+      .selectExpr(s"stack(${df.columns.length}, $stackArgs) AS (column, v)")
       .groupBy("column", "v").agg(count(lit(1)).as("cnt"))
       .groupBy("column").agg(
         sum("cnt").as("n_rows"),
@@ -80,48 +86,147 @@ object Profiler {
     * definition as SQL `quantile_cont`: rank (n−1)·p, linear between
     * neighbors), max — one row per column, rounded 4.
     *
-    * Distributed-CDF formulation rather than a `percentile` aggregate:
-    * stack the columns map-side, reduce to per-(column, value) counts
-    * (codegen'd partial aggregation — the shuffle carries O(distinct
-    * values), not rows), take one cumulative window per column, and read
-    * each percentile as a conditional min over the CDF with linear
-    * interpolation between the two bracketing values. Spark's own
-    * `percentile` buffers a value→count map per group in an
+    * Distributed two-phase CDF formulation (the [[Drift.ks]] /
+    * [[Ids.stableAssign]] pattern) rather than a `percentile` aggregate
+    * or a per-column window: stack the columns map-side, reduce to
+    * per-(column, value) counts (codegen'd partial aggregation — the
+    * shuffle carries O(distinct values), not rows), range-exchange on
+    * (column, value), ship one count per (partition, column) to the
+    * driver for exclusive prefix offsets, then a map-only second pass
+    * emits ONLY the ≤ 2|ps|+2 order statistics each column needs
+    * (bracketing ranks for each percentile, plus ranks 1 and n for
+    * min/max). Interpolation and rounding happen on those few collected
+    * scalars. The r17 form computed the same CDF with
+    * `sum().over(Window.partitionBy("column"))` — a partition-per-key
+    * sort whose parallelism is capped at the COLUMN COUNT, so one task
+    * single-threaded the dominant column's distinct values (3.2 s of
+    * the 3.6 s wall at sf0.1; the r17 verdict's top sf0.1-gate item).
+    * Spark's own `percentile` buffers a value→count map per group in an
     * ObjectHashAggregate — no codegen, every input row an object-map
-    * update (measured 2.3× slower at sf0.1). Both forms are O(distinct
-    * values) in state; for unbounded-cardinality columns at 100 TB use
-    * [[quantileProfileApprox]]. */
+    * update (measured 2.3× slower still). Both forms are O(distinct
+    * values) in shuffle volume; for unbounded-cardinality columns at
+    * 100 TB use [[quantileProfileApprox]]. */
   def quantileProfile(df: DataFrame, cols: Seq[String],
       ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
     val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
-    val stacked = df
+    // Spread KEYED on the profiled values: the stack x cast x partial-agg
+    // map side must not serialize in one task on a narrow scan (the
+    // local single-row-group corpus files). A hash key avoids round-robin
+    // repartition's sort-before-exchange (A/B'd: round-robin COST 0.5 s
+    // here). No-op at scale - the repartition only fires when the scan
+    // arrives narrower than half the slots.
+    val stacked = Spread.wide(df.select(cols.map(col): _*),
+        Some(hash(cols.map(col): _*)))
       .selectExpr(s"stack(${cols.length}, $stackArgs) AS (column, v)")
       .filter(col("v").isNotNull)
+    quantilesByKey(stacked, ps, dp = 4)
+  }
+
+  /** The two-phase core of [[quantileProfile]], generalized over any
+    * (column: string, v: double) frame - the "column" key may just as
+    * well be a GROUP key (q27 uses event_type), and `dp` is the output
+    * rounding scale. Null v rows must already be filtered. */
+  def quantilesByKey(stacked: DataFrame, ps: Seq[Double], dp: Int): DataFrame = {
+    val spark = stacked.sparkSession
+    // persisted: RangePartitioner's boundary-sampling job would
+    // otherwise recompute the whole scan + aggregation a second time
+    // (measured ~0.9 s of q52's wall at sf0.1)
     val counts = stacked.groupBy("column", "v").agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("column").orderBy("v")
-    val cdf = counts
-      .withColumn("cum", sum("cnt").over(w))
-      .withColumn("n", sum("cnt").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("column")))
-    // rank r = (n−1)p sits between the values at 1-based positions
-    // ⌊r⌋+1 and ⌈r⌉+1 of the sorted multiset; value at position k is
-    // the smallest v whose cumulative count reaches k
-    def atRank(k: Column) = min(when(col("cum") >= k, col("v")))
-    val allAggs = Seq(min("v").as("minv"), max(col("v")).as("maxv"),
-      max(col("n")).as("__n")) ++
-      ps.zipWithIndex.flatMap { case (p, i) =>
-        val r = (col("n") - 1) * lit(p)
-        Seq(atRank(floor(r) + 1).as(s"__lo$i"), atRank(ceil(r) + 1).as(s"__hi$i"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one pinned range-partitioned materialization: the offsets pass and
+    // the extraction pass must see identical partitions (Drift.ks's
+    // persist-with-handle contract, released in finally)
+    val ranged = counts.repartitionByRange(col("column"), col("v"))
+      .sortWithinPartitions("column", "v").rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partials = ranged.mapPartitionsWithIndex { (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach(r => m.updateWith(r.getString(0))(
+          o => Some(o.getOrElse(0L) + r.getLong(2))))
+        m.iterator.map { case (c, n) => (pid, c, n) }.toArray.iterator
+      }.collect().sortBy(_._1)
+      val nByCol = partials.groupBy(_._2).map { case (c, a) =>
+        c -> a.map(_._3).sum
       }
-    cdf.groupBy("column").agg(allAggs.head, allAggs.tail: _*)
-      .select(Seq(col("column"), round(col("minv"), 4).as("minv")) ++
-        ps.zipWithIndex.map { case (p, i) =>
-          val r = (col("__n") - 1) * lit(p)
-          val frac = r - floor(r)
-          round(col(s"__lo$i") + frac * (col(s"__hi$i") - col(s"__lo$i")), 4)
-            .as(s"p${math.round(p * 100)}")
-        } ++ Seq(round(col("maxv"), 4).as("maxv")): _*)
+      // exclusive per-(partition, column) prefix offsets — range
+      // partitioning keeps each column's values in partition order
+      val offsets = {
+        val running = scala.collection.mutable.Map.empty[String, Long]
+        partials.map { case (pid, c, cnt) =>
+          val off = running.getOrElse(c, 0L)
+          running(c) = off + cnt
+          (pid, c) -> off
+        }.toMap
+      }
+      // rank r = (n−1)p sits between the values at 1-based positions
+      // ⌊r⌋+1 and ⌈r⌉+1 of the sorted multiset; rank 1 = min, n = max
+      val need: Map[String, Array[Long]] = nByCol.map { case (c, n) =>
+        val rs = ps.flatMap { p =>
+          val r = (n - 1) * p
+          Seq(math.floor(r).toLong + 1, math.ceil(r).toLong + 1)
+        }
+        c -> (rs.toSet + 1L + n).toArray.sorted
+      }
+      // map-only extraction: value at rank k is the smallest v whose
+      // cumulative count reaches k ⇔ k lies in (cum_before, cum]
+      val hits = ranged.mapPartitionsWithIndex { (pid, it) =>
+        var curCol: String = null
+        var cum = 0L
+        var ranks: Array[Long] = Array.empty
+        var ri = 0
+        it.flatMap { r =>
+          val c = r.getString(0)
+          if (c != curCol) {
+            curCol = c
+            cum = offsets((pid, c))
+            ranks = need(c)
+            ri = java.util.Arrays.binarySearch(ranks, cum + 1) match {
+              case i if i >= 0 => i
+              case i => -i - 1
+            }
+          }
+          val lo = cum
+          cum += r.getLong(2)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Double)]
+          while (ri < ranks.length && ranks(ri) <= cum) {
+            if (ranks(ri) > lo) out += ((c, ranks(ri), r.getDouble(1)))
+            ri += 1
+          }
+          out
+        }
+      }.collect()
+      val atRank: Map[(String, Long), Double] =
+        hits.map { case (c, k, v) => (c, k) -> v }.toMap
+      // Spark `round(_, 4)` on doubles: BigDecimal HALF_UP, NaN/Inf pass
+      // through — replicated here so the driver-assembled result is
+      // bit-identical to the r17 expression form
+      def rnd(v: Double): Double =
+        if (v.isNaN || v.isInfinite) v
+        else java.math.BigDecimal.valueOf(v)
+          .setScale(dp, java.math.RoundingMode.HALF_UP).doubleValue()
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("column",
+          org.apache.spark.sql.types.StringType, nullable = false) +:
+        ("minv" +: ps.map(p => s"p${math.round(p * 100)}") :+ "maxv").map(f =>
+          org.apache.spark.sql.types.StructField(f,
+            org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val rows = nByCol.keys.toSeq.sorted.map { c =>
+        val n = nByCol(c)
+        val qs = ps.map { p =>
+          val r = (n - 1) * p
+          val lo = atRank((c, math.floor(r).toLong + 1))
+          val hi = atRank((c, math.ceil(r).toLong + 1))
+          rnd(lo + (r - math.floor(r)) * (hi - lo))
+        }
+        org.apache.spark.sql.Row.fromSeq(
+          c +: (rnd(atRank((c, 1L))) +: qs :+ rnd(atRank((c, n)))))
+      }
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally {
+      ranged.unpersist(blocking = false)
+      counts.unpersist(blocking = false)
+    }
   }
 
   /** Approximate quantile profile via the BUILT-IN `approx_percentile`
@@ -221,7 +326,10 @@ object Profiler {
       ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
       relErr: Double = 0.01): DataFrame = {
     val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
-    val stacked = df
+    // keyed Spread: see quantileProfile - the stack x ln() map side must
+    // not serialize in one task on a narrow scan; no-op at scale
+    val stacked = Spread.wide(df.select(cols.map(col): _*),
+        Some(hash(cols.map(col): _*)))
       .selectExpr(s"stack(${cols.length}, $stackArgs) AS (column, v)")
       .filter(col("v").isNotNull)
     val bucket = logBucket(col("v"), relErr)

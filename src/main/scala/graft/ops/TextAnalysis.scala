@@ -257,27 +257,27 @@ object TextAnalysis {
     * interpreted per-doc frequency loop, which is the 10× HOF trap. */
   def repetitionSignals(documents: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col("__t")
+    // MAP-ONLY since r18: a document's most-repeated bigram count is a
+    // pure function of its OWN gram array, so the per-doc stats come
+    // from one native pass over that array
+    // (functions.ArrayMaxMultExpr) — the previous explode →
+    // groupBy(doc, gram) → groupBy(doc) shape pushed the whole gram
+    // stream through two exchanges to compute what never needed to
+    // leave the row. Zero shuffles at any scale.
     documents.select(col("doc_id"), toks(lower(col(textCol))).as("__t"))
       .select(col("doc_id"),
         size(t).cast("long").as("n_tokens"),
         when(size(t) > 0, round(size(array_distinct(t)).cast("double") / size(t), 4))
           .otherwise(lit(0.0)).as("uniq_word_frac"),
-        explode_outer(wordNgrams(t, 2, distinct = false)).as("g"))
-      .groupBy("doc_id", "g").agg(
-        first("n_tokens").as("n_tokens"),
-        first("uniq_word_frac").as("uniq_word_frac"),
-        count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
-        first("n_tokens").as("n_tokens"),
-        first("uniq_word_frac").as("uniq_word_frac"),
-        sum(when(col("g").isNotNull, col("c")).otherwise(0L)).as("n_2grams"),
-        max(when(col("g").isNotNull, col("c"))).as("top2_count"))
+        wordNgrams(t, 2, distinct = false).as("__g"))
       .select(col("doc_id"), col("n_tokens"), col("uniq_word_frac"),
-        col("n_2grams"),
-        coalesce(col("top2_count"), lit(0L)).as("top2_count"),
+        size(col("__g")).cast("long").as("n_2grams"),
+        graft.functions.ArrayMaxMultExpr.arrayMaxMult(col("__g"))
+          .cast("long").as("top2_count"))
+      .withColumn("top2_frac",
         when(col("n_2grams") > 0,
-          round(coalesce(col("top2_count"), lit(0L)).cast("double") / col("n_2grams"), 4))
-          .otherwise(lit(0.0)).as("top2_frac"))
+          round(col("top2_count").cast("double") / col("n_2grams"), 4))
+          .otherwise(lit(0.0)))
   }
 
   /** TF-IDF per (doc, term): tf = term count in doc, df = docs containing

@@ -71,12 +71,15 @@ object IsoProbe {
         // same action switch as Bench (r17): noop (default) materializes
         // every output column — count() let Catalyst prune declared work
         // (see Bench.runAction); rows = -1 under noop
-        val n =
+        // rows is a count-action-only field: under noop nothing is
+        // counted, and reusing -1 would collide with the established
+        // failure sentinel (r17 ADVICE item 4) — emit JSON null instead
+        val n: Option[Long] =
           if (sys.env.get("SPARK_GRAFT_ACTION").contains("count"))
-            q.fn(spark, sfDir).count()
+            Some(q.fn(spark, sfDir).count())
           else {
             q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            -1L
+            None
           }
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu1 = cpuStat()
@@ -88,7 +91,7 @@ object IsoProbe {
           s0.shufWriteMB - before.shufWriteMB,
           s0.memSpillMB - before.memSpillMB,
           s0.diskSpillMB - before.diskSpillMB, s0.tasks - before.tasks)
-        println(f"""{"query":"$name","run":$i,"rows":$n,""" +
+        println(f"""{"query":"$name","run":$i,"rows":${n.getOrElse("null")},""" +
           f""""wall_sec":$wall%.2f,"exec_run_sec":${s.runSec}%.1f,""" +
           f""""gc_sec":${s.gcSec}%.1f,"shuffle_read_mb":${s.shufReadMB}%.0f,""" +
           f""""shuffle_write_mb":${s.shufWriteMB}%.0f,""" +

@@ -50,7 +50,11 @@ object StageLog {
           val wall = (for {
             c <- si.completionTime; s <- si.submissionTime
           } yield (c - s) / 1e3).getOrElse(-1.0)
-          val nm = si.name.replace("\"", "'").take(120)
+          // JSONL-safe: backslashes first, quotes, then strip control
+          // chars — a stage name with any of them would emit an invalid
+          // line (r17 ADVICE item 3)
+          val nm = si.name.replace("\\", "/").replace("\"", "'")
+            .filter(c => c >= ' ' && c != 0x7f).take(120)
           println(f"""{"query":"$current","stage":${si.stageId},""" +
             f""""attempt":${si.attemptNumber},"tasks":${si.numTasks},""" +
             f""""wall_sec":$wall%.1f,"run_sec":${m.executorRunTime / 1e3}%.1f,""" +
@@ -75,17 +79,20 @@ object StageLog {
       val t0 = System.nanoTime()
       // same action switch as Bench (r17): noop (default) materializes
       // every output column; count() let Catalyst prune declared work
-      val n =
+      // rows is a count-action-only field: under noop nothing is
+      // counted, and reusing -1 would collide with the established
+      // failure sentinel (r17 ADVICE item 4) — emit JSON null instead
+      val n: Option[Long] =
         if (sys.env.get("SPARK_GRAFT_ACTION").contains("count"))
-          q.fn(spark, sfDir).count()
+          Some(q.fn(spark, sfDir).count())
         else {
           q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          -1L
+          None
         }
       val wall = (System.nanoTime() - t0) / 1e9
       // let async stage-completed events drain before the summary line
       Thread.sleep(500)
-      println(f"""{"query":"$name","TOTAL":true,"rows":$n,"wall_sec":$wall%.1f}""")
+      println(f"""{"query":"$name","TOTAL":true,"rows":${n.getOrElse("null")},"wall_sec":$wall%.1f}""")
       current = "warmup"
     }
     spark.stop()

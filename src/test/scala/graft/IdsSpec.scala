@@ -39,6 +39,41 @@ class IdsSpec extends SparkSpec {
     } finally spark.conf.unset(graft.ops.Materialize.ConfKey)
   }
 
+  test("groupRanks ≡ the five window rank functions (q36's gated branch)") {
+    // the q36 footer gate picks window below 1 M events and groupRanks
+    // above — this pin holds the two bit-identical on a corpus with
+    // ties in `value`, multiple keys, and a 1-row key (percent_rank's
+    // n=1 division guard)
+    import org.apache.spark.sql.expressions.Window
+    val df = ((0 until 997).map(i =>
+        (i.toLong, s"t${i % 5}", (i * 7 % 13).toDouble)) :+
+        (9999L, "lonely", 1.0))
+      .toDF("event_id", "event_type", "value")
+    val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+    val windowed = df.select(col("event_id"),
+      rank().over(w).cast("long").as("rnk"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      round(percent_rank().over(w), 4).as("prnk"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      round(cume_dist().over(w), 4).as("cd"))
+    val rn = col("__rn"); val n = col("__n")
+    val n1 = (n - 1).cast("double")
+    val bs = floor(n / 4); val rem = n % 4
+    val bigCut = rem * (bs + 1)
+    val quartile = when(rn <= bigCut, floor((rn - 1) / (bs + 1)) + 1)
+      .otherwise(rem + floor((rn - bigCut - 1) / bs) + 1)
+    val twoPhase = Ids.groupRanks(df, Seq("event_type"),
+        Seq("value", "event_id"))
+      .select(col("event_id"),
+        rn.cast("long").as("rnk"), rn.cast("long").as("drnk"),
+        round(when(n1 === 0, 0.0).otherwise((rn - 1).cast("double") / n1), 4)
+          .as("prnk"),
+        quartile.cast("long").as("quartile"),
+        round(rn.cast("double") / n.cast("double"), 4).as("cd"))
+    assert(windowed.exceptAll(twoPhase)
+      .unionAll(twoPhase.exceptAll(windowed)).count() === 0L)
+  }
+
   test("numbering never routes rows through a single partition") {
     // AQE rightly coalesces a tiny input, so pin the exchange width the
     // way a real corpus-sized caller would

@@ -26,10 +26,11 @@ class PlanSpec extends SparkSpec {
   test("q19 snowflake: dims broadcast, fact-fact join hashes (never sorts)") {
     val p = planOf("q19_snowflake_revenue")
     assert(p.contains("BroadcastHashJoin"), "dim joins must be broadcast")
-    // r12: the orders join is SHUFFLE_HASH — at sf10 the SMJ's two
-    // fact-side sorts were 25% of the query (4.29 → 3.20 s, min-of-3
-    // interleaved; wash at sf1/sf0.1). No sort of the big side, ever.
-    assert(p.contains("ShuffledHashJoin"), "fact-fact join must hash-build")
+    // r18: below the footer-count gate the SKINNY orders side
+    // (o_orderkey, year) broadcasts too — the fact table then never
+    // shuffles at all; above the gate it is hinted SHUFFLE_HASH (r12:
+    // at sf10 the SMJ's two fact-side sorts were 25% of the query).
+    // Either way: no sort of the big side, ever.
     assert(!p.contains("SortMergeJoin"), "nothing in q19 should sort-merge")
     // and NO pre-aggregate below the orders join: the r10 sf1 sweep
     // measured every pre-agg variant SLOWER than the direct shape, and
@@ -256,11 +257,18 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"expected 1 documents scan, got $scans:\n$p")
   }
 
-  test("quantile profile: codegen'd aggregation, never the ObjectHash percentile path") {
+  test("quantile profile: two-phase result is driver-local order statistics") {
+    // r18: quantileProfile runs its two-phase CDF eagerly (range
+    // exchange + offsets + targeted-rank extraction — see
+    // Profiler.quantilesByKey); the returned frame is the handful of
+    // interpolated order statistics, never a lazy plan over the corpus.
+    // The distributed machinery itself is pinned by ScaleOpsSpec
+    // (values, one-aggregate shape) and the q27 oracle.
     val p = planOf("q52_quantile_profile")
+    assert(p.contains("LocalTableScan"),
+      "two-phase quantiles must return driver-assembled statistics")
     assert(!p.contains("ObjectHashAggregate"),
       "CDF quantiles must not fall back to the percentile buffer path")
-    assert(p.contains("HashAggregate"), "per-value counts must hash-aggregate")
   }
 
   test("q52b approx profile: one scan, GK sample cut in a codegen projection") {
