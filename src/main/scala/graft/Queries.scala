@@ -693,7 +693,9 @@ object Queries {
             .select(col("event_type").as("column"),
               col("value").cast("double").as("v"))
             .filter(col("v").isNotNull),
-          ps = Seq(0.5, 0.9, 0.99), dp = 2)
+          ps = Seq(0.5, 0.9, 0.99), dp = 2,
+          smallHint = Tables.footerRowCount(s, d, "events") <=
+            graft.ops.Profiler.SmallStackedGate)
         .select(col("column").as("event_type"), col("p50"), col("p90"),
           col("p99"))
         .orderBy("event_type"),
@@ -2114,7 +2116,8 @@ object Queries {
           .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
         graft.ops.Skew.saltedJoinAdaptive(facts, dims, "l_suppkey",
             factId = concat(col("l_orderkey"), lit("#"), col("l_linenumber")),
-            saltBuckets = 8)
+            saltBuckets = 8,
+            factCountHint = Tables.footerRowCount(s, d, "lineitem"))
           .groupBy("s_nationkey")
           .agg(decSum2(col("l_extendedprice")).as("revenue"),
             count(lit(1)).as("n"))
@@ -2823,7 +2826,8 @@ object Queries {
     // bounded-memory approx_percentile form (q38b sanity pattern). ----
     QDef("q52_quantile_profile",
       (s, d) => graft.ops.Profiler.quantileProfile(lineitem(s, d),
-          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          rowsHint = Tables.footerRowCount(s, d, "lineitem"))
         .orderBy("column"),
       Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
         .map(c => s"""SELECT '$c' AS "column", """ +

@@ -35,29 +35,60 @@ object Profiler {
     * `countDistinct` would report). Still O(distinct values) through the
     * shuffle — [[profileApprox]] stays the unbounded-cardinality path. */
   def profileSingleScan(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, FloatType}
-    val floaty = df.schema.fields
-      .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
-      .map(_.name).toSet
-    val stackArgs = df.columns.map { c =>
-      val label = "'" + c.replace("'", "''") + "'"
-      val ident = "`" + c.replace("`", "``") + "`"
-      // IEEE: -0.0 + 0.0 = +0.0 (NaN/null pass through unchanged)
-      val normalized = if (floaty(c)) s"($ident + 0.0)" else ident
-      s"$label, CAST($normalized AS STRING)"
+    import org.apache.spark.sql.types._
+    // TYPED stack slots (r18): values land in a (vl long, vd double,
+    // vs string) triple — exactly one slot non-null per non-null value —
+    // instead of the old single CAST(v AS STRING) image. The string
+    // image was injective but priced every long/double/date through the
+    // cast formatter and every shuffle/group compare through string
+    // bytes; the typed slots keep distinctness judged on the native
+    // binary value (longs for integrals/dates/timestamps/booleans,
+    // doubles for floats with the same -0.0 fold, strings only for what
+    // is genuinely a string). Injectivity per column is by slot: a
+    // column's values all land in ONE slot, so (vl, vd, vs) collides
+    // exactly when the typed values are equal — what countDistinct
+    // reports.
+    val stackArgs = df.schema.fields.map { f =>
+      val label = "'" + f.name.replace("'", "''") + "'"
+      val ident = "`" + f.name.replace("`", "``") + "`"
+      val (vl, vd, vs) = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType | BooleanType =>
+          (s"CAST($ident AS BIGINT)", "CAST(NULL AS DOUBLE)",
+            "CAST(NULL AS STRING)")
+        // date/timestamp ride the long slot via their exact integer
+        // encodings (ANSI forbids a direct cast; CAST(ts AS BIGINT)
+        // would truncate to seconds — not injective)
+        case DateType =>
+          (s"CAST(unix_date($ident) AS BIGINT)", "CAST(NULL AS DOUBLE)",
+            "CAST(NULL AS STRING)")
+        case TimestampType =>
+          (s"unix_micros($ident)", "CAST(NULL AS DOUBLE)",
+            "CAST(NULL AS STRING)")
+        case FloatType | DoubleType =>
+          // IEEE: -0.0 + 0.0 = +0.0 (NaN/null pass through unchanged)
+          ("CAST(NULL AS BIGINT)", s"(CAST($ident AS DOUBLE) + 0.0)",
+            "CAST(NULL AS STRING)")
+        case _ =>
+          ("CAST(NULL AS BIGINT)", "CAST(NULL AS DOUBLE)",
+            s"CAST($ident AS STRING)")
+      }
+      s"$label, $vl, $vd, $vs"
     }.mkString(", ")
-    // keyed Spread: see quantileProfile — the stack × stringify map side
-    // must not serialize in one task on a narrow scan; no-op at scale.
-    // Names go through the same backtick-escaping as stackArgs (a plain
-    // col() PARSES backticks — a quoted name would throw).
+    // keyed Spread: see quantileProfile — the stack × partial-agg map
+    // side must not serialize in one task on a narrow scan; no-op at
+    // scale. Names go through the same backtick-escaping as stackArgs (a
+    // plain col() PARSES backticks — a quoted name would throw).
     Spread.wide(df, Some(hash(df.columns.map(c =>
       col("`" + c.replace("`", "``") + "`")): _*)))
-      .selectExpr(s"stack(${df.columns.length}, $stackArgs) AS (column, v)")
-      .groupBy("column", "v").agg(count(lit(1)).as("cnt"))
+      .selectExpr(
+        s"stack(${df.columns.length}, $stackArgs) AS (column, vl, vd, vs)")
+      .groupBy("column", "vl", "vd", "vs").agg(count(lit(1)).as("cnt"))
       .groupBy("column").agg(
         sum("cnt").as("n_rows"),
-        coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
-        count_if(col("v").isNotNull).as("n_distinct"))
+        coalesce(sum(when(col("vl").isNull && col("vd").isNull &&
+          col("vs").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
+        count_if(col("vl").isNotNull || col("vd").isNotNull ||
+          col("vs").isNotNull).as("n_distinct"))
   }
 
   /** Approximate single-scan profile — THE 100 TB path. HLL++ sketches
@@ -107,7 +138,8 @@ object Profiler {
     * values) in shuffle volume; for unbounded-cardinality columns at
     * 100 TB use [[quantileProfileApprox]]. */
   def quantileProfile(df: DataFrame, cols: Seq[String],
-      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+      rowsHint: Long = Long.MaxValue): DataFrame = {
     val stackArgs = cols.map(c => s"'$c', CAST(`$c` AS DOUBLE)").mkString(", ")
     // Spread KEYED on the profiled values: the stack x cast x partial-agg
     // map side must not serialize in one task on a narrow scan (the
@@ -115,6 +147,38 @@ object Profiler {
     // repartition's sort-before-exchange (A/B'd: round-robin COST 0.5 s
     // here). No-op at scale - the repartition only fires when the scan
     // arrives narrower than half the slots.
+    if (rowsHint * cols.length <= SmallStackedGate) {
+      // small-corpus path (see [[SmallStackedGate]]): ONE job — scan,
+      // project the double casts, collect, and sort each column on the
+      // driver; ranks interpolate through the SAME [[assemble]] code as
+      // the two-phase path. Probed at sf0.1 (R18Probe): the two-phase
+      // CDF and a counts-collect variant both floor at ~1.8 s (the
+      // (column, v) counts aggregation itself is the wall on 2.4 M
+      // stacked values) and a percentile()-aggregate at ~2.3 s; raw
+      // collect + driver sort of 4 × 600 k doubles ≈ 0.3 s of driver
+      // work on top of the bare scan.
+      val rows = df.selectExpr(
+        cols.map(c => s"CAST(`${c.replace("`", "``")}` AS DOUBLE)"): _*).collect()
+      val nByCol = scala.collection.mutable.Map.empty[String, Long]
+      val atRank = scala.collection.mutable.Map.empty[(String, Long), Double]
+      cols.zipWithIndex.foreach { case (c, i) =>
+        val vals = new Array[Double](rows.length)
+        var n = 0
+        rows.foreach { r =>
+          if (!r.isNullAt(i)) { vals(n) = r.getDouble(i); n += 1 }
+        }
+        if (n > 0) {
+          // Arrays.sort(double[]) is IEEE-total-order (-0.0 < 0.0 < NaN
+          // last) — the same order Spark's range sort on v gives the
+          // two-phase path
+          java.util.Arrays.sort(vals, 0, n)
+          nByCol(c) = n.toLong
+          neededRanks(Map(c -> n.toLong), ps)(c)
+            .foreach(k => atRank((c, k)) = vals((k - 1).toInt))
+        }
+      }
+      return assemble(df.sparkSession, nByCol, atRank.toMap, ps, dp = 4)
+    }
     val stacked = Spread.wide(df.select(cols.map(col): _*),
         Some(hash(cols.map(col): _*)))
       .selectExpr(s"stack(${cols.length}, $stackArgs) AS (column, v)")
@@ -122,12 +186,59 @@ object Profiler {
     quantilesByKey(stacked, ps, dp = 4)
   }
 
+  /** Small-corpus gate for [[quantilesByKey]]: below this many STACKED
+    * values (source rows × profiled columns, from a parquet-footer count
+    * — an upper bound on distinct (column, v) pairs) the per-(column, v)
+    * counts collect to the driver and the order statistics extract there
+    * with the IDENTICAL interpolation/rounding code — 2 jobs instead of
+    * the two-phase path's 6 (counts agg + RangePartitioner sampling +
+    * offsets collect + hits collect + 2 persists), worth ~1 s of fixed
+    * job/exchange latency per query at sf0.1. The collect is bounded by
+    // the gate (≤ 4M (string, double, long) rows ≈ low hundreds of MB
+    // transient on an 8 g driver); above it the two-phase range-
+    // partitioned CDF is the only shape that scales. The gate input is a
+    // footer count compared with integers, so the choice is deterministic
+    // per corpus — and either branch returns bit-identical values (same
+    // counts, same ranks, same driver-side interpolation), unlike a
+    // percentile()-aggregate fallback whose IEEE interpolation order
+    // differs in the last ulp. */
+  val SmallStackedGate: Long = 4000000L
+
   /** The two-phase core of [[quantileProfile]], generalized over any
     * (column: string, v: double) frame - the "column" key may just as
     * well be a GROUP key (q27 uses event_type), and `dp` is the output
     * rounding scale. Null v rows must already be filtered. */
-  def quantilesByKey(stacked: DataFrame, ps: Seq[Double], dp: Int): DataFrame = {
+  def quantilesByKey(stacked: DataFrame, ps: Seq[Double], dp: Int,
+      smallHint: Boolean = false): DataFrame = {
     val spark = stacked.sparkSession
+    if (smallHint) {
+      // small-corpus path (see [[SmallStackedGate]]): one distributed
+      // partial-agg'd counts pass, then the same rank extraction the
+      // two-phase path runs — on the driver, over the collected counts
+      val rows = stacked.groupBy("column", "v").agg(count(lit(1)).as("cnt"))
+        .collect()
+      val byCol = rows.groupBy(_.getString(0))
+      val nByCol = byCol.map { case (c, rs) => c -> rs.map(_.getLong(2)).sum }
+      val need = neededRanks(nByCol, ps)
+      val atRank = scala.collection.mutable.Map.empty[(String, Long), Double]
+      byCol.foreach { case (c, rs) =>
+        val sorted = rs.sortBy(_.getDouble(1))
+        val ranks = need(c)
+        var cum = 0L
+        var ri = 0
+        var i = 0
+        while (i < sorted.length && ri < ranks.length) {
+          val lo = cum
+          cum += sorted(i).getLong(2)
+          while (ri < ranks.length && ranks(ri) <= cum) {
+            if (ranks(ri) > lo) atRank((c, ranks(ri))) = sorted(i).getDouble(1)
+            ri += 1
+          }
+          i += 1
+        }
+      }
+      return assemble(spark, nByCol, atRank.toMap, ps, dp)
+    }
     // persisted: RangePartitioner's boundary-sampling job would
     // otherwise recompute the whole scan + aggregation a second time
     // (measured ~0.9 s of q52's wall at sf0.1)
@@ -159,15 +270,7 @@ object Profiler {
           (pid, c) -> off
         }.toMap
       }
-      // rank r = (n−1)p sits between the values at 1-based positions
-      // ⌊r⌋+1 and ⌈r⌉+1 of the sorted multiset; rank 1 = min, n = max
-      val need: Map[String, Array[Long]] = nByCol.map { case (c, n) =>
-        val rs = ps.flatMap { p =>
-          val r = (n - 1) * p
-          Seq(math.floor(r).toLong + 1, math.ceil(r).toLong + 1)
-        }
-        c -> (rs.toSet + 1L + n).toArray.sorted
-      }
+      val need = neededRanks(nByCol, ps)
       // map-only extraction: value at rank k is the smallest v whose
       // cumulative count reaches k ⇔ k lies in (cum_before, cum]
       val hits = ranged.mapPartitionsWithIndex { (pid, it) =>
@@ -198,35 +301,60 @@ object Profiler {
       }.collect()
       val atRank: Map[(String, Long), Double] =
         hits.map { case (c, k, v) => (c, k) -> v }.toMap
-      // Spark `round(_, 4)` on doubles: BigDecimal HALF_UP, NaN/Inf pass
-      // through — replicated here so the driver-assembled result is
-      // bit-identical to the r17 expression form
-      def rnd(v: Double): Double =
-        if (v.isNaN || v.isInfinite) v
-        else java.math.BigDecimal.valueOf(v)
-          .setScale(dp, java.math.RoundingMode.HALF_UP).doubleValue()
-      val schema = org.apache.spark.sql.types.StructType(
-        org.apache.spark.sql.types.StructField("column",
-          org.apache.spark.sql.types.StringType, nullable = false) +:
-        ("minv" +: ps.map(p => s"p${math.round(p * 100)}") :+ "maxv").map(f =>
-          org.apache.spark.sql.types.StructField(f,
-            org.apache.spark.sql.types.DoubleType, nullable = false)))
-      val rows = nByCol.keys.toSeq.sorted.map { c =>
-        val n = nByCol(c)
-        val qs = ps.map { p =>
-          val r = (n - 1) * p
-          val lo = atRank((c, math.floor(r).toLong + 1))
-          val hi = atRank((c, math.ceil(r).toLong + 1))
-          rnd(lo + (r - math.floor(r)) * (hi - lo))
-        }
-        org.apache.spark.sql.Row.fromSeq(
-          c +: (rnd(atRank((c, 1L))) +: qs :+ rnd(atRank((c, n)))))
-      }
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      assemble(spark, nByCol, atRank, ps, dp)
     } finally {
       ranged.unpersist(blocking = false)
       counts.unpersist(blocking = false)
     }
+  }
+
+  /** rank r = (n−1)p sits between the values at 1-based positions
+    * ⌊r⌋+1 and ⌈r⌉+1 of the sorted multiset; rank 1 = min, n = max.
+    * Shared by both [[quantilesByKey]] branches so the extracted order
+    * statistics are the same set either way. */
+  private def neededRanks(nByCol: scala.collection.Map[String, Long],
+      ps: Seq[Double]): Map[String, Array[Long]] =
+    nByCol.iterator.map { case (c, n) =>
+      val rs = ps.flatMap { p =>
+        val r = (n - 1) * p
+        Seq(math.floor(r).toLong + 1, math.ceil(r).toLong + 1)
+      }
+      c -> (rs.toSet + 1L + n).toArray.sorted
+    }.toMap
+
+  /** Interpolate + round + assemble the output frame from the extracted
+    * order statistics — ONE implementation for both branches, so the
+    * small-corpus collect path is bit-identical to the two-phase path
+    * by construction. */
+  private def assemble(spark: org.apache.spark.sql.SparkSession,
+      nByCol: scala.collection.Map[String, Long],
+      atRank: Map[(String, Long), Double],
+      ps: Seq[Double], dp: Int): DataFrame = {
+    // Spark `round(_, dp)` on doubles: BigDecimal HALF_UP, NaN/Inf pass
+    // through — replicated here so the driver-assembled result is
+    // bit-identical to the r17 expression form
+    def rnd(v: Double): Double =
+      if (v.isNaN || v.isInfinite) v
+      else java.math.BigDecimal.valueOf(v)
+        .setScale(dp, java.math.RoundingMode.HALF_UP).doubleValue()
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("column",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      ("minv" +: ps.map(p => s"p${math.round(p * 100)}") :+ "maxv").map(f =>
+        org.apache.spark.sql.types.StructField(f,
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+    val rows = nByCol.keys.toSeq.sorted.map { c =>
+      val n = nByCol(c)
+      val qs = ps.map { p =>
+        val r = (n - 1) * p
+        val lo = atRank((c, math.floor(r).toLong + 1))
+        val hi = atRank((c, math.ceil(r).toLong + 1))
+        rnd(lo + (r - math.floor(r)) * (hi - lo))
+      }
+      org.apache.spark.sql.Row.fromSeq(
+        c +: (rnd(atRank((c, 1L))) +: qs :+ rnd(atRank((c, n)))))
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Approximate quantile profile via the BUILT-IN `approx_percentile`

@@ -79,11 +79,29 @@ object Skew {
       factId: Column, saltBuckets: Int = 8, joinType: String = "inner",
       hotShareThreshold: Double = 0.1,
       knownHotShare: Option[Double] = None,
-      sampleFraction: Double = 0.01, seed: Long = 42L): DataFrame = {
+      sampleFraction: Double = 0.01, seed: Long = 42L,
+      factCountHint: Long = Long.MaxValue): DataFrame = {
+    // r18: below SmallFactGate rows (a parquet-footer count — no job)
+    // the detection scan is skipped outright: salting exists to split a
+    // straggler PARTITION, and a fact side this small cannot produce one
+    // (even a 100%-hot key is a sub-second task), so the plain join is
+    // the right plan regardless of the share. The gate saved a full
+    // extra pass over the facts per query at sf0.1 (StageLog: the
+    // hotKeyShare sample stage re-read all 600 k rows, ~0.5 s of
+    // q54's 1.17 s); at scale the hint exceeds the gate and the
+    // detection runs exactly as before. Either branch returns identical
+    // VALUES — the gate chooses a plan, never a result.
+    if (factCountHint <= SmallFactGate)
+      return facts.join(dims, Seq(key), joinType)
     val share = knownHotShare.getOrElse(
       hotKeyShare(facts, key, sampleFraction, seed))
     if (share >= hotShareThreshold)
       saltedJoin(facts, dims, key, factId, saltBuckets, joinType)
     else facts.join(dims, Seq(key), joinType)
   }
+
+  /** A hot key only matters once a single shuffle partition would
+    * straggle: at ≤ 8M fact rows even one partition holding EVERY row is
+    * a small task, so skew detection below this is pure overhead. */
+  val SmallFactGate: Long = 8000000L
 }

@@ -60,8 +60,18 @@ object TextAnalysis {
       }: _*))
   }
 
-  /** Predicted language = argmax marker hits, ties → alphabetical first. */
-  def langId(documents: DataFrame, textCol: String = "text"): DataFrame = {
+  /** Predicted language = argmax marker hits, ties → alphabetical first.
+    * ONE native byte walk ([[graft.functions.LangIdExpr]]) since r18: the
+    * declarative form below tokenized the doc once per language (HOF
+    * lambda bodies never CSE) through interpreted ArrayFilters — 170 µs/
+    * doc at sf0.1. LangIdSpec pins the two bit-identical. */
+  def langId(documents: DataFrame, textCol: String = "text"): DataFrame =
+    documents.withColumn("pred_lang",
+      graft.functions.LangIdExpr.pick(col(textCol), langMarkers))
+
+  /** The declarative argmax form [[langId]] replaced — kept as the
+    * equivalence-spec reference (the `piiFeaturesRegex` precedent). */
+  def langIdDeclarative(documents: DataFrame, textCol: String = "text"): DataFrame = {
     val scored = documents.withColumn("scores", langScores(col(textCol)))
     scored.withColumn("pred_lang",
       expr("array_sort(map_entries(scores), " +
@@ -622,15 +632,15 @@ object TextAnalysis {
     * floored at 1. Map-only; emits the raw counts so a caller can
     * re-derive grade-level variants without another scan. */
   def readability(documents: DataFrame, textCol: String = "text"): DataFrame = {
-    val toksed = documents.select(col("doc_id"),
-      toks(lower(col(textCol))).as("__w"), col(textCol).as("__text"))
-    val counted = toksed.select(col("doc_id"),
-      size(col("__w")).cast("long").as("n_words"),
-      greatest(regexp_count(col("__text"), lit("[.!?]+")), lit(1))
-        .cast("long").as("n_sentences"),
-      aggregate(transform(col("__w"),
-          w => greatest(regexp_count(w, lit("[aeiouy]+")), lit(1))),
-        lit(0L), _ + _).as("n_syllables"))
+    // r18: the three counts are ONE native byte walk (TextStatsExpr) —
+    // the declarative form below paid an interpreted per-WORD
+    // regexp_count lambda for syllables plus a full-text regex for
+    // sentences (~150 µs/doc at sf0.1). TextStatsSpec pins equivalence.
+    val counted = documents
+      .withColumn("__st", graft.functions.TextStatsExpr.textStats(col(textCol)))
+      .select(col("doc_id"), col("__st.n_words").as("n_words"),
+        col("__st.n_sentences").as("n_sentences"),
+        col("__st.n_syllables").as("n_syllables"))
     // Flesch in EXACT integer space, divided once:
     //   206.835 − 1.015·w/s − 84.6·syl/w  =  N / (1000·s·w)
     //   N = 206835·s·w − 1015·w² − 84600·syl·s   (all BIGINT-exact)
@@ -668,6 +678,21 @@ object TextAnalysis {
     counted.select(col("doc_id"), col("n_words"), col("n_sentences"),
       col("n_syllables"),
       when(exactOk, exact).otherwise(fallback).as("flesch"))
+  }
+
+  /** The declarative count form [[readability]] replaced — kept as the
+    * equivalence-spec reference (the `piiFeaturesRegex` precedent). */
+  def readabilityCountsDeclarative(documents: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val toksed = documents.select(col("doc_id"),
+      toks(lower(col(textCol))).as("__w"), col(textCol).as("__text"))
+    toksed.select(col("doc_id"),
+      size(col("__w")).cast("long").as("n_words"),
+      greatest(regexp_count(col("__text"), lit("[.!?]+")), lit(1))
+        .cast("long").as("n_sentences"),
+      aggregate(transform(col("__w"),
+          w => greatest(regexp_count(w, lit("[aeiouy]+")), lit(1))),
+        lit(0L), _ + _).as("n_syllables"))
   }
 
   /** The Gopher required-stopword set (Rae et al. 2021 §A1.1.2): a doc

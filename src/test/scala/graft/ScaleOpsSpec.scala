@@ -178,6 +178,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!plan.contains("Union"), plan.take(400))
   }
 
+  test("quantile profile: small-corpus collect branch ≡ two-phase CDF") {
+    import spark.implicits._
+    import graft.ops.Profiler
+    // dupes, negatives, -0.0/0.0, NaN (sorts last), nulls, a constant col
+    val xs = Seq(3.0, 1.0, 2.0, 2.0, -5.5, -0.0, 0.0, Double.NaN, 7.25,
+      1e-9, -1e9, 42.0, 42.0, 42.0)
+    val df = xs.zipWithIndex.map { case (x, i) =>
+      (x, if (i % 3 == 0) None else Some(x * 2 - 1), 9.0)
+    }.toDF("a", "b", "c")
+    val big = Profiler.quantileProfile(df, Seq("a", "b", "c"),
+      rowsHint = Long.MaxValue).orderBy("column").collect()
+    val small = Profiler.quantileProfile(df, Seq("a", "b", "c"),
+      rowsHint = 0L).orderBy("column").collect()
+    assert(big.toSeq.map(_.toString) === small.toSeq.map(_.toString))
+  }
+
   test("log-histogram quantiles: relErr-bounded below exact rank values") {
     import spark.implicits._
     import graft.ops.Profiler
