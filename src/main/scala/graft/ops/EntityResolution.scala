@@ -39,7 +39,14 @@ object EntityResolution {
           .drop("__er_n")
       case None => base
     }
-    val a = blocked.withColumnRenamed("__er_id", "id_a")
+    // Spread the PROBE side (r18): locally the records scan is one
+    // unsplittable row group, the planner broadcasts the build side, and
+    // the whole per-pair distance loop then runs in that single scan
+    // task — 1.5 s serial at sf0.1 where 32 slots sat idle. No-op at
+    // scale (the gate only fires when the scan arrives narrower than
+    // half the slots; a big records table plans a shuffle join anyway).
+    val a = Spread.wide(blocked, Some(hash(blockCols.map(col): _*)))
+      .withColumnRenamed("__er_id", "id_a")
       .withColumnRenamed("__er_name", "name_a")
     val b = blocked.withColumnRenamed("__er_id", "id_b")
       .withColumnRenamed("__er_name", "name_b")

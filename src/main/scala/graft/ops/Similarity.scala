@@ -475,6 +475,22 @@ object Similarity {
     * on both engines, so the doubles agree bitwise before rounding. */
   def quantizeInt8(embeddings: DataFrame, vecCol: String = "embedding")
       : DataFrame = {
+    // r18: the whole per-vector computation is ONE native pass
+    // (QuantizeInt8Expr) — the declarative chain below paid six
+    // interpreted array-HOF passes per row, every lambda eval boxing a
+    // double. QuantizeSpec pins the two bit-identical.
+    embeddings.select(col("vec_id"),
+        graft.functions.QuantizeInt8Expr.quantizeInt8(
+          asDouble(col(vecCol))).as("__q"))
+      .select(col("vec_id"), col("__q.scale").as("scale"),
+        col("__q.codes").as("codes"), col("__q.mse").as("mse"),
+        col("__q.cos_recon").as("cos_recon"))
+  }
+
+  /** The declarative HOF chain [[quantizeInt8]] replaced — kept as the
+    * equivalence-spec reference (the `piiFeaturesRegex` precedent). */
+  def quantizeInt8Declarative(embeddings: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
     val x = embeddings.select(col("vec_id"), asDouble(col(vecCol)).as("e"))
     val s = x.withColumn("scale",
       greatest(array_max(transform(col("e"), v => abs(v))), lit(1e-12)) / 127)

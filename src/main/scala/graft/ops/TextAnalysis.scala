@@ -22,7 +22,14 @@ object TextAnalysis {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** ONE native byte walk (TokenSetCountExpr) since r18 — the filter +
+    * isin form re-compared every token interpreted; TokenSetCountSpec
+    * pins the two identical. */
   def stopwordCount(c: Column): Column =
+    graft.functions.TokenSetCountExpr.tokenSetCount(lower(c), stopwords)
+
+  /** The declarative form [[stopwordCount]] replaced — spec reference. */
+  def stopwordCountDeclarative(c: Column): Column =
     size(filter(toks(lower(c)), t => t.isin(stopwords.map(lit): _*)))
 
   def punctCount(c: Column): Column =
@@ -717,6 +724,36 @@ object TextAnalysis {
       maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
       maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
       minStopwords: Int = 2, textCol: String = "text"): DataFrame = {
+    // r18: every raw count is ONE native GopherStatsExpr walk — the
+    // declarative form below ([[gopherRulesDeclarative]]) paid ~10
+    // passes, several through interpreted per-token/per-line rlike
+    // lambdas (~120 µs/doc at sf0.1). GopherStatsSpec pins equivalence.
+    val st = documents.withColumn("__g",
+      graft.functions.GopherStatsExpr.gopherStats(col(textCol), gopherStopwords))
+    val n = col("__g.n_words")
+    val nd = greatest(n, lit(1)).cast("double")
+    val nLines = greatest(col("__g.n_lines"), lit(1)).cast("double")
+    val measured = st.select(
+      col("doc_id"),
+      n.as("n_words"),
+      round(col("__g.sum_word_chars") / nd, 4).as("mean_word_len"),
+      round(col("__g.n_symbols") / nd, 4).as("symbol_ratio"),
+      round(col("__g.n_bullet_lines") / nLines, 4).as("bullet_ratio"),
+      round(col("__g.n_ellipsis_lines") / nLines, 4).as("ellipsis_ratio"),
+      round(col("__g.n_alpha_words") / nd, 4).as("alpha_ratio"),
+      col("__g.n_stopwords").as("n_stopwords"))
+    gopherVerdicts(measured, minWords, maxWords, minMeanLen, maxMeanLen,
+      maxSymbolRatio, maxBulletRatio, maxEllipsisRatio, minAlphaRatio,
+      minStopwords)
+  }
+
+  /** The declarative measurement form [[gopherRules]] replaced — kept as
+    * the equivalence-spec reference (the `piiFeaturesRegex` precedent). */
+  def gopherRulesDeclarative(documents: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000, minMeanLen: Double = 3, maxMeanLen: Double = 10,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+      minStopwords: Int = 2, textCol: String = "text"): DataFrame = {
     val toksed = documents.select(col("doc_id"),
       toks(lower(col(textCol))).as("__w"),
       split(col(textCol), "\n").as("__lines"),
@@ -744,6 +781,17 @@ object TextAnalysis {
         greatest(n, lit(1)).cast("double"), 4).as("alpha_ratio"),
       size(array_intersect(array_distinct(col("__w")),
         array(gopherStopwords.map(lit): _*))).cast("long").as("n_stopwords"))
+    gopherVerdicts(measured, minWords, maxWords, minMeanLen, maxMeanLen,
+      maxSymbolRatio, maxBulletRatio, maxEllipsisRatio, minAlphaRatio,
+      minStopwords)
+  }
+
+  /** Shared rule-verdict columns over the measured features. */
+  private def gopherVerdicts(measured: DataFrame, minWords: Int,
+      maxWords: Int, minMeanLen: Double, maxMeanLen: Double,
+      maxSymbolRatio: Double, maxBulletRatio: Double,
+      maxEllipsisRatio: Double, minAlphaRatio: Double,
+      minStopwords: Int): DataFrame = {
     val rules = Seq(
       "r_word_count" -> (col("n_words") >= minWords && col("n_words") <= maxWords),
       "r_mean_word_len" -> (col("mean_word_len") >= minMeanLen &&
