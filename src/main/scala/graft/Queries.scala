@@ -459,7 +459,11 @@ object Queries {
         |UNION ALL SELECT event_id, 'uid' AS k, CAST(user_id AS VARCHAR) AS v FROM events
         |ORDER BY event_id, k LIMIT 5000""".stripMargin)),
     QDef("q16b_json_extract",
-      (s, d) => events(s, d)
+      // Spread: the per-row JSON parse ran serial in the one-task local
+      // scan; TakeOrdered keeps per-partition heaps. No-op at scale.
+      (s, d) => graft.ops.Spread.wide(events(s, d)
+          .select(col("event_id"), col("props")),
+          Some(hash(col("event_id"))))
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("kval"))
         .orderBy("event_id")
@@ -997,6 +1001,9 @@ object Queries {
     // its documented error (approx_percentile accuracy 1000 ⇒ ~0.1%
     // rank error; 2% value headroom covers it on any partitioning). ----
     QDef("q43_approx_percentile",
+      // NO Spread (r18 A/B): exchanging raw rows to parallelize the
+      // interpreted GK partials lost to the 32-way buffer merge +
+      // exchange latency (0.76 s → 0.92 s measured at sf0.1)
       (s, d) => events(s, d)
         .groupBy("event_type")
         .agg(round(expr("percentile(value, 0.5)"), 2).as("exact_p50"),

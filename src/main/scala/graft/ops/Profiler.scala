@@ -496,6 +496,10 @@ object Profiler {
   def corpusDatasheet(documents: DataFrame, pass: Column,
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NO Spread (r18 A/B): md5 + WsSplit per doc is cheap enough that the
+    // extra exchange read WORSE in full-suite passes (1.00 → 1.05-1.07 s)
+    // even though an isolated ONLY-mode bench showed 0.51 s — the
+    // full-pass number is the one the driver measures
     val perDoc = documents.select(col("source"), col("lang"),
       md5(col(textCol)).as("__h"),
       graft.ops.TextAnalysis.tokenCount(col(textCol)).cast("long").as("__tok"),
