@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The DRIVER parses graft.Bench's one-line JSON out of sbt's stdout, but
+// sbt's default Logged output strategy prefixes every forked line with
+// "[info] " — PERF r15–r18 all read `"parsed": null` because of it
+// (r18 VERDICT item 2). StdoutOutput pipes the forked JVM's stdout/stderr
+// through unprefixed; showSuccess drops the trailing "[success] ..." line
+// so the compact JSON is the LAST stdout line. Output plumbing only —
+// timing, action, and query selection are untouched.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not by a task — exclude it
+// from the unused-key lint so `sbt compile` stays warning-free
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -32,6 +32,34 @@ import duckdb
 
 sf_dir, sql_path, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
 
+
+def steal_jiffies():
+    """Cumulative hypervisor-steal jiffies summed over all cpus, or None.
+
+    The r18 denominator was recorded mid-steal-storm: the loadavg gate
+    below is blind to steal (stolen cycles never queue runnable tasks in
+    the guest), so a steady 15% inflation sailed through both gates and
+    every downstream vs_oracle ratio divided by it (VERDICT r18 item 1).
+    /proc/stat field 8 of the aggregate `cpu` line is the steal counter;
+    sampled before/after each child run it converts the storm from an
+    inference into a recorded per-query number with a hard refuse bar.
+    """
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts[0] != "cpu":
+            return None
+        return int(parts[8])  # user nice system idle iowait irq softirq STEAL
+    except Exception:
+        return None
+
+
+def steal_pct(j0, j1, elapsed):
+    """Steal as % of total cpu capacity over the interval (USER_HZ=100)."""
+    if j0 is None or j1 is None or elapsed <= 0:
+        return -1.0  # sentinel: unsampled, never a fake-clean 0.0
+    return (j1 - j0) / (elapsed * os.cpu_count() * 100.0) * 100.0
+
 # min of N, same hygiene as graft.Bench; at sf100 a single run is the
 # honest trade (min-of-2 doubles a multi-hour recording for warmup noise
 # that is <1% of multi-second walls)
@@ -133,9 +161,38 @@ if os.getloadavg()[0] > MAX_LOAD:
     sys.exit(f"[oracle_bench] host still loaded after {MAX_WAIT}s — "
              "refusing to record a contaminated times file")
 
+# Steal gate BEFORE recording (r18 verdict item 1): probe a 3 s window;
+# if the hypervisor is stealing above the bar, wait bounded for the storm
+# to pass, then abort WITHOUT writing. A times file recorded under steal
+# is uniformly inflated and silently flatters every vs_oracle ratio.
+MAX_STEAL = float(os.environ.get("ORACLE_BENCH_MAX_STEAL_PCT", "2.0"))
+
+
+def steal_window(sec=3.0):
+    j0 = steal_jiffies()
+    time.sleep(sec)
+    return steal_pct(j0, steal_jiffies(), sec)
+
+
+steal_before = steal_window()
+waited = 0
+while steal_before >= 0 and steal_before > MAX_STEAL and waited < MAX_WAIT:
+    print(f"[oracle_bench] steal {steal_before:.1f}% > {MAX_STEAL}% — "
+          f"waiting ({waited}/{MAX_WAIT}s)", file=sys.stderr)
+    time.sleep(15)
+    waited += 15
+    steal_before = steal_window()
+if steal_before >= 0 and steal_before > MAX_STEAL:
+    sys.exit(f"[oracle_bench] hypervisor steal still {steal_before:.1f}% "
+             f"after {MAX_WAIT}s — refusing to record a contaminated "
+             "times file")
+
 oracle = json.loads(Path(sql_path).read_text())
 times = {}
 errors = {}
+# steal sampled AROUND EVERY child run (the during gate): the r18 storm
+# was bursty — a clean before/after pair can bracket a mid-run burst
+steal_max, steal_worst, steal_sampled = -1.0, None, False
 for name in sorted(oracle):
     if name in SKIP:
         errors[name] = "skipped via ORACLE_BENCH_SKIP (fails at smaller SF)"
@@ -145,12 +202,23 @@ for name in sorted(oracle):
                         "smaller SF but its wall x scale-up exceeds the "
                         "per-query cap)")
         continue
+    j0, t0 = steal_jiffies(), time.perf_counter()
     sec, err = time_one(name)
+    sp = steal_pct(j0, steal_jiffies(), time.perf_counter() - t0)
+    if sp >= 0:
+        steal_sampled = True
+        if sp > steal_max:
+            steal_max, steal_worst = sp, name
     if err is not None:
         errors[name] = err
         print(f"[oracle_bench] {name} FAILED: {err}", file=sys.stderr)
     else:
         times[name] = sec
+
+if steal_sampled and steal_max > MAX_STEAL:
+    sys.exit(f"[oracle_bench] steal hit {steal_max:.1f}% during {steal_worst} "
+             f"(bar {MAX_STEAL}%) — a mid-run storm inflated the recording, "
+             "refusing to write")
 
 # A spike can also land MID-run (it did): check again before writing.
 # The check must be DECAY-AWARE: this script's own 32-thread run drives
@@ -205,6 +273,17 @@ out = {
         "threads": os.cpu_count(),
         "runs": RUNS,
         "timeout_sec": TIMEOUT or 0,
+        # steal stats (r18 verdict item 1). NOTE for anyone adding fields:
+        # graft.Bench parses this file with a flat `"name": number` regex —
+        # NEVER add a map keyed by query names here or the parse collides;
+        # scalar keys are harmless (no query is named max_pct).
+        "steal": {
+            "before_pct": round(steal_before, 2),
+            "max_pct": round(steal_max, 2),
+            "worst": steal_worst,
+            "refuse_bar_pct": MAX_STEAL,
+            "sampled": steal_sampled,
+        },
         "errors": errors,
     },
     "times": times,

@@ -390,7 +390,12 @@ object Bench {
         .mkString(""","q_filter":[""", ",", "]")
     // during_max rides the compact line too: the r14 verdict leaned on a
     // load figure the committed artifact could not substantiate (ADVICE r14)
-    val compact = f"""{"metric":"total","format":"compact","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"load_gate_passed":$gatePassed,"during_max":$loadMax%.2f,"steal_pct_max":$stealMaxRep%.1f,"during_clean":$duringClean$compactOracle$filterJson,"q_order":"name_asc","qv":$qv}"""
+    // `qn` beside `qv` (r18 VERDICT item 2): the driver could never
+    // reconstruct the positional array against Queries.scala, so PERF
+    // per_query/geomean stayed empty r15–r18. Additions-only: every
+    // pre-existing field keeps its name and position.
+    val qn = results.map(r => "\"" + r.name + "\"").mkString("[", ",", "]")
+    val compact = f"""{"metric":"total","format":"compact","value":$total%.3f,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"load_gate_passed":$gatePassed,"during_max":$loadMax%.2f,"steal_pct_max":$stealMaxRep%.1f,"during_clean":$duringClean$compactOracle$filterJson,"q_order":"name_asc","qn":$qn,"qv":$qv}"""
     println(compact)
     // durable copy: the full artifact survives whole in a file regardless
     // of the driver's stdout capture window.

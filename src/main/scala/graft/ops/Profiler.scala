@@ -147,7 +147,7 @@ object Profiler {
     // repartition's sort-before-exchange (A/B'd: round-robin COST 0.5 s
     // here). No-op at scale - the repartition only fires when the scan
     // arrives narrower than half the slots.
-    if (rowsHint * cols.length <= SmallStackedGate) {
+    if (smallStacked(rowsHint, cols.length)) {
       // small-corpus path (see [[SmallStackedGate]]): ONE job — scan,
       // project the double casts, collect, and sort each column on the
       // driver; ranks interpolate through the SAME [[assemble]] code as
@@ -203,6 +203,16 @@ object Profiler {
     // percentile()-aggregate fallback whose IEEE interpolation order
     // differs in the last ulp. */
   val SmallStackedGate: Long = 4000000L
+
+  /** Gate decision for [[quantileProfile]]'s small-corpus branch, as
+    * division — `rowsHint * nCols` overflows Long at the default
+    * rowsHint = Long.MaxValue (MaxValue*2 wraps to -2), which silently
+    * routed an unknown/huge input down the driver-collect path: an
+    * unbounded collect() on any default-hint multi-column call (r18
+    * ADVICE, high). The default hint must always take the two-phase
+    * branch; ProfilerGateSpec pins 2- and 4-column default-hint calls. */
+  private[graft] def smallStacked(rowsHint: Long, nCols: Int): Boolean =
+    nCols > 0 && rowsHint <= SmallStackedGate / nCols
 
   /** The two-phase core of [[quantileProfile]], generalized over any
     * (column: string, v: double) frame - the "column" key may just as
