@@ -202,10 +202,28 @@ for name in sorted(oracle):
                         "smaller SF but its wall x scale-up exceeds the "
                         "per-query cap)")
         continue
-    j0, t0 = steal_jiffies(), time.perf_counter()
-    sec, err = time_one(name)
-    sp = steal_pct(j0, steal_jiffies(), time.perf_counter() - t0)
-    if sp >= 0:
+    # the storm is BURSTY (r18: 0.4–11% minute to minute): a single dirty
+    # window must not scrap a whole min-of-N recording — re-time THAT
+    # query after waiting for quiet, keep the clean attempt, and only
+    # refuse if no attempt comes back clean
+    attempts = int(os.environ.get("ORACLE_BENCH_STEAL_ATTEMPTS", "4"))
+    sec = err = sp = None
+    for attempt in range(attempts):
+        j0, t0 = steal_jiffies(), time.perf_counter()
+        sec, err = time_one(name)
+        sp = steal_pct(j0, steal_jiffies(), time.perf_counter() - t0)
+        if sp < 0 or sp <= MAX_STEAL:
+            break
+        print(f"[oracle_bench] steal {sp:.1f}% during {name} "
+              f"(attempt {attempt + 1}/{attempts}) — waiting for quiet "
+              "and re-timing", file=sys.stderr)
+        w = steal_window()
+        waited = 0
+        while w >= 0 and w > MAX_STEAL and waited < MAX_WAIT:
+            time.sleep(15)
+            waited += 15
+            w = steal_window()
+    if sp is not None and sp >= 0:
         steal_sampled = True
         if sp > steal_max:
             steal_max, steal_worst = sp, name
@@ -217,7 +235,7 @@ for name in sorted(oracle):
 
 if steal_sampled and steal_max > MAX_STEAL:
     sys.exit(f"[oracle_bench] steal hit {steal_max:.1f}% during {steal_worst} "
-             f"(bar {MAX_STEAL}%) — a mid-run storm inflated the recording, "
+             f"(bar {MAX_STEAL}%) even after per-query re-timing — "
              "refusing to write")
 
 # A spike can also land MID-run (it did): check again before writing.

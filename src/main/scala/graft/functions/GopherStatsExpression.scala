@@ -117,9 +117,18 @@ object GopherStatsExpr {
             ob(lineStart + 1) == 0x80.toByte && ob(lineStart + 2) == 0xA2.toByte
           if (b0 == '-' || b0 == '*' || bullet3) nBullet += 1L
         }
-        // ellipsis end: `$` may step over ONE final \r
+        // ellipsis end: Java regex `$` (non-MULTILINE) matches before ONE
+        // final line terminator — \r, but also U+0085 (C2 85), U+2028
+        // (E2 80 A8), U+2029 (E2 80 A9); \n can't appear (it is the line
+        // separator of this walk). r18 ADVICE: stepping over only \r broke
+        // bit-equivalence with the rlike oracle on a '… ' line end.
         var e = endExcl
         if (e > lineStart && ob(e - 1) == '\r') e -= 1
+        else if (e - 2 >= lineStart && ob(e - 2) == 0xC2.toByte &&
+          ob(e - 1) == 0x85.toByte) e -= 2
+        else if (e - 3 >= lineStart && ob(e - 3) == 0xE2.toByte &&
+          ob(e - 2) == 0x80.toByte &&
+          (ob(e - 1) == 0xA8.toByte || ob(e - 1) == 0xA9.toByte)) e -= 3
         val ddd = e - 3 >= lineStart && ob(e - 1) == '.' &&
           ob(e - 2) == '.' && ob(e - 3) == '.'
         val hel = e - 3 >= lineStart && isHellipAt(e - 3)

@@ -10,7 +10,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Marker-token language ID as ONE native codegen byte walk.
   *
-  * The declarative form ([[graft.ops.TextAnalysis.langScoresDeclarative]]
+  * The declarative form ([[graft.ops.TextAnalysis.langIdDeclarative]]
   * + argmax) tokenizes the document once PER LANGUAGE — `filter(toks, t
   * -> t.isin(...))` lambda bodies never CSE with each other (the
   * documented HOF no-CSE trap), so the sf0.1 plan carried FIVE

@@ -29,15 +29,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - q_i = int(greatest(least(round(e_i / scale, 0), 127), -127)) —
   *    round = BigDecimal HALF_UP (Spark's round), so ties go away from
   *    zero exactly as the SQL form;
-  *  - recon_i = q_i * scale; mse = round(Σ(e_i − recon_i)² / n, 10)
-  *    (n = 0 ⇒ 0.0/0.0 = NaN, matching double division);
+  *  - recon_i = q_i * scale; mse = round(Σ(e_i − recon_i)² / n, 10).
+  *    n = 0 yields NaN here where the declarative form's `/ size(...)`
+  *    throws DIVIDE_BY_ZERO under ANSI — the equivalence contract is
+  *    dense NON-EMPTY vectors (QuantizeSpec's generator honours it);
   *  - cos_recon = round(Σ e_i·recon_i / (√Σe_i² · √Σrecon_i²), 6) when
   *    both norms are > 0, else NULL (the all-zero guard);
   *  - codes = the q_i joined by ' '.
   *
-  * Dense-vector contract: elements must be non-null (the embeddings
-  * table's schema; a null element would cascade nulls through the
-  * declarative form — not reproduced here). */
+  * Dense-vector contract: elements must be non-null and the vector
+  * non-empty (the embeddings table's shape). A null element THROWS
+  * (getDouble would silently read 0.0 where the declarative HOF chain
+  * cascades NULL); the empty-vector divergence is documented above. */
 case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = QuantizeInt8Expr.outType
@@ -91,6 +94,12 @@ object QuantizeInt8Expr {
     var sawAny = false
     var i = 0
     while (i < n) {
+      // dense contract enforced, not assumed (r18 ADVICE): getDouble on a
+      // null slot silently reads 0.0 where the declarative HOF chain
+      // cascades NULL — fail loudly instead of diverging silently
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"quantize_int8: null element at index $i — requires a dense " +
+          "non-null ARRAY<DOUBLE> (the embeddings contract)")
       val a = math.abs(arr.getDouble(i))
       if (!sawAny || java.lang.Double.compare(a, maxAbs) > 0) maxAbs = a
       sawAny = true

@@ -23,7 +23,10 @@ class GopherStatsSpec extends SparkSpec {
     Gen.oneOf(TextAnalysis.gopherStopwords),
     Gen.oneOf("- bullet line\n", "* star\n", "• dot bullet\n", "…\n",
       "trail...\n", "trail...\r\n", "....\n", ".....\n", "......\n",
-      "#tag ##double", "a…b", "...", "…", "x\n\n", "\n"),
+      "#tag ##double", "a…b", "...", "…", "x\n\n", "\n",
+      // Unicode line terminators Java `$` also steps over (r18 ADVICE):
+      // NEL, LINE SEPARATOR, PARAGRAPH SEPARATOR after an ellipsis
+      "end...\n", "fin… \n", "p... ", "q…"),
     Gen.oneOf(" ", "\t", "  ", "café ", "日本語 ", "B2B ", "123 ", "-", "*"),
     Gen.alphaNumStr.map(_.take(10) + " "))
 
