@@ -3058,19 +3058,39 @@ object Queries {
 
     // ---- Q40: explicit GROUPING SETS with grouping() disambiguation —
     // the general form behind rollup (q11) and cube (q28): two chosen
-    // grouping combinations in ONE pass (Expand + single aggregate). ----
+    // grouping combinations without the Expand (r19, the q11 treatment:
+    // Catalyst's GROUPING SETS doubles every fact row through an Expand
+    // node before the partial aggregate sees it). Both requested sets are
+    // exact re-aggregations of the finest (flag, status) aggregate —
+    // COUNT sums; the decimal SUM stays UNROUNDED until the end, so
+    // summing the ~6 sub-sums is associative decimal arithmetic — and the
+    // grouping() indicator columns are constants per set. One fact scan
+    // at 1/2 the partial-agg updates; the base is materialized (~6 rows)
+    // so the two set derivations never re-run the fact aggregation. ----
     QDef("q40_grouping_sets",
       (s, d) => {
-        lineitem(s, d).createOrReplaceTempView("lineitem_gs")
-        s.sql("""SELECT COALESCE(l_returnflag, '_') AS l_returnflag,
-          |COALESCE(l_linestatus, '_') AS l_linestatus,
-          |CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
-          |CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
-          |COUNT(*) AS n,
-          |CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS q
-          |FROM lineitem_gs
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+        val base = graft.ops.Materialize(lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("qd")))
+        // set (l_returnflag): l_linestatus grouped out ⇒ NULL ⇒ '_',
+        // grouping(l_returnflag)=0, grouping(l_linestatus)=1
+        val byFlag = base.groupBy("l_returnflag")
+          .agg(sum("n").as("n"), sum("qd").as("qd"))
+          .select(coalesce(col("l_returnflag"), lit("_")).as("l_returnflag"),
+            lit("_").as("l_linestatus"),
+            lit(0L).as("g_flag"), lit(1L).as("g_status"),
+            col("n"), col("qd"))
+        val byStatus = base.groupBy("l_linestatus")
+          .agg(sum("n").as("n"), sum("qd").as("qd"))
+          .select(lit("_").as("l_returnflag"),
+            coalesce(col("l_linestatus"), lit("_")).as("l_linestatus"),
+            lit(1L).as("g_flag"), lit(0L).as("g_status"),
+            col("n"), col("qd"))
+        byFlag.unionAll(byStatus)
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("g_flag"), col("g_status"), col("n"),
+            round(col("qd"), 2).cast("double").as("q"))
+          .orderBy("l_returnflag", "l_linestatus")
       },
       Some("""SELECT COALESCE(l_returnflag, '_') AS l_returnflag,
         |COALESCE(l_linestatus, '_') AS l_linestatus,
@@ -3230,7 +3250,8 @@ object Queries {
     // engine-reproducible — the oracle unrolls the rounds as CTEs. ----
     QDef("text_bpe",
       (s, d) => {
-        val (m, _) = Bpe.train(documents(s, d), nMerges = 8)
+        val (m, _) = Bpe.train(documents(s, d), nMerges = 8,
+          corpusDocs = Some(Tables.footerRowCount(s, d, "documents")))
         Bpe.mergeTable(s, m).orderBy("merge_round")
       },
       Some(bpeRoundsCtes(8) + "\n" + (1 to 8).map(r =>
@@ -3245,7 +3266,8 @@ object Queries {
     QDef("text_bpe_encode",
       (s, d) => {
         val docs = documents(s, d)
-        val (_, w) = Bpe.train(docs, nMerges = 8)
+        val (_, w) = Bpe.train(docs, nMerges = 8,
+          corpusDocs = Some(Tables.footerRowCount(s, d, "documents")))
         Bpe.encodeCounts(docs, w).orderBy("doc_id")
       },
       Some(bpeEncodeCtes(8) +
@@ -3258,7 +3280,8 @@ object Queries {
     QDef("sample_pack_bpe",
       (s, d) => {
         val docs = documents(s, d)
-        val (_, w) = Bpe.train(docs, nMerges = 8)
+        val (_, w) = Bpe.train(docs, nMerges = 8,
+          corpusDocs = Some(Tables.footerRowCount(s, d, "documents")))
         Bpe.packByBpeBudget(docs, w, budgetTokens = 256, nShards = 8)
           .orderBy("doc_id")
       },

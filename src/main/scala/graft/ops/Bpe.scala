@@ -88,11 +88,37 @@ object Bpe {
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
               .otherwise(concat(acc, array(x))))))
 
+  /** Corpus-size gate for the driver-side merge loop (r19, the q52
+    * small-corpus pattern): at or below this many DOCUMENTS the word-type
+    * table collects once — (word, freq) pairs, bounded by the alnum
+    * word-TYPE count, which at ≤ 65 k docs is at most a few hundred
+    * thousand strings (a few MB) — and all `nMerges` rounds run on the
+    * driver. The distributed loop pays ~2 jobs per round (pair-count
+    * aggregate + TakeOrdered collect) plus periodic re-materializations
+    * of the word table; on a vocab-bounded table that is pure fixed job
+    * latency (~1 s of the 1.35 s text_bpe wall at sf0.1). Above the gate
+    * the distributed loop runs exactly as before — the 100 TB path.
+    * Same doc-count gate family as [[Dedup.simhashCompoundMinDocs]].
+    * BpeSpec pins the two branches merge-for-merge identical. */
+  val SmallCorpusGate: Long = 65536L
+
   /** Run up to `nMerges` rounds; returns the learned merge table and the
     * final word→symbols segmentation. Stops early when no adjacent pair
-    * remains (fully merged vocabulary). */
+    * remains (fully merged vocabulary).
+    *
+    * `corpusDocs`: parquet-footer document count, when the caller has it
+    * (no job). At or below [[SmallCorpusGate]] the merge loop runs on the
+    * driver over the collected word-type table — identical merges and
+    * segmentation by construction (exact long counts, same
+    * (cnt DESC, l ASC, r ASC) tiebreak — ASCII-only symbols, so JVM
+    * string order ≡ Spark's UTF-8 binary order — and the same greedy
+    * left-to-right fold); the unknown/huge default keeps the
+    * distributed loop. */
   def train(documents: DataFrame, nMerges: Int, textCol: String = "text",
-      materializeEvery: Int = 4): (Seq[Merge], DataFrame) = {
+      materializeEvery: Int = 4,
+      corpusDocs: Option[Long] = None): (Seq[Merge], DataFrame) = {
+    if (corpusDocs.exists(_ <= SmallCorpusGate))
+      return trainDriverSide(documents, nMerges, textCol)
     var words = Materialize(wordTable(documents, textCol))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var round = 1
@@ -112,6 +138,75 @@ object Bpe {
       }
     }
     (merges.toSeq, Materialize(words))
+  }
+
+  /** The small-corpus branch of [[train]]: ONE job collects the
+    * (word, freq) type table; pair counting, winner selection, and the
+    * greedy merge fold replicate the distributed operators exactly (see
+    * the equivalence argument at [[train]]). The returned segmentation
+    * frame is vocab-sized — the same rows the encode join broadcasts. */
+  private def trainDriverSide(documents: DataFrame, nMerges: Int,
+      textCol: String): (Seq[Merge], DataFrame) = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val collected: Array[(String, Long)] =
+      wordTable(documents, textCol).select("word", "freq")
+        .as[(String, Long)].collect()
+    // initial segmentation: one single-character symbol per char (the
+    // alphabet is ASCII by the wordTable filter, so chars == bytes)
+    val syms: Array[Array[String]] =
+      collected.map(_._1.toCharArray.map(_.toString))
+    val freqs: Array[Long] = collected.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var round = 1
+    var done = false
+    while (round <= nMerges && !done) {
+      // adjacent-pair frequencies, weighted by word freq — every
+      // occurrence of the pair in a word counts (pairCounts semantics)
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi)
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + freqs(wi))
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        // winner under (cnt DESC, l ASC, r ASC) — ASCII symbols, so
+        // JVM string compare ≡ Spark's binary UTF-8 order
+        val ((l, r), c) = counts.minBy { case ((pl, pr), cnt) =>
+          (-cnt, pl, pr)
+        }
+        merges += Merge(round, l, r, l + r, c)
+        // greedy left-to-right single pass — the applyMerge fold verbatim
+        wi = 0
+        while (wi < syms.length) {
+          val s = syms(wi)
+          if (s.length >= 2) {
+            val out = scala.collection.mutable.ArrayBuffer[String](s(0))
+            var i = 1
+            while (i < s.length) {
+              if (out.last == l && s(i) == r)
+                out(out.length - 1) = l + r
+              else out += s(i)
+              i += 1
+            }
+            syms(wi) = out.toArray
+          }
+          wi += 1
+        }
+        round += 1
+      }
+    }
+    val finalWords = collected.indices
+      .map(i => (collected(i)._1, freqs(i), syms(i).toSeq))
+      .toDF("word", "freq", "syms")
+    (merges.toSeq, finalWords)
   }
 
   /** The learned merges as a DataFrame (merge_round, l_sym, r_sym,

@@ -108,4 +108,33 @@ class BpeSpec extends SparkSpec {
     assert(m.size == 1 && m.head.merged == "ab")
     assert(w.collect().map(_.getSeq[String](2)).toSeq == Seq(Seq("ab")))
   }
+
+  test("driver-side branch ≡ distributed loop (merges and segmentation)") {
+    // below SmallCorpusGate the merge loop runs on the driver (r19); the
+    // two branches must learn the SAME merges and segment identically —
+    // run-heavy words exercise the greedy non-overlap fold on both sides
+    val (distM, distW) = Bpe.train(corpusDf, nMerges = 10)
+    val (drvM, drvW) = Bpe.train(corpusDf, nMerges = 10,
+      corpusDocs = Some(corpusFreq.values.sum))
+    assert(drvM == distM, s"merges diverged: $drvM vs $distM")
+    def segs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getSeq[String](2)))).toMap
+    assert(segs(drvW) == segs(distW), "segmentation frames diverged")
+    // and the driver branch also matches the naive reference directly
+    val (expMerges, expSegs) = refBpe(corpusFreq, nMerges = 10)
+    assert(drvM.map(m => (m.l_sym, m.r_sym, m.freq)) == expMerges)
+    assert(segs(drvW).map { case (w, (_, s)) => w -> s } == expSegs)
+    // above the gate the hint must NOT take the driver branch (pin the
+    // gate direction, not just the values)
+    val (bigM, _) = Bpe.train(corpusDf, nMerges = 3,
+      corpusDocs = Some(Bpe.SmallCorpusGate + 1))
+    assert(bigM == distM.take(3))
+  }
+
+  test("driver-side early stop on a fully merged vocabulary") {
+    val tiny = Seq((0L, "ab ab ab")).toDF("doc_id", "text")
+    val (m, w) = Bpe.train(tiny, nMerges = 50, corpusDocs = Some(3L))
+    assert(m.size == 1 && m.head.merged == "ab")
+    assert(w.collect().map(_.getSeq[String](2)).toSeq == Seq(Seq("ab")))
+  }
 }
